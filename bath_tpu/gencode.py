@@ -1,0 +1,248 @@
+"""NCBI genetic code tables, codon translation, and ORF extraction.
+
+Re-provides the Easel `esl_gencode` functionality the reference
+framework uses (ref: /root/reference/src/bathsearch.c do_sq_by_sequences,
+p7_bg.c p7_bg_fs_FilterScore, modelconfig.c p7_ProfileConfig_fs).
+
+Codon index convention (matches Easel digital nt codes A=0,C=1,G=2,T=3):
+    codon = 16*x1 + 4*x2 + x3.
+
+NCBI table strings enumerate codons in TCAG order (TTT, TTC, TTA, ...);
+we remap to the digital convention at load time.
+
+ORF extraction semantics (validated against reference golden outputs):
+  * three frames, scanning the window left to right;
+  * an ORF is a maximal run of non-stop codons (default: start anywhere;
+    options restrict starts to AUG / to the table's initiators);
+  * stop codons terminate (and are excluded from) ORFs;
+  * ORFs shorter than `minlen` aa are discarded (default 20, ref
+    bathsearch.c options "-l");
+  * ORFs are emitted in order of their *end* position, frames
+    interleaved, then remaining open ORFs in frame order at the end;
+  * coordinates: for a forward-strand window, start/end are 1-based nt
+    positions within the window (start<end).  For a reverse-complement
+    window, start/end are positions in the ORIGINAL orientation:
+    start = n - apos_start + 1 > end = n - apos_end + 1, which is the
+    convention p7_Pipeline_BATH expects (ref: p7_pipeline.c:1399-1404,
+    1692-1698).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .alphabet import Alphabet, amino, dna
+
+# NCBI translation tables: id -> (name, aa string, starts string),
+# codons enumerated base1-major in TCAG order (standard NCBI layout).
+_NCBI = {
+    1: ("Standard",
+        "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+        "---M------**--*----M---------------M----------------------------"),
+    2: ("Vertebrate mitochondrial",
+        "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSS**VVVVAAAADDEEGGGG",
+        "----------**--------------------MMMM----------**---M------------"),
+    3: ("Yeast mitochondrial",
+        "FFLLSSSSYY**CCWWTTTTPPPPHHQQRRRRIIMMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+        "----------**----------------------MM----------------------------"),
+    4: ("Mold, protozoan, coelenterate mitochondrial; Mycoplasma/Spiroplasma",
+        "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+        "--MM------**-------M------------MMMM---------------M------------"),
+    5: ("Invertebrate mitochondrial",
+        "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSSSSVVVVAAAADDEEGGGG",
+        "---M------**--------------------MMMM---------------M------------"),
+    6: ("Ciliate, dasycladacean, Hexamita nuclear",
+        "FFLLSSSSYYQQCC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+        "--------------*--------------------M----------------------------"),
+    9: ("Echinoderm and flatworm mitochondrial",
+        "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNNKSSSSVVVVAAAADDEEGGGG",
+        "----------**-----------------------M---------------M------------"),
+    10: ("Euplotid nuclear",
+         "FFLLSSSSYY**CCCWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+         "----------**-----------------------M----------------------------"),
+    11: ("Bacterial, archaeal; and plant plastid",
+         "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+         "---M------**--*----M------------MMMM---------------M------------"),
+    12: ("Alternative yeast",
+         "FFLLSSSSYY**CC*WLLLSPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+         "----------**--*----M---------------M----------------------------"),
+    13: ("Ascidian mitochondrial",
+         "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSSGGVVVVAAAADDEEGGGG",
+         "---M------**----------------------MM---------------M------------"),
+    14: ("Alternative flatworm mitochondrial",
+         "FFLLSSSSYYY*CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNNKSSSSVVVVAAAADDEEGGGG",
+         "-----------*-----------------------M----------------------------"),
+    16: ("Chlorophycean mitochondrial",
+         "FFLLSSSSYY*LCC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+         "----------*---*--------------------M----------------------------"),
+    21: ("Trematode mitochondrial",
+         "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNNKSSSSVVVVAAAADDEEGGGG",
+         "----------**----------------------MM---------------M------------"),
+    22: ("Scenedesmus obliquus mitochondrial",
+         "FFLLSS*SYY*LCC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+         "------*---*---*--------------------M----------------------------"),
+    23: ("Thraustochytrium mitochondrial",
+         "FF*LSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+         "--*-------**--*--------------------M---M---------------M--------"),
+    24: ("Rhabdopleuridae mitochondrial",
+         "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSSKVVVVAAAADDEEGGGG",
+         "---M------**-------M---------------M---------------M------------"),
+    25: ("Candidate division SR1 and Gracilibacteria",
+         "FFLLSSSSYY**CCGWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+         "---M------**-----------------------M---------------M------------"),
+}
+
+_NCBI_BASE_ORDER = "TCAG"
+
+
+@dataclass
+class GeneticCode:
+    """Genetic code with digital codon -> digital amino mapping."""
+    transl_table: int
+    description: str
+    basic: np.ndarray          # [64] int: digital aa; stop -> aa_abc.Kp-2 ('*')
+    is_initiator: np.ndarray   # [64] bool
+    nt_abc: Alphabet = field(default_factory=dna)
+    aa_abc: Alphabet = field(default_factory=amino)
+
+    @classmethod
+    def create(cls, transl_table: int = 1) -> "GeneticCode":
+        if transl_table not in _NCBI:
+            raise ValueError(f"unknown NCBI translation table {transl_table}")
+        name, aas, starts = _NCBI[transl_table]
+        aa_abc, nt_abc = amino(), dna()
+        basic = np.zeros(64, dtype=np.int32)
+        init = np.zeros(64, dtype=bool)
+        for i in range(64):
+            b1, b2, b3 = _NCBI_BASE_ORDER[i // 16], _NCBI_BASE_ORDER[(i // 4) % 4], _NCBI_BASE_ORDER[i % 4]
+            digital = (16 * nt_abc.index[b1] + 4 * nt_abc.index[b2]
+                       + nt_abc.index[b3])
+            aa = aas[i]
+            basic[digital] = aa_abc.Kp - 2 if aa == "*" else aa_abc.index[aa]
+            init[digital] = (starts[i] == "M")
+        return cls(transl_table, name, basic, init)
+
+    # --- initiator policy (ref: esl_gencode_SetInitiator*) ----------
+    def set_initiator_any(self):
+        """Any sense codon can start an ORF (bathsearch default)."""
+        self.is_initiator = self.basic != (self.aa_abc.Kp - 2)
+
+    def set_initiator_only_aug(self):
+        a = self.nt_abc
+        self.is_initiator = np.zeros(64, dtype=bool)
+        self.is_initiator[16 * a.index["A"] + 4 * a.index["T"] + a.index["G"]] = True
+
+    def is_stop(self, codon_idx: int) -> bool:
+        return int(self.basic[codon_idx]) == self.aa_abc.Kp - 2
+
+    # --- single-codon translation (ref: esl_gencode_GetTranslation) -
+    def translate_codon(self, x1: int, x2: int, x3: int) -> int:
+        """Translate one (possibly degenerate) digital codon to a
+        digital amino.  If all compatible disambiguations agree, return
+        that residue; otherwise return X (amino Kp-3).  Codons with
+        gap/missing characters return X as well."""
+        if x1 < 4 and x2 < 4 and x3 < 4:
+            return int(self.basic[16 * x1 + 4 * x2 + x3])
+        nt = self.nt_abc
+        Kp = nt.Kp
+        sets = []
+        for x in (x1, x2, x3):
+            if x < 4:
+                sets.append([x])
+            elif 4 < x < Kp - 2:   # degenerate (skip gap at index 4)
+                sets.append(list(np.nonzero(nt.degen[x, :4])[0]))
+            else:
+                return self.aa_abc.any_idx
+        aa = None
+        for a in sets[0]:
+            for b in sets[1]:
+                for c in sets[2]:
+                    t = int(self.basic[16 * a + 4 * b + c])
+                    if aa is None:
+                        aa = t
+                    elif t != aa:
+                        return self.aa_abc.any_idx
+        return aa if aa is not None else self.aa_abc.any_idx
+
+    def translate_vec(self, dsq: np.ndarray, frame: int) -> np.ndarray:
+        """Translate a digital DNA array in a given frame (0/1/2) to a
+        digital amino array (length (n-frame)//3)."""
+        n = (len(dsq) - frame) // 3
+        out = np.empty(n, dtype=np.int32)
+        for j in range(n):
+            i = frame + 3 * j
+            out[j] = self.translate_codon(int(dsq[i]), int(dsq[i + 1]),
+                                          int(dsq[i + 2]))
+        return out
+
+
+@dataclass
+class Orf:
+    """One open reading frame extracted from a DNA window."""
+    dsq: np.ndarray     # digital amino sequence
+    start: int          # nt coord of first codon nt (see module docstring)
+    end: int            # nt coord of last codon nt
+    frame: int          # 0,1,2 in scanning orientation
+    idx: int = -1       # scratch: which DNA window this ORF maps to
+
+    @property
+    def n(self) -> int:
+        return len(self.dsq)
+
+
+def extract_orfs(gcode: GeneticCode, dsq: np.ndarray, *,
+                 minlen: int = 20, is_revcomp: bool = False,
+                 require_initiator: bool = False) -> list[Orf]:
+    """Extract ORFs from a digital DNA window in all 3 frames.
+
+    Emission order matches Easel's ProcessPiece walk: codons are
+    processed in order of their end position (frames interleaved); an
+    ORF is appended when its terminating stop codon is reached, and
+    remaining open ORFs are flushed in frame order 0,1,2 at the end
+    (ref: esl_gencode ProcessStart/Piece/End usage in bathsearch.c:385).
+    """
+    L = len(dsq)
+    orfs: list[Orf] = []
+    aa_buf: list[list[int]] = [[], [], []]
+    orf_start = [0, 0, 0]         # 1-based apos of first nt of ORF
+    in_orf = [False, False, False]
+    stop_aa = gcode.aa_abc.Kp - 2
+
+    def finish(f: int, apos_last: int):
+        if in_orf[f] and len(aa_buf[f]) >= minlen:
+            s, e = orf_start[f], apos_last
+            if is_revcomp:
+                s, e = L - s + 1, L - e + 1
+            orfs.append(Orf(np.array(aa_buf[f], dtype=np.int32), s, e, f))
+        aa_buf[f] = []
+        in_orf[f] = False
+
+    for e in range(3, L + 1):        # e = 1-based end position of a codon
+        f = e % 3                    # frame whose codon ends at e
+        x1, x2, x3 = int(dsq[e - 3]), int(dsq[e - 2]), int(dsq[e - 1])
+        canonical = x1 < 4 and x2 < 4 and x3 < 4
+        aa = (int(gcode.basic[16 * x1 + 4 * x2 + x3]) if canonical
+              else gcode.translate_codon(x1, x2, x3))
+        if aa == stop_aa:
+            finish(f, e - 3)         # stop excluded; ORF ends at prev codon
+        else:
+            if not in_orf[f]:
+                ok = True
+                if require_initiator:
+                    ok = canonical and bool(
+                        gcode.is_initiator[16 * x1 + 4 * x2 + x3])
+                if ok:
+                    in_orf[f] = True
+                    orf_start[f] = e - 2
+                    aa_buf[f] = [aa]
+                # else: stay out of ORF
+            else:
+                aa_buf[f].append(aa)
+
+    for f in range(3):
+        # last complete codon of frame f ends at the largest e<=L with e%3==f
+        e_last = L - ((L - f) % 3)
+        finish(f, e_last)
+    return orfs
