@@ -1,0 +1,279 @@
+"""bathsearch: search protein profile HMM(s) against a DNA database.
+
+Re-provides the reference's bathsearch driver
+(ref: /root/reference/src/bathsearch.c serial_master :478,
+serial_loop :1052): windowed target streaming, 6-frame translation,
+per-window pipeline, E-values from global residue count, merge, dedup,
+threshold, and output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .. import constants as C
+from ..alphabet import dna
+from ..bg import Background
+from ..gencode import GeneticCode, extract_orfs
+from ..hmmfile import read_hmms
+from ..oprofile import oprofile_convert
+from ..pipeline import Pipeline, pipeline_bath, statistics_text
+from ..profile import profile_config, profile_config_fs
+from ..scoredata import score_data_create
+from ..sequence import read_windows
+from ..tophits import IS_INCLUDED, IS_REPORTED, TopHits
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bathsearch",
+        description="search protein profile(s) against DNA sequence "
+                    "database (TPU-native bath_tpu)")
+    p.add_argument("queryfile")
+    p.add_argument("dbfile")
+    p.add_argument("-o", dest="outfile", default=None)
+    p.add_argument("--tblout", default=None)
+    p.add_argument("--fstblout", default=None)
+    p.add_argument("--fs", action="store_true")
+    p.add_argument("--fsonly", action="store_true")
+    p.add_argument("--acc", action="store_true")
+    p.add_argument("--noali", action="store_true")
+    p.add_argument("--notrans", action="store_true")
+    p.add_argument("--frameline", action="store_true")
+    p.add_argument("--cigar", action="store_true")
+    p.add_argument("--notextw", action="store_true")
+    p.add_argument("--textw", type=int, default=150)
+    p.add_argument("--ct", type=int, default=1)
+    p.add_argument("-l", dest="minlen", type=int, default=20)
+    p.add_argument("-m", dest="aug_only", action="store_true")
+    p.add_argument("-M", dest="init_any_codon", action="store_true")
+    p.add_argument("--strand", default="both",
+                   choices=["both", "plus", "minus"])
+    p.add_argument("-E", type=float, default=10.0)
+    p.add_argument("-T", type=float, default=None)
+    p.add_argument("--incE", type=float, default=0.01)
+    p.add_argument("--incT", type=float, default=None)
+    p.add_argument("--max", action="store_true")
+    p.add_argument("--F1", type=float, default=C.F1_DEFAULT)
+    p.add_argument("--F2", type=float, default=C.F2_DEFAULT)
+    p.add_argument("--F3", type=float, default=C.F3_DEFAULT)
+    p.add_argument("--F4", type=float, default=C.F4_DEFAULT)
+    p.add_argument("--nobias", action="store_true")
+    p.add_argument("--nonull2", action="store_true")
+    p.add_argument("-Z", type=float, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--block_length", type=int,
+                   default=C.BLOCK_LENGTH_DEFAULT)
+    p.add_argument("--backend", default="numpy",
+                   choices=["numpy", "jax"],
+                   help="compute backend for the filter cascade")
+    return p
+
+
+def make_pipeline(args) -> Pipeline:
+    pli = Pipeline()
+    pli.fs_pipe = args.fs or args.fsonly
+    pli.std_pipe = not args.fsonly
+    pli.E = args.E
+    if args.T is not None:
+        pli.T = args.T
+        pli.by_E = False
+    pli.incE = args.incE
+    if args.incT is not None:
+        pli.incT = args.incT
+        pli.inc_by_E = False
+    pli.F1 = min(1.0, args.F1)
+    pli.F2 = min(1.0, args.F2)
+    pli.F3 = min(1.0, args.F3)
+    pli.F4 = min(1.0, args.F4)
+    if args.max:
+        pli.do_max = True
+        pli.do_biasfilter = False
+        pli.F1 = pli.F2 = pli.F3 = pli.F4 = 1.0
+    if args.nobias:
+        pli.do_biasfilter = False
+    if args.nonull2:
+        pli.do_null2 = False
+    pli.show_alignments = not args.noali
+    pli.show_accessions = args.acc
+    pli.show_frameline = args.frameline
+    pli.show_cigar = args.cigar
+    pli.strands = {"both": C.STRAND_BOTH, "plus": C.STRAND_TOPONLY,
+                   "minus": C.STRAND_BOTTOMONLY}[args.strand]
+    pli.block_length = args.block_length
+    return pli
+
+
+def output_header(ofp, args):
+    ofp.write("# bathsearch :: search protein profile(s) against DNA "
+              "sequence database\n")
+    ofp.write("# bath_tpu (TPU-native framework)\n")
+    ofp.write("# - - - - - - - - - - - - - - - - - - - - - - - - - - - "
+              "- - - - - - - -\n")
+    ofp.write("# query HMM file:                                %s\n"
+              % args.queryfile)
+    ofp.write("# target sequence database:                      %s\n"
+              % args.dbfile)
+    ofp.write("# codon translation table:                       %d\n"
+              % args.ct)
+    ofp.write("# - - - - - - - - - - - - - - - - - - - - - - - - - - - "
+              "- - - - - - - -\n\n")
+
+
+def run(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    ofp = open(args.outfile, "w") if args.outfile else sys.stdout
+    tblfp = open(args.tblout, "w") if args.tblout else None
+    textw = 0 if args.notextw else args.textw
+
+    gcode = GeneticCode.create(args.ct)
+    if args.aug_only:
+        gcode.set_initiator_only_aug()
+    require_init = args.aug_only or args.init_any_codon
+    if not require_init:
+        gcode.set_initiator_any()
+
+    output_header(ofp, args)
+
+    nquery = 0
+    for hmm in read_hmms(args.queryfile):
+        nquery += 1
+        t0 = time.time()
+        if args.fs or args.fsonly:
+            if not (hmm.fsprob and hmm.ct):
+                raise SystemExit(
+                    f"HMM file {args.queryfile} not formatted for "
+                    "frameshift search; run bathconvert first.")
+        else:
+            hmm.fs = False
+            hmm.fsprob = 0.0
+        if hmm.ct and hmm.ct != args.ct:
+            raise SystemExit(
+                f"--ct {args.ct} does not match HMM codon table {hmm.ct}")
+        if hmm.max_length == -1:
+            hmm.set_max_length()
+
+        bg = Background()
+        gm = profile_config(hmm, bg, L=100, mode=C.P7_LOCAL)
+        om = oprofile_convert(gm)
+        gm_fs5 = profile_config_fs(hmm, bg, gcode, 5, 100, C.P7_LOCAL)
+        gm_fs3 = profile_config_fs(hmm, bg, gcode, 3, 100, C.P7_LOCAL)
+        om_fs3 = om_fs5 = None
+        if args.fs or args.fsonly:
+            from ..ops.reference.fwdback_fs import fs_oprofile_convert
+            om_fs3 = fs_oprofile_convert(gm_fs3)
+            om_fs5 = fs_oprofile_convert(gm_fs5)
+        data = score_data_create(om)
+
+        pli = make_pipeline(args)
+        pli.nmodels = 1
+        pli.nnodes = hmm.M
+        pli.W = om.max_length
+        if pli.do_biasfilter:
+            bg.set_filter(om.M, om.compo)
+        th = TopHits()
+        hit_windows = []
+        id_lengths = {}
+
+        ofp.write("Query:       %s  [M=%d]\n" % (hmm.name, hmm.M))
+        if hmm.acc:
+            ofp.write("Accession:   %s\n" % hmm.acc)
+        if hmm.desc:
+            ofp.write("Description: %s\n" % hmm.desc)
+
+        fs_funcs = None
+        if pli.fs_pipe:
+            from ..pipeline_fs import pli_frameshift
+            fs_funcs = pli_frameshift
+
+        seqidx = 0
+        for window, is_last in read_windows(
+                args.dbfile, context=om.max_length * 3,
+                block_length=pli.block_length):
+            if window.n < 15:
+                if is_last:
+                    id_lengths[window.idx] = window.L
+                    pli.nseqs += 1
+                    seqidx += 1
+                continue
+            window.L = window.n   # window-local L (ref: serial_loop)
+            seqid_for_hits = pli.nseqs
+            if pli.strands != C.STRAND_BOTTOMONLY:
+                pli.nres += window.W
+                orfs = extract_orfs(gcode, window.dsq, minlen=args.minlen,
+                                    require_initiator=require_init)
+                pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5, data,
+                              bg, th, seqid_for_hits, window, orfs, gcode,
+                              hit_windows, C.NOCOMPLEMENT, fs_funcs)
+            if pli.strands != C.STRAND_TOPONLY:
+                pli.nres += window.W
+                rc = window.reverse_complement()
+                orfs = extract_orfs(gcode, rc.dsq, minlen=args.minlen,
+                                    is_revcomp=True,
+                                    require_initiator=require_init)
+                pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5, data,
+                              bg, th, seqid_for_hits, rc, orfs, gcode,
+                              hit_windows, C.COMPLEMENT, fs_funcs)
+            if is_last:
+                # true source length for assign_Lengths
+                id_lengths[window.idx] = window.start + window.n - 1
+                pli.nseqs += 1
+                seqidx += 1
+
+        # E-values from global residue count (ref: bathsearch.c:869-884)
+        if args.Z is not None:
+            res_cnt = int(1000000 * args.Z)
+            if pli.strands == C.STRAND_BOTH:
+                res_cnt *= 2
+        else:
+            res_cnt = pli.nres
+        th.compute_evalues_bath(res_cnt, om.max_length * 3)
+
+        th.sort_by_seqidx_and_alipos()
+        # assign true target lengths (ref: assign_Lengths)
+        for h in th.unsrt:
+            if h.seqidx in id_lengths:
+                h.target_len = id_lengths[h.seqidx]
+                if h.dcl and h.dcl[0].ad is not None:
+                    h.dcl[0].ad.L = id_lengths[h.seqidx]
+        th.remove_duplicates(pli.use_bit_cutoffs)
+        th.sort_by_sortkey()
+        pli.Z = 1.0
+        th.threshold(pli)
+
+        pli.n_output = pli.pos_output = 0
+        for h in th.hit:
+            if h.flags & (IS_REPORTED | IS_INCLUDED):
+                pli.n_output += 1
+                for d in h.dcl:
+                    pli.pos_output += 1 + abs(d.jali - d.iali)
+
+        ofp.write(th.targets_text(pli, textw))
+        ofp.write("\n\n")
+        ofp.write(th.domains_text(pli, textw))
+        ofp.write("\n\n")
+        if tblfp:
+            tblfp.write(th.tabular_targets_text(
+                hmm.name, hmm.acc, pli, nquery == 1, args.cigar))
+        elapsed = time.time() - t0
+        ofp.write(statistics_text(pli, elapsed))
+        ofp.write("//\n")
+
+    ofp.write("[ok]\n")
+    if ofp is not sys.stdout:
+        ofp.close()
+    if tblfp:
+        tblfp.close()
+    return 0
+
+
+def main():
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,426 @@
+"""The BATH comparison pipeline: per-window filter cascade and hit
+assembly.
+
+Re-provides p7_Pipeline_BATH and its helpers
+(ref: /root/reference/src/p7_pipeline.c :1583 and the functions it
+calls).  For each DNA window, ORFs run through the MSV -> bias ->
+Viterbi -> Forward cascade; survivors go through domain definition and
+hit assembly.  The frameshift branch (--fs) runs the frameshift
+Forward arbitration on merged DNA windows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import constants as C
+from . import stats
+from .alidisplay import nonfs_create
+from .alphabet import amino, dna
+from .bg import Background
+from .domaindef import DomainDef, by_posterior_heuristics_bath
+from .gencode import GeneticCode, Orf, extract_orfs
+from .oprofile import OProfile
+from .ops.reference import fwdback as fb
+from .ops.reference.filters import (Window, msv_filter, ssv_filter_bath,
+                                    viterbi_filter)
+from .ops.reference.fwdback import RangeError
+from .profile import FSProfile, Profile
+from .scoredata import ScoreData
+from .sequence import Sequence
+from .tophits import Hit, TopHits
+
+F32 = np.float32
+
+
+@dataclass
+class Pipeline:
+    """Pipeline configuration and counters (ref: P7_PIPELINE)."""
+    F1: float = C.F1_DEFAULT
+    F2: float = C.F2_DEFAULT
+    F3: float = C.F3_DEFAULT
+    F4: float = C.F4_DEFAULT
+    E: float = 10.0
+    T: float = 0.0
+    by_E: bool = True
+    incE: float = 0.01
+    incT: float = 0.0
+    inc_by_E: bool = True
+    do_max: bool = False
+    do_biasfilter: bool = True
+    do_null2: bool = True
+    fs_pipe: bool = False
+    std_pipe: bool = True
+    spliced: bool = False
+    show_alignments: bool = True
+    show_accessions: bool = False
+    show_frameline: bool = False
+    show_cigar: bool = False
+    Z: float = 0.0
+    Z_setby_opt: bool = False
+    strands: int = C.STRAND_BOTH
+    block_length: int = C.BLOCK_LENGTH_DEFAULT
+    use_bit_cutoffs: bool = False
+    # counters
+    nmodels: int = 0
+    nseqs: int = 0
+    nres: int = 0
+    nnodes: int = 0
+    n_past_msv: int = 0
+    n_past_bias: int = 0
+    n_past_vit: int = 0
+    n_past_fwd: int = 0
+    n_output: int = 0
+    pos_past_msv: int = 0
+    pos_past_bias: int = 0
+    pos_past_vit: int = 0
+    pos_past_fwd: int = 0
+    pos_output: int = 0
+    W: int = 0
+    ddef: DomainDef = field(default_factory=DomainDef)
+
+    def target_reportable(self, score, lnP):
+        if self.by_E:
+            return math.exp(lnP) <= self.E
+        return score >= self.T
+
+    def target_includable(self, score, lnP):
+        if self.inc_by_E:
+            return math.exp(lnP) <= self.incE
+        return score >= self.incT
+
+    def merge(self, other: "Pipeline"):
+        """ref: p7_pipeline_Merge :735."""
+        self.nseqs += other.nseqs
+        self.nres += other.nres
+        for a in ("n_past_msv", "n_past_bias", "n_past_vit", "n_past_fwd",
+                  "n_output", "pos_past_msv", "pos_past_bias",
+                  "pos_past_vit", "pos_past_fwd", "pos_output"):
+            setattr(self, a, getattr(self, a) + getattr(other, a))
+        if not self.Z_setby_opt:
+            self.Z += other.Z
+
+
+def compute_local_compo(data: ScoreData, om: OProfile, bg: Background,
+                        k_start: int, k_end: int) -> np.ndarray:
+    """ref: p7_pli_ComputeLocalCompo (p7_pipeline.c:426)."""
+    K = len(bg.f)
+    Kp = om.Kp
+    k_len = k_end - k_start + 1
+    if k_len < 20:
+        k_start -= (20 - k_len) // 2
+        k_end += (20 - k_len) // 2
+    k_start = max(1, k_start)
+    k_end = min(om.M, k_end)
+    compo = np.zeros(K, dtype=F32)
+    for k in range(k_start, k_end + 1):
+        for x in range(K):
+            log_odds = (float(om.base_b)
+                        - float(data.ssv_scores[k * Kp + x])) / om.scale_b
+            compo[x] += bg.f[x] * np.exp(np.float32(log_odds))
+    compo /= compo.sum()
+    return compo
+
+
+def _postdomaindef_bath(pli: Pipeline, om: OProfile, gm: Profile,
+                        gm_fs5: FSProfile, bg: Background,
+                        hitlist: TopHits, seqidx: int, window_start: int,
+                        orfsq: Orf, dnasq: Sequence, windowsq: Sequence,
+                        complementarity: int):
+    """Hit assembly after domain definition, standard branch
+    (ref: p7_pipeline.c p7_pli_postDomainDef_BATH :1171)."""
+    ddef = pli.ddef
+    for dom in ddef.dcl:
+        env_len = dom.jenv - dom.ienv + 1
+        ali_len = (dom.jali - dom.iali + 1) // 3
+        if ali_len < 4:
+            continue
+        tmp_i = dom.ienv
+        if not complementarity:
+            dom.ienv = dnasq.start + orfsq.start + dom.ienv * 3 - 4
+            dom.jenv = dnasq.start + orfsq.start + dom.jenv * 3 - 2
+            dom.iali = dnasq.start + window_start + dom.iali - 2
+            dom.jali = dnasq.start + window_start + dom.jali - 2
+        else:
+            dom.ienv = dnasq.end + orfsq.start - dom.ienv * 3 + 2
+            dom.jenv = dnasq.end + orfsq.start - dom.jenv * 3
+            dom.jali = dnasq.start - (window_start + dom.jali) + 2
+            dom.iali = dnasq.start - (window_start + dom.iali) + 2
+
+        # adjust score from env_len to max window length
+        # (ref: p7_pipeline.c:1230-1239)
+        bitscore = dom.envsc
+        bitscore -= 2 * math.log(2.0 / (env_len + 2))
+        bitscore += 2 * math.log(2.0 / (om.max_length + 2))
+        bitscore -= (env_len - ali_len) * math.log(
+            float(env_len) / float(env_len + 2))
+        bitscore += (om.max_length - ali_len) * math.log(
+            float(om.max_length) / float(om.max_length + 2))
+
+        if pli.do_null2:
+            from .logsum import flogsum
+            dom_bias = float(flogsum(0.0, np.float32(
+                math.log(bg.omega) + dom.domcorrection)))
+        else:
+            dom_bias = 0.0
+        bg.set_length(om.max_length)
+        nullsc = bg.null_one(om.max_length)
+        dom_score = (bitscore - (nullsc + dom_bias)) / C.CONST_LOG2
+        dom_lnP = float(stats.exp_logsurv(
+            dom_score, om.evparam[C.EV_FTAU], om.evparam[C.EV_FLAMBDA]))
+
+        pli.Z = float(pli.nres) / float(om.max_length)
+        keep = (math.exp(dom_lnP) * pli.Z <= pli.E) if pli.inc_by_E \
+            else (dom_score >= pli.T)
+        if pli.spliced:
+            keep = keep or math.exp(dom_lnP) < pli.F3
+        if not keep:
+            continue
+
+        ad = nonfs_create(dom.tr, 0, om, gm, windowsq, orfsq,
+                          dom.orf_sqfrom, amino(), dna(), pli.show_cigar)
+        if ad is None:
+            continue
+        ad.exon_cnt = 1
+        ad.sqfrom = dom.iali
+        ad.sqto = dom.jali
+        ad.L = dnasq.L
+        dom.ad = ad
+
+        hit = hitlist.create_next_hit()
+        hit.ndom = 1
+        hit.best_domain = 0
+        hit.window_length = orfsq.n
+        hit.target_len = dnasq.n
+        hit.seqidx = seqidx
+        if not complementarity:
+            hit.subseq_start = dom.ienv - (orfsq.start - windowsq.start
+                                           + tmp_i * 3) + 3
+        else:
+            hit.subseq_start = dom.ienv + (dnasq.n - orfsq.start + 1) \
+                - windowsq.start + tmp_i * 3 - 3
+        hit.dcl = [dom]
+        hit.pre_score = bitscore / C.CONST_LOG2
+        hit.pre_lnP = float(stats.exp_logsurv(
+            hit.pre_score, om.evparam[C.EV_FTAU], om.evparam[C.EV_FLAMBDA]))
+        dom.dombias = dom_bias
+        dom.bitscore = dom_score
+        dom.lnP = dom_lnP
+        hit.sum_score = hit.score = dom_score
+        hit.sum_lnP = hit.lnP = dom_lnP
+        hit.sortkey = -dom_lnP if pli.inc_by_E else dom_score
+        hit.name = dnasq.name
+        hit.acc = dnasq.acc
+        hit.desc = dnasq.desc
+    ddef.reuse()
+
+
+def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
+                  om_fs3, om_fs5, gm_fs5: FSProfile, data: ScoreData,
+                  bg: Background, hitlist: TopHits, seqidx: int,
+                  dnasq: Sequence, orfs: list[Orf], gcode: GeneticCode,
+                  hit_windows: list[Window], complementarity: int,
+                  fs_funcs=None) -> None:
+    """One DNA window vs one profile (ref: p7_Pipeline_BATH :1583)."""
+    if dnasq.n < 15 or not orfs:
+        return
+
+    n_orfs = len(orfs)
+    P_orf = [1.0] * n_orfs
+    fwdsc_arr = [float("-inf")] * n_orfs
+    oxf_holder = [None] * n_orfs
+
+    for idx, orfsq in enumerate(orfs):
+        # skip ORFs entirely inside the previous window's context
+        if (orfsq.start < orfsq.end and orfsq.end < dnasq.C) or \
+                (orfsq.end < orfsq.start and orfsq.start < dnasq.C):
+            continue
+        if orfsq.n <= 0:
+            continue
+        vfsc = float("-inf")
+        bg.set_length(orfsq.n)
+        om.reconfig_length(orfsq.n)
+        nullsc = bg.null_one(orfsq.n)
+
+        usc = msv_filter(orfsq.dsq, om)
+        seqsc = (usc - nullsc) / C.CONST_LOG2
+        P = float(stats.gumbel_surv(seqsc, om.evparam[C.EV_MMU],
+                                    om.evparam[C.EV_MLAMBDA]))
+        if P > pli.F1:
+            continue
+        pli.pos_past_msv += orfsq.n * 3
+
+        if pli.do_biasfilter:
+            bg.set_filter(om.M, om.compo)
+            bg.set_length(orfsq.n)
+            filtersc = bg.filter_score(orfsq.dsq)
+            seqsc = (usc - filtersc) / C.CONST_LOG2
+            P = float(stats.gumbel_surv(seqsc, om.evparam[C.EV_MMU],
+                                        om.evparam[C.EV_MLAMBDA]))
+            if P > pli.F1:
+                continue
+        else:
+            filtersc = nullsc
+        pli.pos_past_bias += orfsq.n * 3
+
+        old_window_cnt = len(hit_windows)
+        if P > pli.F2:
+            vfsc = viterbi_filter(orfsq.dsq, om, data, filtersc, pli.F2,
+                                  hit_windows)
+            seqsc = (vfsc - filtersc) / C.CONST_LOG2
+            P = float(stats.gumbel_surv(seqsc, om.evparam[C.EV_VMU],
+                                        om.evparam[C.EV_VLAMBDA]))
+            if P > pli.F2:
+                del hit_windows[old_window_cnt:]
+                continue
+        else:
+            ssv_filter_bath(orfsq.dsq, om, data, nullsc, pli.F1,
+                            hit_windows)
+        for w in hit_windows[old_window_cnt:]:
+            w.id = idx
+        pli.pos_past_vit += orfsq.n * 3
+
+        # local-composition bias rescue (ref: :1667-1718)
+        if pli.do_biasfilter and old_window_cnt < len(hit_windows):
+            k_max = hit_windows[old_window_cnt].k
+            k_min = k_max - hit_windows[old_window_cnt].length + 1
+            for w in hit_windows[old_window_cnt + 1:]:
+                k_max = max(k_max, w.k)
+                k_min = min(k_min, w.k - w.length + 1)
+            local_compo = compute_local_compo(data, om, bg, k_min, k_max)
+            bg.set_filter(om.M, local_compo)
+            bg.set_length(orfsq.n)
+            local_filtersc = bg.filter_score(orfsq.dsq)
+            if local_filtersc > filtersc:
+                filtersc = local_filtersc
+                if vfsc == float("-inf"):
+                    seqsc = (usc - filtersc) / C.CONST_LOG2
+                    P = float(stats.gumbel_surv(
+                        seqsc, om.evparam[C.EV_MMU],
+                        om.evparam[C.EV_MLAMBDA]))
+                    if P > pli.F2:
+                        vfsc = viterbi_filter(orfsq.dsq, om)
+                        seqsc = (vfsc - filtersc) / C.CONST_LOG2
+                        P = float(stats.gumbel_surv(
+                            seqsc, om.evparam[C.EV_VMU],
+                            om.evparam[C.EV_VLAMBDA]))
+                        if P > pli.F2:
+                            del hit_windows[old_window_cnt:]
+                            bg.set_filter(om.M, om.compo)
+                            continue
+                else:
+                    seqsc = (vfsc - filtersc) / C.CONST_LOG2
+                    P = float(stats.gumbel_surv(
+                        seqsc, om.evparam[C.EV_VMU],
+                        om.evparam[C.EV_VLAMBDA]))
+                    if P > pli.F2:
+                        del hit_windows[old_window_cnt:]
+                        bg.set_filter(om.M, om.compo)
+                        continue
+            bg.set_filter(om.M, om.compo)
+            bg.set_length(orfsq.n)
+
+        if not pli.fs_pipe:
+            if pli.spliced:
+                for w in hit_windows[old_window_cnt:]:
+                    w.id = seqidx
+                    w.complementarity = complementarity
+                    if complementarity:
+                        w.n = dnasq.end + orfsq.start - \
+                            ((w.n + w.length - 1) * 3)
+                    else:
+                        w.n = dnasq.start + orfsq.start + (w.n * 3) - 4
+                    w.length *= 3
+            try:
+                oxf, fwdsc = fb.forward(orfsq.dsq, om, full=False)
+            except RangeError:
+                continue
+            seqsc = (fwdsc - filtersc) / C.CONST_LOG2
+            P = float(stats.exp_surv(seqsc, om.evparam[C.EV_FTAU],
+                                     om.evparam[C.EV_FLAMBDA]))
+            if P > pli.F3:
+                continue
+            if pli.spliced:
+                for w in hit_windows[old_window_cnt:]:
+                    w.pass_forward = True
+
+            if complementarity:
+                orf_start = dnasq.n - orfsq.start + 1
+                orf_end = dnasq.n - orfsq.end + 1
+            else:
+                orf_start = orfsq.start
+                orf_end = orfsq.end
+            windowsq = Sequence(
+                name=dnasq.name, acc=dnasq.acc, desc=dnasq.desc,
+                dsq=dnasq.dsq[orf_start - 1:orf_end],
+                start=orf_start, end=orf_end, L=orf_end - orf_start + 1,
+                abc=dnasq.abc)
+            pli.pos_past_fwd += orfsq.n * 3
+            try:
+                oxb, _ = fb.backward(orfsq.dsq, om, oxf, full=False)
+            except RangeError:
+                continue
+            by_posterior_heuristics_bath(orfsq, windowsq, dnasq.n, om,
+                                         gm_fs5, oxf, oxb, pli.ddef,
+                                         amino())
+            if pli.ddef.nregions == 0 or pli.ddef.nenvelopes == 0:
+                pli.ddef.reuse()
+                continue
+            _postdomaindef_bath(pli, om, gm, gm_fs5, bg, hitlist, seqidx,
+                                orf_start, orfsq, dnasq, windowsq,
+                                complementarity)
+        else:
+            # frameshift pipeline F4 gate: run Forward per ORF, save
+            # the parser matrix (ref: :1774-1789)
+            try:
+                oxf, fwdsc = fb.forward(orfsq.dsq, om, full=False)
+            except RangeError:
+                continue
+            oxf_holder[idx] = oxf
+            seqsc = (fwdsc - filtersc) / C.CONST_LOG2
+            P_orf[idx] = float(stats.exp_surv(
+                seqsc, om.evparam[C.EV_FTAU], om.evparam[C.EV_FLAMBDA]))
+            fwdsc_arr[idx] = fwdsc - nullsc
+            if P_orf[idx] > pli.F4:
+                oxf_holder[idx] = None
+
+    if pli.fs_pipe and fs_funcs is not None:
+        fs_funcs(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
+                 seqidx, orfs, dnasq, gcode, P_orf, fwdsc_arr, oxf_holder,
+                 hit_windows, complementarity)
+
+
+def statistics_text(pli: Pipeline, elapsed: float | None = None) -> str:
+    """ref: p7_pli_Statistics :1835."""
+    out = []
+    out.append("Internal pipeline statistics summary:\n")
+    out.append("-------------------------------------\n")
+    out.append("Query model(s):              %15d  (%d nodes)\n" %
+               (pli.nmodels, pli.nnodes))
+    out.append("Target %-12s          %15d  (%d residues searched)\n" %
+               ("sequence(s):", pli.nseqs, pli.nres))
+    denom = pli.nres * pli.nmodels if pli.nres * pli.nmodels else 1
+    out.append("Residues passing SSV filter: %15d  (%.3g); expected (%.3g)\n" %
+               (pli.pos_past_msv, pli.pos_past_msv / denom, pli.F1))
+    out.append("Residues passing bias filter:%15d  (%.3g); expected (%.3g)\n" %
+               (pli.pos_past_bias, pli.pos_past_bias / denom, pli.F1))
+    out.append("Residues passing Vit filter: %15d  (%.3g); expected (%.3g)\n" %
+               (pli.pos_past_vit, pli.pos_past_vit / denom, pli.F2))
+    out.append("Residues passing Fwd filter: %15d  (%.3g); expected (%.3g)\n" %
+               (pli.pos_past_fwd, pli.pos_past_fwd / denom, pli.F3))
+    out.append("Total number of hits:        %15d  (%.3g)\n" %
+               (pli.n_output, pli.pos_output / denom))
+    if elapsed is not None:
+        out.append("# CPU time: %.2fu %.2fs %02d:%02d:%02.2f Elapsed: "
+                   "%02d:%02d:%02.2f\n" % (
+                       elapsed, 0.0,
+                       int(elapsed // 3600), int(elapsed % 3600 // 60),
+                       elapsed % 60,
+                       int(elapsed // 3600), int(elapsed % 3600 // 60),
+                       elapsed % 60))
+        mcs = pli.nres * pli.nnodes / (elapsed * 1e6) if elapsed > 0 else 0.0
+        out.append("# Mc/sec: %.2f\n" % mcs)
+    return "".join(out)

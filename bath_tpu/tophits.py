@@ -1,0 +1,326 @@
+"""Top hits: collection, sorting, deduplication, thresholding, output.
+
+Re-provides P7_TOPHITS (ref: /root/reference/src/p7_tophits.c): the
+merge/sort/dedup semantics that make results worker-count invariant,
+BATH E-value computation (E = P * nres/W), and the human-readable +
+tabular output formats.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import constants as C
+from .domaindef import Domain
+
+# hit flags (ref: hmmer.h p7_IS_*)
+IS_INCLUDED = 1 << 0
+IS_REPORTED = 1 << 1
+IS_NEW = 1 << 2
+IS_DROPPED = 1 << 3
+IS_DUPLICATE = 1 << 4
+
+
+@dataclass
+class Hit:
+    name: str = ""
+    acc: str = ""
+    desc: str = ""
+    sortkey: float = 0.0
+    score: float = 0.0
+    pre_score: float = 0.0
+    sum_score: float = 0.0
+    lnP: float = 0.0
+    pre_lnP: float = 0.0
+    sum_lnP: float = 0.0
+    ndom: int = 0
+    noverlaps: int = 0
+    nenvelopes: int = 0
+    flags: int = 0
+    nreported: int = 0
+    nincluded: int = 0
+    best_domain: int = 0
+    seqidx: int = -1
+    subseq_start: int = 0
+    window_length: int = 0
+    target_len: int = 0
+    frameshift: bool = False
+    dcl: list = field(default_factory=list)
+
+
+class TopHits:
+    def __init__(self):
+        self.unsrt: list[Hit] = []
+        self.hit: list[Hit] = []
+        self.nreported = 0
+        self.nincluded = 0
+        self.is_sorted_by_sortkey = False
+
+    @property
+    def N(self):
+        return len(self.unsrt)
+
+    def create_next_hit(self) -> Hit:
+        h = Hit()
+        self.unsrt.append(h)
+        self.is_sorted_by_sortkey = False
+        return h
+
+    def merge(self, other: "TopHits"):
+        self.unsrt.extend(other.unsrt)
+        self.is_sorted_by_sortkey = False
+
+    # ref: p7_tophits.c hit_sorter_by_sortkey :261
+    def sort_by_sortkey(self):
+        self.hit = sorted(
+            self.unsrt,
+            key=lambda h: (-h.sortkey, h.name, h.dcl[0].iali if h.dcl else 0))
+        self.is_sorted_by_sortkey = True
+
+    # ref: p7_tophits.c hit_sorter_by_seqidx_aliposition :286
+    def sort_by_seqidx_and_alipos(self):
+        def key(h):
+            d = h.dcl[0]
+            rev = d.iali > d.jali
+            return (h.seqidx, 1 if rev else 0,
+                    -d.iali if rev else d.iali,
+                    -d.jali if rev else d.jali)
+        self.hit = sorted(self.unsrt, key=key)
+        self.is_sorted_by_sortkey = False
+
+    # ref: p7_tophits_ComputeEvalues_BATH :789
+    def compute_evalues_bath(self, nres: int, W: int):
+        for h in self.unsrt:
+            h.lnP += math.log(float(nres) / float(W))
+            if h.dcl:
+                h.dcl[0].lnP = h.lnP
+            h.sortkey = -1.0 * h.lnP
+
+    # ref: p7_tophits_RemoveDuplicates :816
+    def remove_duplicates(self, using_bit_cutoffs: bool = False):
+        th = self.hit
+        if len(th) < 2:
+            return
+        j = 0
+        for i in range(1, len(th)):
+            p_j = th[j].lnP
+            s_j, e_j = th[j].dcl[0].iali, th[j].dcl[0].jali
+            dir_j = 1 if s_j < e_j else -1
+            if dir_j == -1:
+                s_j, e_j = e_j, s_j
+            len_j = e_j - s_j + 1
+            p_i = th[i].lnP
+            s_i, e_i = th[i].dcl[0].iali, th[i].dcl[0].jali
+            dir_i = 1 if s_i < e_i else -1
+            if dir_i == -1:
+                s_i, e_i = e_i, s_i
+            len_i = e_i - s_i + 1
+            inter_s = max(s_i, s_j)
+            inter_e = min(e_i, e_j)
+            inter_len = inter_e - inter_s + 1
+            hmm_s = max(th[i].dcl[0].ihmm, th[j].dcl[0].ihmm)
+            hmm_e = min(th[i].dcl[0].jhmm, th[j].dcl[0].jhmm)
+            hmm_len = hmm_e - hmm_s + 1
+            if (th[i].name == th[i - 1].name
+                    and th[i].seqidx == th[i - 1].seqidx
+                    and dir_i == dir_j and hmm_len > 0
+                    and ((s_j - 3 <= s_i <= s_j + 3)
+                         or (e_j - 3 <= e_i <= e_j + 3)
+                         or (inter_len >= len_i * 0.95)
+                         or (inter_len >= len_j * 0.95))):
+                remove = j if p_i < p_j else i
+                th[remove].flags |= IS_DUPLICATE
+                if using_bit_cutoffs:
+                    th[remove].flags &= ~(IS_REPORTED | IS_INCLUDED)
+                j = i if remove == j else j
+            else:
+                j = i
+
+    # ref: p7_tophits_Threshold :913
+    def threshold(self, pli):
+        for h in self.hit:
+            if not (h.flags & IS_DUPLICATE) and \
+                    pli.target_reportable(h.score, h.lnP):
+                h.flags |= IS_REPORTED
+                if pli.target_includable(h.score, h.lnP):
+                    h.flags |= IS_INCLUDED
+                h.dcl[0].is_reported = bool(h.flags & IS_REPORTED)
+                h.dcl[0].is_included = bool(h.flags & IS_INCLUDED)
+        self.nreported = sum(1 for h in self.hit if h.flags & IS_REPORTED)
+        self.nincluded = sum(1 for h in self.hit if h.flags & IS_INCLUDED)
+        for h in self.hit:
+            for d in h.dcl:
+                if d.is_reported:
+                    h.nreported += 1
+                if d.is_included:
+                    h.nincluded += 1
+
+    # ---- output ----------------------------------------------------
+    def _max_name_len(self):
+        return max((len(h.name) for h in self.unsrt
+                    if h.flags & IS_REPORTED), default=0)
+
+    def _max_pos_len(self):
+        mx = 0
+        for h in self.unsrt:
+            if h.dcl and (h.flags & IS_REPORTED):
+                mx = max(mx, len(str(abs(h.dcl[0].iali))),
+                         len(str(abs(h.dcl[0].jali))))
+        return mx
+
+    # ref: p7_tophits_Targets :1072
+    def targets_text(self, pli, textw: int) -> str:
+        out = []
+        namew = max(8, self._max_name_len())
+        posw = max(6, self._max_pos_len())
+        descw = max(32, textw - namew - 2 * posw - 32) if textw > 0 else 0
+        out.append("Scores for complete hits:\n")
+        if pli.fs_pipe:
+            out.append("  %9s %6s %5s  %-*s %*s %*s  %6s  %5s  %s\n" % (
+                "E-value", " score", " bias", namew, "Sequence", posw,
+                "start", posw, "end", "shifts", "stops", "Description"))
+            out.append("  %9s %6s %5s  %-*s %*s %*s  %6s  %5s  %s\n" % (
+                "-------", "------", "-----", namew, "--------", posw,
+                "-----", posw, "-----", "------", "-----", "-----------"))
+        else:
+            out.append("  %9s %6s %5s  %-*s %*s %*s  %s\n" % (
+                "E-value", " score", " bias", namew, "Sequence", posw,
+                "start", posw, "end", "Description"))
+            out.append("  %9s %6s %5s  %-*s %*s %*s  %s\n" % (
+                "-------", "------", "-----", namew, "--------", posw,
+                "-----", posw, "-----", "-----------"))
+        have_printed_incthresh = False
+        for h in self.hit:
+            if not (h.flags & IS_REPORTED):
+                continue
+            d = h.dcl[h.best_domain]
+            if not (h.flags & IS_INCLUDED) and not have_printed_incthresh:
+                out.append("  ------ inclusion threshold ------\n")
+                have_printed_incthresh = True
+            newness = "+" if h.flags & IS_NEW else \
+                ("-" if h.flags & IS_DROPPED else " ")
+            line = "%c %9.2g %6.1f %5.1f  %-*s %*d %*d  " % (
+                newness, math.exp(h.lnP), h.score,
+                d.dombias / C.CONST_LOG2, namew, h.name,
+                posw, d.iali, posw, d.jali)
+            if pli.fs_pipe:
+                line += "%6d  %5d" % (d.ad.frameshifts, d.ad.stops)
+            out.append(line)
+            desc = h.desc or ""
+            if textw > 0:
+                out.append("  %s\n" % desc[:descw])
+            else:
+                out.append("  %s\n" % desc)
+        if self.nreported == 0:
+            out.append("\n   [No hits detected that satisfy reporting"
+                       " thresholds]\n")
+        return "".join(out)
+
+    # ref: p7_tophits_Domains :1231
+    def domains_text(self, pli, textw: int) -> str:
+        from .alidisplay import print_bath
+        out = []
+        out.append("Annotation for each hit %s:\n" % (
+            "(and alignments)" if pli.show_alignments else ""))
+        for h in self.hit:
+            if not (h.flags & IS_REPORTED):
+                continue
+            showname = h.name
+            namew = len(showname)
+            desc = h.desc or ""
+            if textw > 0:
+                descw = max(32, textw - namew - 5)
+                out.append(">> %s  %s\n" % (showname, desc[:descw]))
+            else:
+                out.append(">> %s  %s\n" % (showname, desc))
+            d = h.dcl[0]
+            if pli.fs_pipe:
+                out.append("   %6s %5s %9s %10s %9s    %9s %9s    %6s  %5s %9s   %4s\n" % (
+                    "score", "bias", "   Evalue", "hmm-from", " hmm-to",
+                    " ali-from", "   ali-to", "shifts", "stops",
+                    "   sq-len", "acc"))
+                out.append("   %6s %5s %9s %10s %9s    %9s %9s    %6s  %5s %9s   %4s\n" % (
+                    "------", "-----", "---------", "--------", "-------",
+                    "---------", "---------", "------", "-----",
+                    "---------", "----"))
+                out.append(" %c %6.1f %5.1f %9.2g %10d %9d %c%c %9d %9d %c%c %6d  %5d %9d   %4.2f\n" % (
+                    "!" if d.is_included else "?", d.bitscore,
+                    d.dombias / C.CONST_LOG2, math.exp(d.lnP),
+                    d.ad.hmmfrom, d.ad.hmmto,
+                    "[" if d.ad.hmmfrom == 1 else ".",
+                    "]" if d.ad.hmmto == d.ad.M else ".",
+                    d.ad.sqfrom, d.ad.sqto,
+                    "[" if d.ad.sqfrom == 1 else ".",
+                    "]" if d.ad.sqto == d.ad.L else ".",
+                    d.ad.frameshifts, d.ad.stops, d.ad.L,
+                    d.oasc / (1.0 + abs(float(d.jenv - d.ienv) / 3))))
+            else:
+                out.append("   %6s %5s %9s %10s %9s    %9s %9s    %9s   %4s\n" % (
+                    "score", "bias", "   Evalue", "hmm-from", " hmm-to",
+                    " ali-from", "   ali-to", "   sq-len", "acc"))
+                out.append("   %6s %5s %9s %10s %9s    %9s %9s    %9s   %4s\n" % (
+                    "------", "-----", "---------", "--------", "-------",
+                    "---------", "---------", "---------", "----"))
+                out.append(" %c %6.1f %5.1f %9.2g %10d %9d %c%c %9d %9d %c%c %9d   %4.2f\n" % (
+                    "!" if d.is_included else "?", d.bitscore,
+                    d.dombias / C.CONST_LOG2, math.exp(d.lnP),
+                    d.ad.hmmfrom, d.ad.hmmto,
+                    "[" if d.ad.hmmfrom == 1 else ".",
+                    "]" if d.ad.hmmto == d.ad.M else ".",
+                    d.ad.sqfrom, d.ad.sqto,
+                    "[" if d.ad.sqfrom == 1 else ".",
+                    "]" if d.ad.sqto == d.ad.L else ".",
+                    d.ad.L,
+                    d.oasc / (1.0 + abs(float(d.jenv - d.ienv) / 3))))
+            if pli.show_alignments:
+                out.append("\n  Alignment:\n")
+                out.append("  score: %.1f bits" % d.bitscore)
+                out.append("\n")
+                out.append(print_bath(d.ad, 30, 40, textw, pli))
+                out.append("\n")
+            else:
+                out.append("\n")
+        if self.nreported == 0:
+            out.append("\n   [No hits detected that satisfy reporting"
+                       " thresholds]\n")
+        return "".join(out)
+
+    # ref: p7_tophits_TabularTargets :1602
+    def tabular_targets_text(self, qname: str, qacc: str, pli,
+                             show_header: bool, show_cigar: bool = False) -> str:
+        out = []
+        qnamew = max(20, len(qname))
+        tnamew = max(20, self._max_name_len())
+        qaccw = max(10, len(qacc or "-"))
+        taccw = 10
+        posw = max(7, self._max_pos_len())
+        if show_header:
+            out.append("#%*s %22s %22s %22s %33s\n" % (
+                tnamew + qnamew + taccw + qaccw + 2, "",
+                "--- full sequence ----", "--- best 1 domain ----",
+                "--- dna coord ---", ""))
+            out.append("#%-*s %-*s %-*s %-*s %9s %6s %5s %9s %6s %5s %5s %s %*s %*s %*s %6s %9s %6s %5s  %s\n" % (
+                tnamew - 1, " target name", taccw, "accession",
+                qnamew, "query name", qaccw, "accession",
+                "  E-value", " score", " bias", "  E-value", " score",
+                " bias", "hmm from", "hmm to", posw, "ali from", posw,
+                "ali to", posw, "env len", "modlen", "strand", "sq len",
+                "pipe", "description of target"))
+        for h in self.hit:
+            if not (h.flags & IS_REPORTED):
+                continue
+            d = h.dcl[0]
+            out.append("%-*s %-*s %-*s %-*s %9.2g %6.1f %5.1f %9.2g %6.1f %5.1f %5d %5d %*d %*d %*d %6d %9s %6d %5s  %s\n" % (
+                tnamew, h.name, taccw, h.acc or "-", qnamew, qname,
+                qaccw, qacc or "-",
+                math.exp(h.lnP), h.score, h.pre_score - h.score,
+                math.exp(d.lnP), d.bitscore,
+                d.dombias / C.CONST_LOG2,
+                d.ad.hmmfrom, d.ad.hmmto, posw, d.iali, posw, d.jali,
+                posw, abs(d.jenv - d.ienv) + 1, d.ad.M,
+                "+" if d.iali < d.jali else "-", h.target_len,
+                "fs" if h.frameshift else "std", h.desc or ""))
+        return "".join(out)
