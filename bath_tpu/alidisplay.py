@@ -160,6 +160,18 @@ def nonfs_create(tr: Trace, which: int, om, gm, sq, orfsq, orf_pos: int,
     ad.N = z2 - z1 + 1
     ad.pid = (exact / ad.N) * 100 if ad.N else 0.0
     ad.exon_cnt = 0
+    if show_cigar:
+        # run-length CIGAR in nt units (ref: nonfs_Create cigar blocks)
+        parts = []
+        n_count = 0
+        for z in range(z1, z2 + 1):
+            s = tr.st[z]
+            op = {C.T_M: "M", C.T_I: "I", C.T_D: "D"}[s]
+            n_count += 3
+            if z == z2 or tr.st[z + 1] != s:
+                parts.append("%d%s" % (n_count, op))
+                n_count = 0
+        ad.cigar = "".join(parts)
     return ad
 
 

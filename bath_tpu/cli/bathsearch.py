@@ -128,6 +128,7 @@ def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
     ofp = open(args.outfile, "w") if args.outfile else sys.stdout
     tblfp = open(args.tblout, "w") if args.tblout else None
+    fstblfp = open(args.fstblout, "w") if args.fstblout else None
     textw = 0 if args.notextw else args.textw
 
     gcode = GeneticCode.create(args.ct)
@@ -258,16 +259,28 @@ def run(argv=None) -> int:
         ofp.write("\n\n")
         if tblfp:
             tblfp.write(th.tabular_targets_text(
-                hmm.name, hmm.acc, pli, nquery == 1, args.cigar))
+                hmm.name, hmm.acc, pli, nquery == 1))
+        if fstblfp:
+            fstblfp.write(th.tabular_frameshifts_text(
+                hmm.name, hmm.acc, pli, nquery == 1))
         elapsed = time.time() - t0
         ofp.write(statistics_text(pli, elapsed))
         ofp.write("//\n")
 
+    from ..tophits import tabular_tail
+    cmdline = "bathsearch " + " ".join(argv if argv is not None
+                                       else sys.argv[1:])
+    if tblfp:
+        tblfp.write(tabular_tail("bathsearch", args.queryfile, args.dbfile,
+                                 cmdline))
+        tblfp.close()
+    if fstblfp:
+        fstblfp.write(tabular_tail("bathsearch", args.queryfile,
+                                   args.dbfile, cmdline))
+        fstblfp.close()
     ofp.write("[ok]\n")
     if ofp is not sys.stdout:
         ofp.close()
-    if tblfp:
-        tblfp.close()
     return 0
 
 

@@ -290,37 +290,136 @@ class TopHits:
 
     # ref: p7_tophits_TabularTargets :1602
     def tabular_targets_text(self, qname: str, qacc: str, pli,
-                             show_header: bool, show_cigar: bool = False) -> str:
+                             show_header: bool) -> str:
         out = []
         qnamew = max(20, len(qname))
         tnamew = max(20, self._max_name_len())
-        qaccw = max(10, len(qacc or "-"))
-        taccw = 10
-        posw = max(7, self._max_pos_len())
+        qaccw = max(10, len(qacc)) if qacc else 10
+        taccw = max(10, max((len(h.acc) for h in self.unsrt
+                             if h.flags & IS_REPORTED and h.acc),
+                            default=0))
+        posw = max(9, self._max_pos_len())
         if show_header:
-            out.append("#%*s %22s %22s %22s %33s\n" % (
-                tnamew + qnamew + taccw + qaccw + 2, "",
-                "--- full sequence ----", "--- best 1 domain ----",
-                "--- dna coord ---", ""))
-            out.append("#%-*s %-*s %-*s %-*s %9s %6s %5s %9s %6s %5s %5s %s %*s %*s %*s %6s %9s %6s %5s  %s\n" % (
-                tnamew - 1, " target name", taccw, "accession",
-                qnamew, "query name", qaccw, "accession",
-                "  E-value", " score", " bias", "  E-value", " score",
-                " bias", "hmm from", "hmm to", posw, "ali from", posw,
-                "ali to", posw, "env len", "modlen", "strand", "sq len",
-                "pipe", "description of target"))
+            hdr = "#%7s %-*s %-*s %-*s %-*s %9s %9s %9s %9s %9s %9s" % (
+                " hit ID", tnamew - 1, " target name", taccw, " accession",
+                qnamew, " query name", qaccw, " accession", "  hmm len",
+                " hmm from", "   hmm to", "  seq len", " ali from",
+                "   ali to")
+            if pli.spliced:
+                hdr += " %9s" % " exon cnt"
+            hdr += "  %9s %6s %5s %5s" % ("  E-value", " score", " bias",
+                                          "  PID")
+            if pli.fs_pipe:
+                hdr += " %7s %6s" % (" shifts", " stops")
+            hdr += " %s\n" % ("CIGAR" if pli.show_cigar
+                               else " description of target")
+            out.append(hdr)
+            hdr = "#%7s %-*s %-*s %-*s %-*s %9s %9s %9s %9s %9s %9s" % (
+                "-------", tnamew - 1, "-------------------", taccw,
+                "----------", qnamew, "--------------------", qaccw,
+                "----------", "---------", "---------", "---------",
+                "---------", "---------", "---------")
+            if pli.spliced:
+                hdr += " %9s" % "---------"
+            hdr += "  %9s %6s %5s %5s" % ("---------", "------", "-----",
+                                          "-----")
+            if pli.fs_pipe:
+                hdr += " %7s %6s" % ("-------", "------")
+            hdr += " %s\n" % "---------------------"
+            out.append(hdr)
+        hid = 0
         for h in self.hit:
             if not (h.flags & IS_REPORTED):
                 continue
+            hid += 1
             d = h.dcl[0]
-            out.append("%-*s %-*s %-*s %-*s %9.2g %6.1f %5.1f %9.2g %6.1f %5.1f %5d %5d %*d %*d %*d %6d %9s %6d %5s  %s\n" % (
-                tnamew, h.name, taccw, h.acc or "-", qnamew, qname,
-                qaccw, qacc or "-",
-                math.exp(h.lnP), h.score, h.pre_score - h.score,
-                math.exp(d.lnP), d.bitscore,
-                d.dombias / C.CONST_LOG2,
-                d.ad.hmmfrom, d.ad.hmmto, posw, d.iali, posw, d.jali,
-                posw, abs(d.jenv - d.ienv) + 1, d.ad.M,
-                "+" if d.iali < d.jali else "-", h.target_len,
-                "fs" if h.frameshift else "std", h.desc or ""))
+            line = "%8d %-*s %-*s %-*s %-*s %8d  %8d  %8d  %*d %*d %*d" % (
+                hid, tnamew, h.name, taccw, h.acc or "-", qnamew, qname,
+                qaccw, qacc if qacc else "-", d.ad.M, d.ad.hmmfrom,
+                d.ad.hmmto, posw, d.ad.L, posw, d.iali, posw, d.jali)
+            if pli.spliced:
+                line += " %8d " % d.ad.exon_cnt
+            line += " %9.2g %6.1f %5.1f %5.2f" % (
+                math.exp(h.lnP), h.score, d.dombias / C.CONST_LOG2,
+                d.ad.pid)
+            if pli.fs_pipe:
+                line += " %7d %6d" % (d.ad.frameshifts, d.ad.stops)
+            if pli.show_cigar:
+                line += " %s\n" % (d.ad.cigar or "")
+            else:
+                line += " %s\n" % (h.desc or "-")
+            out.append(line)
         return "".join(out)
+
+    # ref: p7_tophits_TabularFrameshifts :1442
+    def tabular_frameshifts_text(self, qname: str, qacc: str, pli,
+                                 show_header: bool) -> str:
+        out = []
+        qnamew = max(20, len(qname))
+        tnamew = max(20, self._max_name_len())
+        qaccw = max(10, len(qacc)) if qacc else 10
+        taccw = 10
+        posw = max(9, self._max_pos_len())
+        if show_header and self.N > 0 and self.hit and self.hit[0].ndom > 0:
+            out.append("#%-*s %-*s %-*s %-*s %-9s %-*s %-*s  %5s %6s %-*s %9s\n" % (
+                tnamew - 1, " target name", taccw, " accession", qnamew,
+                " query name", qaccw, " accession", " E-value", posw,
+                " ali from", posw, " ali to", " I D S", " length", posw,
+                " seq start", " ali start"))
+            out.append("#%*s %*s %*s %*s %9s %-*s %-*s  %5s  %6s  %-*s  %9s\n" % (
+                tnamew - 1, "-------------------", taccw, "-----------",
+                qnamew, "--------------------", qaccw, "----------",
+                "---------", posw, "---------", posw, "---------",
+                "-----", "------", posw, "---------", "---------"))
+        for h in self.hit:
+            if not (h.flags & IS_REPORTED) or not h.frameshift:
+                continue
+            d = h.dcl[h.best_domain]
+            tr, ad = d.tr, d.ad
+            seq_from, seq_to = d.iali, d.jali
+            z1 = 0
+            while z1 < tr.N and tr.st[z1] != C.T_M:
+                z1 += 1
+            z2 = z1
+            while z2 < tr.N and tr.st[z2] != C.T_E:
+                z2 += 1
+            while z2 >= 0 and tr.st[z2] != C.T_M:
+                z2 -= 1
+            ali_pos = 1
+            for z in range(z1, z2 + 1):
+                fs = False
+                fs_type, fs_length, ali_start, seq_start = " ", 0, 0, 0
+                if tr.st[z] == C.T_M:
+                    c = tr.c[z]
+                    if c in (1, 2):
+                        fs, fs_type, fs_length = True, "D", 3 - c
+                    elif c == 3 and ad.codon[z - z1] == 6:
+                        fs, fs_type, fs_length = True, "S", 0
+                    elif c in (4, 5):
+                        fs, fs_type, fs_length = True, "I", c - 3
+                    if fs:
+                        ali_start = ali_pos
+                        seq_start = (seq_from + ali_pos - 1
+                                     if seq_from < seq_to
+                                     else seq_from - ali_pos + 1)
+                    ali_pos += c if fs else 3
+                elif tr.st[z] == C.T_I:
+                    ali_pos += 3
+                if fs:
+                    out.append(" %-*s %-*s %-*s %-*s %9.2g %-*d %-*d  %5c  %6d  %-*d  %9d\n" % (
+                        tnamew, h.name, taccw, h.acc or "-", qnamew, qname,
+                        qaccw, qacc if qacc else "-", math.exp(h.lnP),
+                        posw, d.iali, posw, d.jali, fs_type, fs_length,
+                        posw, seq_start, ali_start))
+        return "".join(out)
+
+
+# ref: p7_tophits_TabularTail
+def tabular_tail(progname: str, qfile: str, tfile: str, cmdline: str) -> str:
+    import os
+    import time as _time
+    return ("#\n# Program:         %s\n# Query file:      %s\n"
+            "# Target file:     %s\n# Option settings: %s\n"
+            "# Current dir:     %s\n# Date:            %s\n# [ok]\n" % (
+                progname, qfile, tfile, cmdline, os.getcwd(),
+                _time.ctime()))
