@@ -1,0 +1,23 @@
+import os
+
+# Run tests on CPU with a virtual 8-device mesh so sharding tests work
+# without TPU hardware (bench runs use the real chip instead).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def ref_tutorial():
+    return os.path.join(REF, "tutorial")
+
+
+@pytest.fixture(scope="session")
+def ref_testsuite():
+    return os.path.join(REF, "testsuite")
