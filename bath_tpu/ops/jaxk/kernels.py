@@ -1,0 +1,544 @@
+"""TPU compute path: batched filter-cascade kernels in JAX.
+
+Design (SURVEY.md section 7, stage 5): one algorithm codebase where
+these jitted kernels play the role of the reference's impl_{sse,avx,
+neon} — batched over ORFs/windows, model positions on VPU lanes,
+`lax.scan` over sequence positions, DD closures as associative
+prefix scans (log-depth instead of the reference's striped 4-pass
+serialization, ref: impl_sse/fwdback.c:340-390).
+
+All kernels are score-only (the envelope-level full matrices stay on
+the numpy reference path for now): they compute exactly what the
+acceleration gates F1-F4 need, which is where nearly all DP cells are
+spent (ref: p7_pipeline.c filter cascade).
+
+Scaling: prob-space with branchless per-step renormalization (divide
+by max(xE, 1) and accumulate log) — scores are identical to the
+reference's sparse-rescaled scores up to float arithmetic order.
+
+Padding conventions: model dim padded to a lane multiple with
+zero-probability transitions/emissions (dead lanes); sequences padded
+with the missing-data residue (zero emission odds), with per-item
+lengths driving masked final-score extraction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ... import constants as C
+from ...oprofile import OProfile
+from .batch import round_up
+
+F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------
+# Parameter containers (host-side prep, device arrays)
+# ---------------------------------------------------------------------
+@dataclass
+class FwdParams:
+    """Prob-space Forward parameters, k-padded (ref: fb_conversion)."""
+    Mp: int
+    M: int
+    rfv: jnp.ndarray     # [Kp, Mp]  match odds, slot j = model pos j+1
+    tBM: jnp.ndarray     # [Mp]  B -> M_{j+1}
+    tMM: jnp.ndarray     # [Mp]  M_j -> M_{j+1}
+    tIM: jnp.ndarray
+    tDM: jnp.ndarray
+    tMD: jnp.ndarray     # [Mp]  M_{j+1} -> D_{j+2}
+    tDD: jnp.ndarray     # [Mp]  D_{j+1} -> D_{j+2}
+    tMI: jnp.ndarray     # [Mp]  M_{j+1} -> I_{j+1}
+    tII: jnp.ndarray
+    U: jnp.ndarray = None      # [Mp, Mp] DD closure operator
+
+
+def fwd_params(om: OProfile, lane_multiple: int = 128) -> FwdParams:
+    M = om.M
+    Mp = round_up(M, lane_multiple)
+    Kp = om.Kp
+
+    def pad(v):
+        out = np.zeros(Mp, np.float32)
+        out[:len(v)] = v
+        return jnp.asarray(out)
+
+    rfv = np.zeros((Kp, Mp), np.float32)
+    rfv[:, :M] = om.rfv[:, 1:M + 1]
+    tfv = om.tfv  # [M+1, 8]; slot k = transitions out of node k
+    return FwdParams(
+        Mp=Mp, M=M,
+        rfv=jnp.asarray(rfv),
+        tBM=pad(tfv[:M, C.P_BM]),
+        tMM=pad(tfv[:M, C.P_MM]),
+        tIM=pad(tfv[:M, C.P_IM]),
+        tDM=pad(tfv[:M, C.P_DM]),
+        tMD=pad(tfv[1:M, C.P_MD]),    # slot j = M_{j+1}->D_{j+2}
+        tDD=pad(tfv[1:M, C.P_DD]),
+        tMI=pad(tfv[1:M + 1, C.P_MI]),
+        tII=pad(tfv[1:M + 1, C.P_II]),
+        U=jnp.asarray(dd_closure_matrix(tfv[1:M, C.P_DD], Mp)),
+    )
+
+
+def _shift_right(x):
+    """k-1 access: lane j reads lane j-1; lane 0 gets 0."""
+    return jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
+
+
+def _dd_closure_sum(part, tdd):
+    """dc[j] = part[j] + tdd[j-1]*dc[j-1] via associative scan.
+    part: [B, Mp]; tdd with slot j = D_{j+1}->D_{j+2}."""
+    a = jnp.broadcast_to(jnp.pad(tdd, (1, 0))[:-1][None, :], part.shape)
+    # first-order linear recurrence y[j] = a[j]*y[j-1] + part[j]
+
+    def combine(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 * a2, b1 * a2 + b2
+
+    _, dc = jax.lax.associative_scan(combine, (a, part), axis=1)
+    return dc
+
+
+def _dd_closure_max(part, tdd_log):
+    """Max-plus closure for Viterbi: dc[j] = max(part[j],
+    dc[j-1] + tdd_log[j-1])."""
+    a = jnp.pad(tdd_log, (1, 0), constant_values=-jnp.inf)[:-1]
+    a = jnp.broadcast_to(a[None, :], part.shape)
+
+    def combine(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 + a2, jnp.maximum(b1 + a2, b2)
+
+    _, dc = jax.lax.associative_scan(combine, (a, part), axis=1)
+    return dc
+
+
+def dd_closure_matrix(tdd: np.ndarray, Mp: int) -> np.ndarray:
+    """Upper-triangular DD-closure operator U (f32): dc = part @ U with
+    U[j,k] = prod_{r=j+1}^{k} a[r], a[r] = tDD into slot r.  Turns the
+    sequential DD serialization (ref: impl_sse/fwdback.c:340) into one
+    MXU matmul."""
+    a = np.zeros(Mp, np.float64)
+    a[:len(tdd)] = tdd
+    a = np.concatenate([[0.0], a])[:-1]     # a[j] = tdd[j-1]
+    # cumulative log products; use log to avoid over/underflow in the
+    # prefix division
+    with np.errstate(divide="ignore"):
+        la = np.maximum(np.log(a), -745.0)   # clamp -inf so diffs stay finite
+    cum = np.concatenate([[0.0], np.cumsum(la)])   # cum[j] = sum_{r<=j-1}
+    U = np.zeros((Mp, Mp), np.float64)
+    for j in range(Mp):
+        # U[j, k] = exp(cum[k+1] - cum[j+1]) for k >= j
+        with np.errstate(over="ignore"):
+            U[j, j:] = np.exp(np.minimum(cum[j + 1:Mp + 1] - cum[j + 1],
+                                         0.0))
+        U[j, j:] = np.where(np.isfinite(U[j, j:]), U[j, j:], 0.0)
+    return U.astype(np.float32)
+
+
+def _onehot_rows(idx, table):
+    """Emission rows via one-hot matmul on the MXU instead of a
+    dynamic gather: idx [B] int32, table [R, Mp] -> [B, Mp]."""
+    R = table.shape[0]
+    oh = (idx[:, None] == jnp.arange(R, dtype=idx.dtype)[None, :]
+          ).astype(table.dtype)
+    return jnp.dot(oh, table, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------
+# Batched Forward score (the F3 gate; ref: fwdback.c forward_engine)
+# ---------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("Mp",))
+def _forward_score_impl(dsq, lens, rfv, tBM, tMM, tIM, tDM, tMD, tDD,
+                        tMI, tII, xf, Mp):
+    B, L = dsq.shape
+    nloop, nmove = xf[C.X_N, C.LOOP], xf[C.X_N, C.MOVE]
+    jloop, jmove = xf[C.X_J, C.LOOP], xf[C.X_J, C.MOVE]
+    cloop, cmove = xf[C.X_C, C.LOOP], xf[C.X_C, C.MOVE]
+    eloop, emove = xf[C.X_E, C.LOOP], xf[C.X_E, C.MOVE]
+
+    def step(carry, xi):
+        mc, ic, dc, xN, xJ, xC, xB, logacc, score = carry
+        resi, i = xi
+        row = rfv[resi]                       # [B, Mp]
+        mp = _shift_right(mc)
+        ip = _shift_right(ic)
+        dp = _shift_right(dc)
+        sv = (xB[:, None] * tBM + mp * tMM + ip * tIM + dp * tDM) * row
+        new_i = mc * tMI + ic * tII
+        part = _shift_right(sv) * jnp.pad(tMD, (1, 0))[:-1]
+        new_d = _dd_closure_sum(part, tDD)
+        xE = sv.sum(axis=1) + new_d.sum(axis=1)
+        xN2 = xN * nloop
+        xC2 = xC * cloop + xE * emove
+        xJ2 = xJ * jloop + xE * eloop
+        xB2 = xJ2 * jmove + xN2 * nmove
+        s = jnp.maximum(xE, 1.0)
+        inv = (1.0 / s)[:, None]
+        active = (i < lens)
+        mc = jnp.where(active[:, None], sv * inv, mc)
+        ic = jnp.where(active[:, None], new_i * inv, ic)
+        dc = jnp.where(active[:, None], new_d * inv, dc)
+        sinv = 1.0 / s
+        xN = jnp.where(active, xN2 * sinv, xN)
+        xJ = jnp.where(active, xJ2 * sinv, xJ)
+        xC = jnp.where(active, xC2 * sinv, xC)
+        xB = jnp.where(active, xB2 * sinv, xB)
+        logacc = jnp.where(active, logacc + jnp.log(s), logacc)
+        done = (i + 1 == lens)
+        final = logacc + jnp.log(xC * cmove)
+        score = jnp.where(done, final, score)
+        return (mc, ic, dc, xN, xJ, xC, xB, logacc, score), None
+
+    z = jnp.zeros((B, Mp), F32)
+    carry0 = (z, z, z,
+              jnp.ones(B, F32),
+              jnp.zeros(B, F32),
+              jnp.zeros(B, F32),
+              jnp.full(B, nmove, F32),
+              jnp.zeros(B, F32),
+              jnp.full(B, -jnp.inf, F32))
+    xs = (dsq.T, jnp.arange(L, dtype=jnp.int32))
+    carry, _ = jax.lax.scan(step, carry0, xs)
+    return carry[-1]
+
+
+def forward_score_batch(dsq, lens, params: FwdParams, xf) -> jnp.ndarray:
+    """Forward scores (nats) for a padded batch.  <xf> is the [4,2]
+    pspace special-transition matrix (length-configured per batch; use
+    per-item reconfig via forward_score_batch_L when lengths vary)."""
+    return _forward_score_impl(jnp.asarray(dsq), jnp.asarray(lens),
+                               params.rfv, params.tBM, params.tMM,
+                               params.tIM, params.tDM, params.tMD,
+                               params.tDD, params.tMI, params.tII,
+                               jnp.asarray(xf), params.Mp)
+
+
+@partial(jax.jit, static_argnames=("Mp", "nj"))
+def _forward_score_perlen_impl(dsq, lens, rfv, tBM, tMM, tIM, tDM, tMD,
+                               tDD, tMI, tII, nj, Mp, U=None):
+    """Forward with per-item length model: each item's N/C/J loop
+    probabilities use its own length (ref: p7_oprofile_ReconfigLength
+    called per ORF in the pipeline)."""
+    B, L = dsq.shape
+    Lf = lens.astype(F32)
+    pmove = (2.0 + nj) / (Lf + 2.0 + nj)
+    ploop = 1.0 - pmove
+    emove = jnp.full(B, 0.5 if nj > 0 else 1.0, F32)
+    eloop = jnp.full(B, 0.5 if nj > 0 else 0.0, F32)
+
+    tMD_s = jnp.pad(tMD, (1, 0))[:-1]
+
+    def step(carry, xi):
+        mc, ic, dc, xN, xJ, xC, xB, logacc, score = carry
+        resi, i = xi
+        row = _onehot_rows(resi, rfv)
+        mp = _shift_right(mc)
+        ip = _shift_right(ic)
+        dp = _shift_right(dc)
+        sv = (xB[:, None] * tBM + mp * tMM + ip * tIM + dp * tDM) * row
+        new_i = mc * tMI + ic * tII
+        part = _shift_right(sv) * tMD_s
+        if U is not None:
+            new_d = jnp.dot(part, U, preferred_element_type=jnp.float32)
+        else:
+            new_d = _dd_closure_sum(part, tDD)
+        xE = sv.sum(axis=1) + new_d.sum(axis=1)
+        xN2 = xN * ploop
+        xC2 = xC * ploop + xE * emove
+        xJ2 = xJ * ploop + xE * eloop
+        xB2 = xJ2 * pmove + xN2 * pmove
+        s = jnp.maximum(xE, 1.0)
+        sinv = 1.0 / s
+        active = (i < lens)
+        am = active[:, None]
+        mc = jnp.where(am, sv * sinv[:, None], mc)
+        ic = jnp.where(am, new_i * sinv[:, None], ic)
+        dc = jnp.where(am, new_d * sinv[:, None], dc)
+        xN = jnp.where(active, xN2 * sinv, xN)
+        xJ = jnp.where(active, xJ2 * sinv, xJ)
+        xC = jnp.where(active, xC2 * sinv, xC)
+        xB = jnp.where(active, xB2 * sinv, xB)
+        logacc = jnp.where(active, logacc + jnp.log(s), logacc)
+        done = (i + 1 == lens)
+        score = jnp.where(done, logacc + jnp.log(xC * pmove), score)
+        return (mc, ic, dc, xN, xJ, xC, xB, logacc, score), None
+
+    z = jnp.zeros((B, Mp), F32)
+    carry0 = (z, z, z, jnp.ones(B, F32), jnp.zeros(B, F32),
+              jnp.zeros(B, F32), pmove.astype(F32), jnp.zeros(B, F32),
+              jnp.full(B, -jnp.inf, F32))
+    xs = (dsq.T, jnp.arange(L, dtype=jnp.int32))
+    carry, _ = jax.lax.scan(step, carry0, xs, unroll=4)
+    return carry[-1]
+
+
+def forward_score_perlen(dsq, lens, params: FwdParams,
+                         nj: float = 1.0) -> jnp.ndarray:
+    return _forward_score_perlen_impl(
+        jnp.asarray(dsq), jnp.asarray(lens), params.rfv, params.tBM,
+        params.tMM, params.tIM, params.tDM, params.tMD, params.tDD,
+        params.tMI, params.tII, float(nj), params.Mp, params.U)
+
+
+# ---------------------------------------------------------------------
+# Batched MSV score (the F1 gate; ref: impl_sse/msvfilter.c)
+# ---------------------------------------------------------------------
+@dataclass
+class MSVParams:
+    Mp: int
+    M: int
+    rbv: jnp.ndarray     # [Kp, Mp] int32 byte costs (255 = -inf)
+    bias: int
+    base: int
+    tbm: int
+    tec: int
+    scale: float
+
+
+def msv_params(om: OProfile, lane_multiple: int = 128) -> MSVParams:
+    M, Kp = om.M, om.Kp
+    Mp = round_up(M, lane_multiple)
+    rbv = np.full((Kp, Mp), 255, np.int32)
+    rbv[:, :M] = om.rbv[:, 1:M + 1].astype(np.int32)
+    return MSVParams(Mp=Mp, M=M, rbv=jnp.asarray(rbv), bias=om.bias_b,
+                     base=om.base_b, tbm=om.tbm_b, tec=om.tec_b,
+                     scale=om.scale_b)
+
+
+@partial(jax.jit, static_argnames=("Mp", "bias", "base", "tbm", "tec"))
+def _msv_score_impl(dsq, lens, rbv, Mp, bias, base, tbm, tec, scale,
+                    tjb_per):
+    B, L = dsq.shape
+
+    def step(carry, xi):
+        dp, xJ, xB, overflow, score = carry
+        resi, i = xi
+        row = rbv[resi]
+        mp = jnp.pad(dp, ((0, 0), (1, 0)))[:, :-1]
+        sv = jnp.maximum(mp, xB[:, None])
+        sv = jnp.minimum(sv + bias, 255)
+        sv = jnp.maximum(sv - row, 0)
+        xE = sv.max(axis=1)
+        ovf = xE + bias >= 255
+        xE = jnp.maximum(0, xE - tec)
+        xJ2 = jnp.maximum(xJ, xE)
+        xB2 = jnp.maximum(0, jnp.maximum(base, xJ2) - tjb_per - tbm)
+        active = (i < lens)
+        dp = jnp.where(active[:, None], sv, dp)
+        xJ = jnp.where(active, xJ2, xJ)
+        xB = jnp.where(active, xB2, xB)
+        overflow = jnp.where(active, overflow | ovf, overflow)
+        done = (i + 1 == lens)
+        fin = ((xJ - tjb_per).astype(F32) - base) / scale - 3.0
+        fin = jnp.where(overflow, jnp.inf, fin)
+        score = jnp.where(done, fin, score)
+        return (dp, xJ, xB, overflow, score), None
+
+    carry0 = (jnp.zeros((B, Mp), jnp.int32),
+              jnp.zeros(B, jnp.int32),
+              jnp.maximum(0, base - tjb_per - tbm),
+              jnp.zeros(B, bool),
+              jnp.full(B, -jnp.inf, F32))
+    xs = (dsq.T, jnp.arange(L, dtype=jnp.int32))
+    carry, _ = jax.lax.scan(step, carry0, xs)
+    return carry[-1]
+
+
+def _unbiased_byteify_np(scale_b, sc):
+    cost = -np.round(np.float32(scale_b) * np.float32(sc))
+    return np.where(cost > 255.0, 255, cost).astype(np.int32)
+
+
+def msv_score_batch(dsq, lens, params: MSVParams) -> jnp.ndarray:
+    """MSV scores with per-item tjb (length-dependent byte cost,
+    ref: p7_oprofile_ReconfigMSVLength)."""
+    lens = np.asarray(lens)
+    tjb = _unbiased_byteify_np(params.scale,
+                               np.log(3.0 / (lens + 3.0)))
+    return _msv_score_impl(jnp.asarray(dsq), jnp.asarray(lens),
+                           params.rbv, params.Mp, params.bias,
+                           params.base, params.tbm, params.tec,
+                           params.scale, jnp.asarray(tjb))
+
+
+# ---------------------------------------------------------------------
+# Batched frameshift Forward score (the F4/arbitration gate;
+# ref: impl_sse/fwdback_fs.c p7_ForwardParser_Frameshift_3Codons)
+# ---------------------------------------------------------------------
+@dataclass
+class FS3Params:
+    Mp: int
+    M: int
+    rfv: jnp.ndarray     # [MAXCODONS3 + Kp, Mp]
+    tBM: jnp.ndarray
+    tMM: jnp.ndarray
+    tIM: jnp.ndarray
+    tDM: jnp.ndarray
+    tMD: jnp.ndarray
+    tDD: jnp.ndarray
+    tMI: jnp.ndarray
+    tII: jnp.ndarray
+    U: jnp.ndarray = None
+
+
+def fs3_params(om_fs, lane_multiple: int = 128) -> FS3Params:
+    """From an FSOProfile (codon_lengths == 3)."""
+    M = om_fs.M
+    Mp = round_up(M, lane_multiple)
+    nrows = om_fs.rfv.shape[0]
+    rfv = np.zeros((nrows, Mp), np.float32)
+    rfv[:, :M] = om_fs.rfv[:, 1:M + 1]
+    tfv = om_fs.tfv
+
+    def pad(v):
+        out = np.zeros(Mp, np.float32)
+        out[:len(v)] = v
+        return jnp.asarray(out)
+
+    return FS3Params(
+        Mp=Mp, M=M, rfv=jnp.asarray(rfv),
+        tBM=pad(tfv[:M, C.P_BM]), tMM=pad(tfv[:M, C.P_MM]),
+        tIM=pad(tfv[:M, C.P_IM]), tDM=pad(tfv[:M, C.P_DM]),
+        tMD=pad(tfv[1:M, C.P_MD]), tDD=pad(tfv[1:M, C.P_DD]),
+        tMI=pad(tfv[1:M + 1, C.P_MI]), tII=pad(tfv[1:M + 1, C.P_II]),
+        U=jnp.asarray(dd_closure_matrix(tfv[1:M, C.P_DD], Mp)))
+
+
+@partial(jax.jit, static_argnames=("Mp", "nj"))
+def _fs3_score_impl(dsq, lens, rfv, tBM, tMM, tIM, tDM, tMD, tDD, tMI,
+                    tII, nj, Mp, U=None):
+    """Frameshift 3-codon Forward parser, batched.
+
+    TPU structure: codon emission-table indices are computed for the
+    whole batch up front (vectorized); a scan over blocks of 12
+    positions (lcm of the 4-row MDI and 3-slot IVX circularities)
+    keeps every circular-buffer index static; each block does ONE
+    combined one-hot matmul on the MXU to materialize all 36 emission
+    rows, and each position's DD closure is a single [B,Mp]x[Mp,Mp]
+    matmul (dd_closure_matrix).
+    """
+    B, L = dsq.shape
+    BL = 12
+    Lpad = ((L + BL - 1) // BL) * BL
+    PLACE = C.MAXCODONS3
+    if Lpad != L:
+        dsq = jnp.pad(dsq, ((0, 0), (0, Lpad - L)), constant_values=17)
+    Lf = (lens // 3).astype(F32)
+    pmove = (2.0 + nj) / (Lf + 2.0 + nj)
+    ploop = 1.0 - pmove
+    emove = jnp.full(B, 0.5 if nj > 0 else 1.0, F32)
+    eloop = jnp.full(B, 0.5 if nj > 0 else 0.0, F32)
+    tMD_s = jnp.pad(tMD, (1, 0))[:-1]
+    nrows = rfv.shape[0]
+
+    # --- codon indices for every position, vectorized -------------
+    x = jnp.where(dsq < C.MAXNUC, dsq, PLACE).astype(jnp.int32)
+    xm1 = jnp.pad(x, ((0, 0), (1, 0)), constant_values=PLACE)[:, :-1]
+    xm2 = jnp.pad(x, ((0, 0), (2, 0)), constant_values=PLACE)[:, :-2]
+    xm3 = jnp.pad(x, ((0, 0), (3, 0)), constant_values=PLACE)[:, :-3]
+    ci2 = jnp.minimum(x * C.NUC1_FS3 + xm1 * C.NUC2_FS3, C.DEGEN3_QC1)
+    ci3 = jnp.minimum(x * C.NUC1_FS3 + xm1 * C.NUC2_FS3
+                      + xm2 * C.NUC3_FS3 + C.C2, C.DEGEN3_C)
+    ci4 = jnp.minimum(x * C.NUC1_FS3 + xm1 * C.NUC2_FS3
+                      + xm2 * C.NUC3_FS3 + xm3 + C.C3, C.DEGEN3_QC1)
+    ci = jnp.stack([ci2, ci3, ci4], axis=0)        # [3, B, Lpad]
+    ci_blocks = ci.transpose(2, 0, 1).reshape(Lpad // BL, BL * 3 * B)
+
+    def block(carry, ci_blk):
+        (mrows, irows, drows, ivx, xNb, xBb, xJb, xCb, logacc, score,
+         base) = carry
+        # ONE one-hot matmul for the whole block's emission rows
+        oh = (ci_blk[:, None] == jnp.arange(nrows)[None, :]).astype(F32)
+        E = jnp.dot(oh, rfv, preferred_element_type=jnp.float32)
+        E = E.reshape(BL, 3, B, Mp)
+        for j in range(BL):
+            i = base + j
+            pos = i + 1
+            pos_m4 = (j + 1) % 4
+            p2_m4 = (j - 1) % 4
+            p3_m4 = (j - 2) % 4
+            s2 = (j + 1) % 3
+            s3 = j % 3
+            s4 = (j - 1) % 3
+            E2, E3, E4 = E[j, 0], E[j, 1], E[j, 2]
+
+            mp = _shift_right(mrows[p2_m4])
+            ip = _shift_right(irows[p2_m4])
+            dp = _shift_right(drows[p2_m4])
+            sv = xBb[p2_m4][:, None] * tBM + mp * tMM + ip * tIM + dp * tDM
+            ivx = ivx.at[s2].set(sv)
+            msv = sv * E2
+            msv = msv + jnp.where(pos >= 3, ivx[s3] * E3, 0.0)
+            msv = msv + jnp.where(pos >= 4, ivx[s4] * E4, 0.0)
+            new_i = mrows[p3_m4] * tMI + irows[p3_m4] * tII
+            new_i = jnp.where(pos >= 3, new_i, 0.0)
+            part = _shift_right(msv) * tMD_s
+            new_d = jnp.dot(part, U, preferred_element_type=jnp.float32)
+            xE = msv.sum(axis=1) + new_d.sum(axis=1)
+            ge3 = pos >= 3
+            xN2 = jnp.where(ge3, xNb[p3_m4] * ploop, 1.0)
+            xJ2 = jnp.where(ge3, xJb[p3_m4] * ploop, 0.0) + xE * eloop
+            xC2 = jnp.where(ge3, xCb[p3_m4] * ploop, 0.0) + xE * emove
+            xB2 = xN2 * pmove + xJ2 * pmove
+
+            sc = jnp.maximum(xE, 1.0)
+            sinv = 1.0 / sc
+            active = (i < lens)
+            am = active[None, :, None]
+            asb = active[None, :]
+
+            # insert the new row/special into its circular slot, then
+            # rescale ALL live slots by 1/s (sparse-rescale semantics,
+            # ref: impl_sse/fwdback_fs.c per-row global rescaling)
+            mrows = jnp.where(am, mrows.at[pos_m4].set(msv)
+                              * sinv[None, :, None], mrows)
+            irows = jnp.where(am, irows.at[pos_m4].set(new_i)
+                              * sinv[None, :, None], irows)
+            drows = jnp.where(am, drows.at[pos_m4].set(new_d)
+                              * sinv[None, :, None], drows)
+            ivx = jnp.where(am, ivx * sinv[None, :, None], ivx)
+            xNb = jnp.where(asb, xNb.at[pos_m4].set(xN2) * sinv, xNb)
+            xJb = jnp.where(asb, xJb.at[pos_m4].set(xJ2) * sinv, xJb)
+            xCb = jnp.where(asb, xCb.at[pos_m4].set(xC2) * sinv, xCb)
+            xBb = jnp.where(asb, xBb.at[pos_m4].set(xB2) * sinv, xBb)
+            logacc = jnp.where(active, logacc + jnp.log(sc), logacc)
+
+            done = (i + 1 == lens)
+            cl = xCb[pos_m4] + (xCb[j % 4] + xCb[(j - 1) % 4]) * ploop
+            score = jnp.where(done, logacc + jnp.log(cl * pmove), score)
+        return (mrows, irows, drows, ivx, xNb, xBb, xJb, xCb, logacc,
+                score, base + BL), None
+
+    zrows = jnp.zeros((4, B, Mp), F32)
+    zivx = jnp.zeros((3, B, Mp), F32)
+    zb = jnp.zeros(B, F32)
+    ones = jnp.ones(B, F32)
+    xNb0 = jnp.stack([ones, ones, zb, zb])
+    xBb0 = jnp.stack([pmove.astype(F32), pmove.astype(F32), zb, zb])
+    zsp = jnp.zeros((4, B), F32)
+    carry0 = (zrows, zrows, zrows, zivx, xNb0, xBb0, zsp, zsp,
+              jnp.zeros(B, F32), jnp.full(B, -jnp.inf, F32),
+              jnp.int32(0))
+    carry, _ = jax.lax.scan(block, carry0, ci_blocks)
+    return carry[9]
+
+
+def fs3_score_batch(dsq, lens, params: FS3Params,
+                    nj: float = 1.0) -> jnp.ndarray:
+    """Frameshift 3-codon Forward scores (nats) for a padded batch of
+    DNA windows, with per-item amino-unit length models."""
+    return _fs3_score_impl(jnp.asarray(dsq), jnp.asarray(lens),
+                           params.rfv, params.tBM, params.tMM,
+                           params.tIM, params.tDM, params.tMD,
+                           params.tDD, params.tMI, params.tII,
+                           float(nj), params.Mp, params.U)

@@ -70,8 +70,8 @@ def _trans_views(om: OProfile):
     return tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII
 
 
-def forward(dsq: np.ndarray, om: OProfile, full: bool = False
-            ) -> tuple[PMatrix, float]:
+def forward(dsq: np.ndarray, om: OProfile, full: bool = False,
+            fast: bool = False) -> tuple[PMatrix, float]:
     """Forward in prob space with sparse rescaling; returns (matrix,
     score in nats).  Raises RangeError on overflow/underflow
     (ref: forward_engine)."""
@@ -79,6 +79,11 @@ def forward(dsq: np.ndarray, om: OProfile, full: bool = False
     rfv = om.rfv
     xf = om.xf
     tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = _trans_views(om)
+    if fast:
+        from .fwdback_fs import dd_closure_operator
+        U = dd_closure_operator(tDD, M)
+    else:
+        U = None
 
     ox = PMatrix(L=L, M=M,
                  xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
@@ -110,8 +115,11 @@ def forward(dsq: np.ndarray, om: OProfile, full: bool = False
         # D paths: partial M->D then full DD closure
         dc = np.zeros(M + 1, F32)
         dc[2:] = sv[1:M] * tMD[2:]
-        for k in range(2, M + 1):        # sequential DD closure
-            dc[k] += dc[k - 1] * tDD[k]
+        if U is not None:
+            dc[:] = dc @ U
+        else:
+            for k in range(2, M + 1):    # sequential DD closure
+                dc[k] += dc[k - 1] * tDD[k]
         mc, ic = sv, new_i
         xE = F32(mc[1:].sum()) + F32(dc[1:].sum())
         xN = xN * xf[C.X_N, C.LOOP]

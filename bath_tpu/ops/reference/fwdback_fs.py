@@ -162,13 +162,42 @@ def _trans_views_fs(om: FSOProfile):
     return tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII
 
 
-def _dd_closure(dc: np.ndarray, tDD: np.ndarray, M: int):
+_FAST_DD_CACHE: dict = {}
+
+
+def _dd_closure(dc: np.ndarray, tDD: np.ndarray, M: int,
+                U: np.ndarray | None = None):
+    """Sequential DD closure (reference order).  With <U> (a
+    precomputed upper-triangular closure operator, see
+    dd_closure_operator), uses one matvec instead — same values up to
+    float summation order; used by calibration where speed matters."""
+    if U is not None:
+        dc[:] = dc @ U
+        return
     for k in range(2, M + 1):
         dc[k] += dc[k - 1] * tDD[k]
 
 
-def forward_parser_fs3(dsq: np.ndarray, om: FSOProfile
-                       ) -> tuple[PMatrix, float]:
+def dd_closure_operator(tDD: np.ndarray, M: int) -> np.ndarray:
+    """U[j,k] = prod_{r=j+1}^{k} tDD[r] for k>=j (0..M index space,
+    matching the dc arrays which have slot 0 unused)."""
+    key = (tDD.tobytes(), M)
+    if key in _FAST_DD_CACHE:
+        return _FAST_DD_CACHE[key]
+    with np.errstate(divide="ignore"):
+        la = np.maximum(np.log(np.maximum(tDD[:M + 1], 0.0)), -745.0)
+    cum = np.concatenate([[0.0], np.cumsum(la)])
+    U = np.zeros((M + 1, M + 1), np.float32)
+    for j in range(M + 1):
+        with np.errstate(over="ignore"):
+            v = np.exp(np.minimum(cum[M + 1] - cum[j + 1], 0.0)) if False                 else np.exp(np.minimum(cum[j + 1:M + 2] - cum[j + 1], 0.0))
+        U[j, j:] = np.where(np.isfinite(v), v, 0.0)
+    _FAST_DD_CACHE[key] = U
+    return U
+
+
+def forward_parser_fs3(dsq: np.ndarray, om: FSOProfile,
+                       fast: bool = False) -> tuple[PMatrix, float]:
     """3-codon frameshift Forward parser with the reference's global
     live-row rescaling (ref: fwdback_fs.c :97-560).  Stores specials +
     per-row scales only."""
@@ -177,6 +206,7 @@ def forward_parser_fs3(dsq: np.ndarray, om: FSOProfile
     rfv = om.rfv
     tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = _trans_views_fs(om)
     ci = codon_indices(dsq, 3)
+    U = dd_closure_operator(tDD, M) if fast else None
 
     ox = PMatrix(L=L, M=M,
                  xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
@@ -226,7 +256,7 @@ def forward_parser_fs3(dsq: np.ndarray, om: FSOProfile
         new_i[0] = 0
         dc = np.zeros(M + 1, F32)
         dc[2:] = msv[1:M] * tMD[2:]
-        _dd_closure(dc, tDD, M)
+        _dd_closure(dc, tDD, M, U)
         mrow[curr], irow[curr], drow[curr] = msv, new_i, dc
         xE = F32(msv[1:].sum()) + F32(dc[1:].sum())
         if i >= 3:
@@ -431,7 +461,8 @@ class FSMatrix:
     has_own_scales: bool = True
 
 
-def forward_fs5(dsq: np.ndarray, om: FSOProfile) -> tuple[FSMatrix, float]:
+def forward_fs5(dsq: np.ndarray, om: FSOProfile,
+                fast: bool = False) -> tuple[FSMatrix, float]:
     """Full 5-codon frameshift Forward with per-row sparse rescaling and
     cross-row scale adjustment (ref: p7_Forward_Frameshift :2054)."""
     L, M = len(dsq), om.M
@@ -439,6 +470,7 @@ def forward_fs5(dsq: np.ndarray, om: FSOProfile) -> tuple[FSMatrix, float]:
     rfv = om.rfv
     tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = _trans_views_fs(om)
     ci = codon_indices(dsq, 5)
+    U = dd_closure_operator(tDD, M) if fast else None
 
     fx = FSMatrix(L=L, M=M,
                   mc=np.zeros((6, L + 1, M + 1), F32),
@@ -495,7 +527,7 @@ def forward_fs5(dsq: np.ndarray, om: FSOProfile) -> tuple[FSMatrix, float]:
         new_i[0] = 0
         dc = np.zeros(M + 1, F32)
         dc[2:] = msv[1:M] * tMD[2:]
-        _dd_closure(dc, tDD, M)
+        _dd_closure(dc, tDD, M, U)
         xE = F32(msv[1:].sum()) + F32(dc[1:].sum())
         if i >= 3:
             xN = xNb[b3] * xf[C.X_N, C.LOOP]

@@ -1,0 +1,76 @@
+"""Benchmark: frameshift-Forward gate kernel GCUPS on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: billions of DP cells (nres x model nodes, the reference's
+Mc/sec unit, ref p7_pipeline.c:1877) per second through the batched
+frameshift 3-codon Forward parser — the pipeline's north-star kernel
+(BASELINE.json).  vs_baseline is against the best Mc/sec the reference
+ships in its committed tutorial outputs (310.18 Mc/s = 0.31018 GCUPS,
+tutorial/MET-ct4.out:103; the reference publishes no larger-scale
+numbers in-repo).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REF_BASELINE_GCUPS = 0.31018
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import jax.numpy as jnp
+
+    from bath_tpu.bg import Background
+    from bath_tpu.gencode import GeneticCode
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.ops.jaxk import kernels as jk
+    from bath_tpu.ops.reference.fwdback_fs import fs_oprofile_convert
+    from bath_tpu.profile import profile_config_fs
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    gm3 = profile_config_fs(hmm, bg, gcode, 3, 100)
+    om3 = fs_oprofile_convert(gm3)
+    p3 = jk.fs3_params(om3)
+
+    B, L = 1024, 4092
+    rng = np.random.default_rng(0)
+    # distinct inputs per iteration so no layer can cache executions
+    n_iter = 6
+    batches = [jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int32))
+               for _ in range(n_iter)]
+    lens = jnp.asarray(np.full(B, L, np.int32))
+
+    def run(d):
+        return jk.fs3_score_batch(d, lens, p3, nj=1.0)
+
+    np.asarray(run(batches[0]))         # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for d in batches:
+        out = run(d)
+    np.asarray(out)                     # forces full materialization
+    dt = (time.perf_counter() - t0) / n_iter
+
+    cells = B * L * hmm.M               # nres x nodes (reference unit)
+    gcups = cells / dt / 1e9
+    print(json.dumps({
+        "metric": "fs3-forward-gate GCUPS/chip",
+        "value": round(gcups, 3),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / REF_BASELINE_GCUPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""TPU-path kernels vs the reference-semantics numpy kernels — the
+parity binding between the two implementations (the reference's
+SIMD-vs-generic utest pattern, SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+from bath_tpu import constants as C
+from bath_tpu.alphabet import dna
+from bath_tpu.bg import Background
+from bath_tpu.gencode import GeneticCode
+from bath_tpu.hmmfile import read_hmm
+from bath_tpu.oprofile import oprofile_convert
+from bath_tpu.ops.jaxk import kernels as jk
+from bath_tpu.ops.jaxk.batch import pack_sequences
+from bath_tpu.ops.reference import fwdback as fb
+from bath_tpu.ops.reference import fwdback_fs as ffs
+from bath_tpu.ops.reference.filters import msv_filter
+from bath_tpu.profile import profile_config, profile_config_fs
+from bath_tpu.sequence import read_fasta
+
+TUT = "/root/reference/tutorial"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    bg = Background()
+    gm = profile_config(hmm, bg, L=100)
+    om = oprofile_convert(gm)
+    return hmm, bg, om
+
+
+def test_forward_jax_vs_numpy(setup):
+    hmm, bg, om = setup
+    rng = np.random.default_rng(0)
+    dsqs = [rng.integers(0, 20, L).astype(np.int32) for L in (37, 80, 133)]
+    batch, lens = pack_sequences(dsqs, pad_value=28)
+    fp = jk.fwd_params(om)
+    scores = np.asarray(jk.forward_score_perlen(batch, lens, fp, nj=1.0))
+    for d, s in zip(dsqs, scores):
+        om.reconfig_length(len(d))
+        _, ref = fb.forward(d, om)
+        assert abs(s - ref) < 0.02, (len(d), s, ref)
+
+
+def test_msv_jax_vs_numpy_bitexact(setup):
+    hmm, bg, om = setup
+    rng = np.random.default_rng(1)
+    dsqs = [rng.integers(0, 20, L).astype(np.int32) for L in (40, 90, 150)]
+    batch, lens = pack_sequences(dsqs, pad_value=28)
+    mp = jk.msv_params(om)
+    scores = np.asarray(jk.msv_score_batch(batch, lens, mp))
+    for d, s in zip(dsqs, scores):
+        om.reconfig_length(len(d))
+        ref = msv_filter(d, om)
+        assert s == pytest.approx(ref, abs=1e-6), (len(d), s, ref)
+
+
+def test_fs3_jax_vs_numpy(setup):
+    hmm, bg, om = setup
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    gm3 = profile_config_fs(hmm, bg, gcode, 3, 100)
+    om3 = ffs.fs_oprofile_convert(gm3)
+    sq = read_fasta(f"{TUT}/target-AMP_N.fa", dna())[0]
+    dnas = [sq.dsq[:150].copy(), sq.dsq[100:350].copy(), sq.dsq[:411].copy()]
+    batch, lens = pack_sequences(dnas, pad_value=17)
+    p3 = jk.fs3_params(om3)
+    scores = np.asarray(jk.fs3_score_batch(batch, lens, p3, nj=1.0))
+    for d, s in zip(dnas, scores):
+        om3.reconfig_length(len(d) // 3)
+        _, ref = ffs.forward_parser_fs3(d, om3)
+        assert abs(s - ref) < 0.05, (len(d), s, ref)
+
+
+def test_multichip_dryrun():
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "/root/repo/__graft_entry__.py", "4"],
+        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip(4): ok" in r.stdout
