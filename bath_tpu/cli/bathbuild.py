@@ -1,0 +1,174 @@
+"""bathbuild: construct profile HMM(s) from MSA(s) or sequences and
+write a BATH3/f model file (ref: bathbuild.c main/serial_master,
+output_header :260, output_result :~900).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from ..bg import Background
+from ..builder import BuilderConfig, build, single_build
+from ..evalues import CalibrateConfig, mean_match_relative_entropy
+from ..hmmfile import write_hmm
+from ..msa import read_msas
+from ..rng import Randomness
+from ..sequence import read_fasta
+from ..alphabet import amino
+
+BANNER = "# bathbuild :: profile HMM construction from multiple sequence alignments"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bathbuild",
+        description="construct profile HMM(s) from alignment(s) "
+                    "(TPU-native bath_tpu)")
+    p.add_argument("hmmfile_out")
+    p.add_argument("msafile")
+    p.add_argument("-n", dest="name", default=None,
+                   help="name the (single) HMM")
+    p.add_argument("-o", dest="outfile", default=None)
+    p.add_argument("--ct", type=int, default=1,
+                   help="NCBI translation table id")
+    p.add_argument("--fsprob", type=float, default=0.01)
+    p.add_argument("--nofs", action="store_true",
+                   help="skip frameshift calibration")
+    p.add_argument("--fast", action="store_true", default=True)
+    p.add_argument("--hand", action="store_true")
+    p.add_argument("--symfrac", type=float, default=0.5)
+    p.add_argument("--fragthresh", type=float, default=0.5)
+    p.add_argument("--wpb", action="store_true", default=True)
+    p.add_argument("--wnone", action="store_true")
+    p.add_argument("--wgiven", action="store_true")
+    p.add_argument("--eent", action="store_true", default=True)
+    p.add_argument("--enone", action="store_true")
+    p.add_argument("--eset", type=float, default=None)
+    p.add_argument("--ere", type=float, default=None)
+    p.add_argument("--esigma", type=float, default=45.0)
+    p.add_argument("--pnone", action="store_true")
+    p.add_argument("--plaplace", action="store_true")
+    p.add_argument("--singlemx", action="store_true",
+                   help="use substitution score matrix for single-seq inputs")
+    p.add_argument("--popen", type=float, default=0.02)
+    p.add_argument("--pextend", type=float, default=0.4)
+    p.add_argument("--maxinsertlen", type=int, default=0)
+    p.add_argument("--EmL", type=int, default=200)
+    p.add_argument("--EmN", type=int, default=200)
+    p.add_argument("--EvL", type=int, default=200)
+    p.add_argument("--EvN", type=int, default=200)
+    p.add_argument("--EfL", type=int, default=100)
+    p.add_argument("--EfN", type=int, default=200)
+    p.add_argument("--Eft", type=float, default=0.04)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--w_beta", type=float, default=1e-7)
+    p.add_argument("--w_length", type=int, default=0)
+    return p
+
+
+def config_from_args(args) -> BuilderConfig:
+    cfg = BuilderConfig()
+    cfg.arch = "hand" if args.hand else "fast"
+    cfg.symfrac = args.symfrac
+    cfg.fragthresh = args.fragthresh
+    if args.wnone:
+        cfg.wgt = "none"
+    elif args.wgiven:
+        cfg.wgt = "given"
+    if args.enone:
+        cfg.effn = "none"
+    elif args.eset is not None:
+        cfg.effn = "set"
+        cfg.eset = args.eset
+    if args.ere is not None:
+        cfg.re_target = args.ere
+    cfg.esigma = args.esigma
+    if args.pnone:
+        cfg.prior = "none"
+    elif args.plaplace:
+        cfg.prior = "laplace"
+    cfg.max_insert_len = args.maxinsertlen
+    cfg.popen = args.popen
+    cfg.pextend = args.pextend
+    cfg.fs = not args.nofs
+    cfg.fsprob = args.fsprob
+    cfg.ct = args.ct
+    cfg.w_beta = args.w_beta
+    cfg.w_len = args.w_length
+    cfg.seed = args.seed
+    cfg.calibration = CalibrateConfig(
+        EmL=args.EmL, EmN=args.EmN, EvL=args.EvL, EvN=args.EvN,
+        EfL=args.EfL, EfN=args.EfN, Eft=args.Eft, seed=args.seed,
+        fs=cfg.fs)
+    return cfg
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    ofp = open(args.outfile, "w") if args.outfile else sys.stdout
+    cfg = config_from_args(args)
+
+    print(BANNER, file=ofp)
+    print(f"# input file:                       {args.msafile}", file=ofp)
+    print(f"# output HMM file:                  {args.hmmfile_out}",
+          file=ofp)
+    print("# " + "-" * 70, file=ofp)
+    print("# %-6s %-20s %5s %5s %5s %4s %8s %6s %s"
+          % ("idx", "name", "nseq", "len", "mlen", "ctbl", "eff_nseq",
+             "re/pos", "description"), file=ofp)
+    print("# %-6s %-20s %5s %5s %5s %4s %8s %6s %s"
+          % ("------", "-" * 20, "-----", "-----", "-----", "----",
+             "--------", "------", "-----------"), file=ofp)
+
+    bg = Background()
+    r = Randomness(args.seed)
+    t0 = time.time()
+    nali = 0
+    with open(args.hmmfile_out, "w") as hfp:
+        # try MSA first; fall back to unaligned FASTA single-seq builds
+        try:
+            msas = read_msas(args.msafile)
+            is_msa = True
+        except ValueError:
+            msas = None
+            is_msa = False
+        if is_msa:
+            for msa in msas:
+                nali += 1
+                if args.name and len(msas) == 1:
+                    msa.name = args.name
+                elif not msa.name:
+                    base = os.path.basename(args.msafile)
+                    msa.name = base.rsplit(".", 1)[0]
+                hmm = build(msa, cfg, bg=Background(), r=r)
+                entropy = mean_match_relative_entropy(hmm, bg)
+                write_hmm(hfp, hmm)
+                print("  %-6d %-20s %5d %5d %5d %4d %8.2f %6.3f %s"
+                      % (nali, msa.name or "", msa.nseq, msa.alen,
+                         hmm.M, hmm.ct, hmm.eff_nseq, entropy,
+                         msa.desc or ""), file=ofp)
+        else:
+            for sq in read_fasta(args.msafile, amino()):
+                nali += 1
+                hmm = single_build(sq.dsq, sq.name, cfg, bg=Background(),
+                                   r=r)
+                if sq.desc:
+                    hmm.desc = sq.desc
+                entropy = mean_match_relative_entropy(hmm, bg)
+                write_hmm(hfp, hmm)
+                print("  %-6d %-20s %5d %5d %5d %4d %8.2f %6.3f %s"
+                      % (nali, sq.name, 1, sq.n, hmm.M, hmm.ct,
+                         hmm.eff_nseq, entropy, sq.desc or ""), file=ofp)
+
+    print(f"\n# CPU time: {time.time() - t0:.2f}u", file=ofp)
+    print("# [ok]", file=ofp)
+    if ofp is not sys.stdout:
+        ofp.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

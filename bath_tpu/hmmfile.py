@@ -268,9 +268,9 @@ def write_hmm(fh: TextIO, h: HMM, fmt: str = "bath3f"):
         fh.write("NC    %.2f %.2f\n" % (h.cutoff[C.CUT_NC1], h.cutoff[C.CUT_NC2]))
     if h.flags & hmm_mod.H_STATS:
         ev = h.evparam
-        fh.write("STATS LOCAL MSV      %8.4f %8.5f\n" % (ev[C.EV_MMU], ev[C.EV_MLAMBDA]))
-        fh.write("STATS LOCAL VITERBI  %8.4f %8.5f\n" % (ev[C.EV_VMU], ev[C.EV_VLAMBDA]))
-        fh.write("STATS LOCAL FORWARD  %8.4f %8.5f\n" % (ev[C.EV_FTAU], ev[C.EV_FLAMBDA]))
+        fh.write("STATS LOCAL MSV         %8.4f %8.5f\n" % (ev[C.EV_MMU], ev[C.EV_MLAMBDA]))
+        fh.write("STATS LOCAL VITERBI     %8.4f %8.5f\n" % (ev[C.EV_VMU], ev[C.EV_VLAMBDA]))
+        fh.write("STATS LOCAL FORWARD     %8.4f %8.5f\n" % (ev[C.EV_FTAU], ev[C.EV_FLAMBDA]))
         if h.fs:
             fh.write("STATS LOCAL FS3 FORWARD %8.4f %8.5f\n" % (ev[C.EV_FTAUFS3], ev[C.EV_FLAMBDA]))
             fh.write("STATS LOCAL FS5 FORWARD %8.4f %8.5f\n" % (ev[C.EV_FTAUFS5], ev[C.EV_FLAMBDA]))

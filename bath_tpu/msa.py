@@ -1,0 +1,239 @@
+"""Multiple sequence alignments: container, Stockholm / aligned-FASTA
+readers, PB relative weighting, fragment marking.
+
+Re-provides the subset of Easel's esl_msa / esl_msafile /
+esl_msaweight that bathbuild depends on (ref: bathbuild.c,
+p7_builder.c relative_weights :832, esl_msa_MarkFragments_old usage
+at p7_builder.c:432).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .alphabet import Alphabet, amino, dna
+
+
+@dataclass
+class MSA:
+    """Digital MSA.  ax is [nseq, alen] int32 in Easel digital codes
+    (columns 0-based here; the reference's 1..alen maps to 0..alen-1)."""
+    abc: Alphabet
+    names: list[str]
+    ax: np.ndarray
+    wgt: np.ndarray | None = None
+    rf: str | None = None           # #=GC RF consensus annotation
+    mm: str | None = None           # #=GC MM model-mask annotation
+    cs: str | None = None           # #=GC SS_cons
+    name: str | None = None         # #=GF ID
+    acc: str | None = None          # #=GF AC
+    desc: str | None = None         # #=GF DE
+    cutoffs: dict = field(default_factory=dict)   # GA/TC/NC -> (c1, c2)
+
+    @property
+    def nseq(self) -> int:
+        return self.ax.shape[0]
+
+    @property
+    def alen(self) -> int:
+        return self.ax.shape[1]
+
+    def __post_init__(self):
+        if self.wgt is None:
+            self.wgt = np.ones(self.nseq)
+
+    # -- classification helpers (digital codes) ----------------------
+    def _is_residue(self, col) -> np.ndarray:
+        """residue or degenerate or nonresidue-excluded?  Easel's
+        XIsResidue: canonical or degenerate (incl. any), NOT gap /
+        nonres / missing."""
+        x = col
+        K, Kp = self.abc.K, self.abc.Kp
+        return (x < K) | ((x > K) & (x < Kp - 2))
+
+    def _is_gap(self, col) -> np.ndarray:
+        return col == self.abc.K
+
+    def _is_missing(self, col) -> np.ndarray:
+        return col == self.abc.Kp - 1
+
+    # -- fragment marking (ref: esl_msa_MarkFragments_old) -----------
+    def mark_fragments(self, fragthresh: float = 0.5):
+        """A seq is a fragment if its aligned span (first..last residue
+        column) covers < fragthresh * alen; its leading/trailing gaps
+        become missing data '~' (ref: p7_builder.c:432)."""
+        Kp = self.abc.Kp
+        for idx in range(self.nseq):
+            row = self.ax[idx]
+            res = np.nonzero(self._is_residue(row))[0]
+            if len(res) == 0:
+                continue
+            span = res[-1] - res[0] + 1
+            if span < fragthresh * self.alen:
+                row[:res[0]] = Kp - 1
+                row[res[-1] + 1:] = Kp - 1
+
+    # -- PB weights (ref: esl_msaweight_PB) --------------------------
+    def set_pb_weights(self):
+        """Henikoff position-based weights, normalized to mean 1.
+        Computed over consensus columns (fractional residue occupancy
+        >= 0.5), falling back to all columns if none qualify —
+        matching modern Easel esl_msaweight_PB_adv defaults."""
+        K = self.abc.K
+        nseq, alen = self.nseq, self.alen
+        w = np.zeros(nseq)
+        # canonicalize: map degenerates to K (ignored), canonical kept
+        canon = np.where(self.ax < K, self.ax, K)
+        is_res = canon < K
+        occ = is_res.sum(axis=0) / max(nseq, 1)
+        use = occ >= 0.5
+        if not use.any():
+            use = np.ones(alen, dtype=bool)
+        for apos in np.nonzero(use)[0]:
+            col = canon[:, apos]
+            mask = col < K
+            if not mask.any():
+                continue
+            ct = np.bincount(col[mask], minlength=K + 1)
+            r = int((ct > 0).sum())
+            contrib = 1.0 / (r * ct[col[mask]])
+            w[mask] += contrib
+        if w.sum() == 0:
+            w[:] = 1.0
+        self.wgt = w * (nseq / w.sum())
+
+    def checksum(self) -> int:
+        """32-bit order-dependent checksum of the digital residues
+        (our own stable definition; the reference uses
+        esl_msa_Checksum, whose exact constants live in the absent
+        Easel submodule)."""
+        h = 0
+        for idx in range(self.nseq):
+            for x in self.ax[idx]:
+                h = (h * 31 + int(x) + 1) & 0xFFFFFFFF
+        return h
+
+
+# ---------------------------------------------------------------------
+# Stockholm reader
+# ---------------------------------------------------------------------
+def _finish_msa(abc, names, seqs, gc, gf, cutoffs) -> MSA:
+    alen = len(seqs[names[0]])
+    ax = np.zeros((len(names), alen), dtype=np.int32)
+    for i, n in enumerate(names):
+        s = seqs[n]
+        if len(s) != alen:
+            raise ValueError(f"ragged alignment for {n}")
+        ax[i] = abc.digitize(s)
+    msa = MSA(abc=abc, names=list(names), ax=ax)
+    msa.rf = gc.get("RF")
+    msa.mm = gc.get("MM")
+    msa.cs = gc.get("SS_cons")
+    msa.name = gf.get("ID")
+    msa.acc = gf.get("AC")
+    msa.desc = gf.get("DE")
+    msa.cutoffs = cutoffs
+    return msa
+
+
+def read_stockholm(path: str, abc: Alphabet | None = None) -> list[MSA]:
+    """Parse a (possibly multi-MSA) Stockholm file
+    (ref: easel Stockholm format as consumed by bathbuild.c)."""
+    out = []
+    with open(path) as fh:
+        text = fh.read()
+    blocks = text.split("\n//")
+    for blk in blocks:
+        lines = [ln.rstrip("\n") for ln in blk.split("\n")]
+        names: list[str] = []
+        seqs: dict[str, str] = {}
+        gc: dict[str, str] = {}
+        gf: dict[str, str] = {}
+        cutoffs: dict = {}
+        saw_seq = False
+        for ln in lines:
+            if not ln.strip():
+                continue
+            if ln.startswith("# STOCKHOLM"):
+                continue
+            if ln.startswith("#=GF"):
+                parts = ln.split(None, 2)
+                if len(parts) >= 3:
+                    tag, val = parts[1], parts[2]
+                    if tag in ("GA", "TC", "NC"):
+                        nums = [float(v.rstrip(";")) for v in val.split()]
+                        cutoffs[tag] = (nums[0],
+                                        nums[1] if len(nums) > 1 else None)
+                    elif tag in gf:
+                        gf[tag] += " " + val
+                    else:
+                        gf[tag] = val
+                continue
+            if ln.startswith("#=GC"):
+                parts = ln.split()
+                if len(parts) >= 3:
+                    gc[parts[1]] = gc.get(parts[1], "") + parts[2]
+                continue
+            if ln.startswith("#=GS") or ln.startswith("#=GR"):
+                continue
+            if ln.startswith("#"):
+                continue
+            parts = ln.split()
+            if len(parts) >= 2:
+                nm, chunk = parts[0], "".join(parts[1:])
+                if nm not in seqs:
+                    names.append(nm)
+                    seqs[nm] = ""
+                seqs[nm] += chunk
+                saw_seq = True
+        if not saw_seq:
+            continue
+        a = abc or guess_alphabet("".join(seqs[n] for n in names[:4]))
+        out.append(_finish_msa(a, names, seqs, gc, gf, cutoffs))
+    return out
+
+
+def read_afa(path: str, abc: Alphabet | None = None) -> list[MSA]:
+    """Aligned FASTA: one MSA per file."""
+    names, seqs = [], {}
+    cur = None
+    with open(path) as fh:
+        for ln in fh:
+            ln = ln.strip()
+            if not ln:
+                continue
+            if ln.startswith(">"):
+                cur = ln[1:].split()[0]
+                names.append(cur)
+                seqs[cur] = ""
+            elif cur is not None:
+                seqs[cur] += ln
+    if not names:
+        return []
+    a = abc or guess_alphabet("".join(seqs[n] for n in names[:4]))
+    return [_finish_msa(a, names, seqs, {}, {}, {})]
+
+
+def guess_alphabet(sample: str) -> Alphabet:
+    """DNA if composition is overwhelmingly ACGTUN (Easel's guesser
+    heuristic)."""
+    s = sample.upper()
+    res = [c for c in s if c.isalpha()]
+    if not res:
+        return amino()
+    nuc = sum(1 for c in res if c in "ACGTUN")
+    return dna() if nuc / len(res) > 0.9 else amino()
+
+
+def read_msas(path: str, abc: Alphabet | None = None) -> list[MSA]:
+    """Autodetect Stockholm vs aligned FASTA (ref: esl_msafile_Open
+    format guessing)."""
+    with open(path) as fh:
+        head = fh.read(64)
+    if head.startswith("# STOCKHOLM"):
+        return read_stockholm(path, abc)
+    if head.lstrip().startswith(">"):
+        return read_afa(path, abc)
+    raise ValueError(f"unrecognized MSA format in {path}")
