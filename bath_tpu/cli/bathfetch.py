@@ -1,0 +1,63 @@
+"""bathfetch: retrieve profile HMM(s) from a file
+(ref: bathfetch.c main, onefetch :~300, multifetch :240,
+create_ssi_index :166).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..ssi import fetch_hmm_text, index_hmm_file, load_index
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bathfetch",
+        description="retrieve profile HMM(s) from a file "
+                    "(TPU-native bath_tpu)")
+    p.add_argument("hmmfile")
+    p.add_argument("key", nargs="?", default=None,
+                   help="name/accession of HMM to retrieve "
+                        "(or keyfile with -f)")
+    p.add_argument("-f", action="store_true",
+                   help="second cmdline arg is a file of names to retrieve")
+    p.add_argument("-o", dest="outfile", default=None,
+                   help="output HMM to file <f> instead of stdout")
+    p.add_argument("-O", dest="keynamed", action="store_true",
+                   help="output HMM to file named <key>")
+    p.add_argument("--index", action="store_true",
+                   help="index the <hmmfile>, creating <hmmfile>.bsi")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.index:
+        out = index_hmm_file(args.hmmfile)
+        ix = load_index(args.hmmfile)
+        print(f"Indexed {len(ix['keys'])} HMMs ({out}).")
+        return 0
+    if args.key is None:
+        print("a key (or -f keyfile, or --index) is required",
+              file=sys.stderr)
+        return 1
+    keys = [args.key]
+    if args.f:
+        with open(args.key) as fh:
+            keys = [ln.split()[0] for ln in fh if ln.strip()]
+    if args.keynamed:
+        for k in keys:
+            with open(k, "w") as fh:
+                fh.write(fetch_hmm_text(args.hmmfile, k))
+        return 0
+    ofp = open(args.outfile, "w") if args.outfile else sys.stdout
+    for k in keys:
+        ofp.write(fetch_hmm_text(args.hmmfile, k))
+    if ofp is not sys.stdout:
+        ofp.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

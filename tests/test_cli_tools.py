@@ -1,0 +1,71 @@
+"""CLI exercises for bathbuild/bathconvert/bathstat/bathfetch —
+the reference's option/CLI test tier (SURVEY.md section 4, tier 2)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bath_tpu import constants as C
+from bath_tpu.cli import bathbuild, bathconvert, bathfetch, bathstat
+from bath_tpu.hmmfile import read_hmm, read_hmms
+
+TS = "/root/reference/testsuite"
+TUT = "/root/reference/tutorial"
+
+
+def test_bathbuild_matches_golden(tmp_path):
+    out = tmp_path / "20aa.bhmm"
+    rc = bathbuild.main([str(out), f"{TS}/20aa.sto",
+                         "-o", str(tmp_path / "log.txt")])
+    assert rc == 0
+    ours = read_hmm(str(out))
+    golden = read_hmm(f"{TS}/20aa.bhmm")
+    assert ours.M == golden.M
+    assert abs(ours.eff_nseq - golden.eff_nseq) < 0.01
+    assert ours.max_length == golden.max_length
+    assert np.abs(ours.mat[1:] - golden.mat[1:]).max() < 1e-4
+    assert np.abs(ours.t[1:] - golden.t[1:]).max() < 1e-4
+    # calibration within simulation precision
+    assert abs(ours.evparam[C.EV_MMU] - golden.evparam[C.EV_MMU]) < 0.5
+    assert abs(ours.evparam[C.EV_FTAUFS3]
+               - golden.evparam[C.EV_FTAUFS3]) < 0.7
+
+
+def test_bathbuild_multi_msa(tmp_path):
+    out = tmp_path / "minifam.bhmm"
+    rc = bathbuild.main([str(out), f"{TS}/minifam",
+                         "-o", str(tmp_path / "log.txt")])
+    assert rc == 0
+    names = [h.name for h in read_hmms(str(out))]
+    assert len(names) >= 2 and all(names)
+
+
+def test_bathconvert_adds_fs_stats(tmp_path, capsys):
+    out = tmp_path / "conv.bhmm"
+    rc = bathconvert.main([str(out), f"{TS}/20aa.hmm"])
+    assert rc == 0
+    h = read_hmm(str(out))
+    assert h.fs
+    assert h.evparam[C.EV_FTAUFS3] != C.EVPARAM_UNSET
+    assert h.evparam[C.EV_FTAUFS5] != C.EVPARAM_UNSET
+    assert h.max_length > 0
+
+
+def test_bathstat(capsys):
+    rc = bathstat.main([f"{TUT}/AMP_N.bhmm"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "AMP_N" in out and "134" in out
+
+
+def test_bathfetch_roundtrip(tmp_path, capsys):
+    src = tmp_path / "db.bhmm"
+    import shutil
+    shutil.copy(f"{TUT}/tRNA-proteins.bhmm", src)
+    assert bathfetch.main(["--index", str(src)]) == 0
+    out = tmp_path / "one.bhmm"
+    assert bathfetch.main([str(src), "PTH2",
+                           "-o", str(out)]) == 0
+    h = read_hmm(str(out))
+    assert h.name == "PTH2"
