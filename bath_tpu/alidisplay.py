@@ -315,3 +315,98 @@ def _frame(nuc_from: int, nuc_to: int) -> int:
         if frame == 0:
             frame = -3
     return frame
+
+
+def print_splice(res, hmmname: str, sqname: str, linewidth: int = 120
+                 ) -> str:
+    """Render the spliced per-exon alignment blocks
+    (ref: p7_alidisplay.c splice display as in tutorial/PTHR37536.out).
+
+    <res> is a splice.align.SplicedHitResult with display segments.
+    """
+    out = []
+    namewidth = max(8, len(hmmname), len(sqname), 10)
+    coordwidth = max(_int_width(res.ihmm), _int_width(res.jhmm),
+                     _int_width(res.iali), _int_width(res.jali), 4)
+    cells = max(10, (linewidth - namewidth - 2 * coordwidth - 10) // 5)
+
+    for e, seg in enumerate(res.segments):
+        n = len(seg.model)
+        k1 = seg.kfrom
+        g1 = seg.gfrom
+        step = 1 if seg.gfrom <= seg.gto else -1
+        pos = 0
+        first_chunk = True
+        while pos < n:
+            cur = min(cells, n - pos)
+            nk = sum(1 for c in seg.model[pos:pos + cur]
+                     if c not in (".", " "))
+            k2 = k1 + nk - 1
+            blank = " " * (namewidth + coordwidth + 1)
+            out.append("\n")
+            out.append("  %*s %*d " % (namewidth, hmmname, coordwidth, k1)
+                       + "  "
+                       + "".join("  %c  " % c
+                                 for c in seg.model[pos:pos + cur])
+                       + "   %-*d\n" % (coordwidth, k2))
+            out.append("  %s " % blank + "  "
+                       + "".join("  %c  " % c
+                                 for c in seg.mline[pos:pos + cur])
+                       + "\n")
+            exlabel = "exon %d" % (e + 1)
+            out.append("  %*s %*s " % (namewidth, exlabel, coordwidth, "")
+                       + "  "
+                       + "".join("  %c  " % c
+                                 for c in seg.aseq[pos:pos + cur])
+                       + "\n")
+            # nucleotide row with acc/don markers on first/last chunks
+            nts = []
+            g2 = g1
+            for z in range(pos, pos + cur):
+                cell = seg.ntseq[z]
+                nts.append(cell)
+                nres = sum(1 for ch in cell if ch.isalpha())
+                g2 += step * nres
+            prefix = ""
+            marks_pre = ""
+            if first_chunk and e > 0:
+                prev_sig = getattr(res.segments[e - 1],
+                                   "_pending_signal", "----")
+                acc2 = prev_sig[2:] if len(prev_sig) == 4 else "--"
+                if seg.acc_prefix:
+                    prefix = "%s  %-3s" % (acc2, seg.acc_prefix)
+                else:
+                    prefix = "%s " % acc2
+                marks_pre = "||" + " " * (len(prefix) - 2)
+            suffix = ""
+            marks_suf = ""
+            last_chunk = (pos + cur >= n)
+            if last_chunk and e < len(res.segments) - 1:
+                sig = getattr(seg, "_pending_signal", "----")
+                don2 = sig[:2] if len(sig) == 4 else "--"
+                if seg.don_suffix:
+                    suffix = "%-3s %s" % (seg.don_suffix, don2)
+                else:
+                    suffix = " %s" % don2
+                marks_suf = " " * (len(suffix) - 2) + "||"
+            out.append("  %*s %*d" % (namewidth, sqname, coordwidth, g1)
+                       + (" " + prefix if prefix else "  ")
+                       + "".join(nts)
+                       + (suffix if suffix else "")
+                       + " %-*d\n" % (coordwidth,
+                                      g2 - step if not (last_chunk
+                                                        and e < len(res.segments) - 1
+                                                        and seg.don_suffix)
+                                      else seg.gto))
+            # PP row
+            out.append("  %s " % blank
+                       + (" " + marks_pre if marks_pre else "  ")
+                       + "".join("  %c  " % c
+                                 for c in seg.ppline[pos:pos + cur])
+                       + (marks_suf if marks_suf else "")
+                       + " PP\n")
+            g1 = g2
+            k1 = k2 + 1
+            pos += cur
+            first_chunk = False
+    return "".join(out)

@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", dest="outfile", default=None)
     p.add_argument("--tblout", default=None)
     p.add_argument("--fstblout", default=None)
+    p.add_argument("--exontblout", default=None)
+    p.add_argument("--splice", action="store_true")
+    p.add_argument("--min_intron", type=int, default=13)
+    p.add_argument("--max_intron", type=int, default=200000)
     p.add_argument("--fs", action="store_true")
     p.add_argument("--fsonly", action="store_true")
     p.add_argument("--acc", action="store_true")
@@ -78,6 +82,7 @@ def make_pipeline(args) -> Pipeline:
     pli = Pipeline()
     pli.fs_pipe = args.fs or args.fsonly
     pli.std_pipe = not args.fsonly
+    pli.spliced = args.splice
     pli.E = args.E
     if args.T is not None:
         pli.T = args.T
@@ -129,6 +134,7 @@ def run(argv=None) -> int:
     ofp = open(args.outfile, "w") if args.outfile else sys.stdout
     tblfp = open(args.tblout, "w") if args.tblout else None
     fstblfp = open(args.fstblout, "w") if args.fstblout else None
+    extblfp = open(args.exontblout, "w") if args.exontblout else None
     textw = 0 if args.notextw else args.textw
 
     gcode = GeneticCode.create(args.ct)
@@ -246,6 +252,35 @@ def run(argv=None) -> int:
         pli.Z = 1.0
         th.threshold(pli)
 
+        # --splice post-pass (ref: bathsearch.c :925-947)
+        if args.splice and th.N:
+            from ..splice.pipeline import splice_hits
+            from ..splice.splice import SpliceConfig
+            gm_tr = profile_config_fs(hmm, bg, gcode, 1, 100,
+                                      C.P7_UNILOCAL)
+            gm_tr.evparam = hmm.evparam.copy()
+            from ..sequence import read_fasta
+            from ..alphabet import dna as dna_abc
+            seq_lookup = {}
+            for si, sq in enumerate(read_fasta(args.dbfile, dna_abc())):
+                seq_lookup[sq.name] = (sq.dsq, si, sq.n)
+            pli.qname = hmm.name
+            scfg = SpliceConfig(min_intron=args.min_intron,
+                                max_intron=args.max_intron,
+                                E=pli.E,
+                                T=None if pli.by_E else pli.T,
+                                F1=pli.F1, F2=pli.F2, F3=pli.F3,
+                                do_null2=pli.do_null2,
+                                do_biasfilter=pli.do_biasfilter)
+            splice_hits(th, None, om, gm, gm_tr, bg, gcode, seq_lookup,
+                        res_cnt, scfg)
+            for h in th.unsrt:
+                if h.seqidx in id_lengths:
+                    h.target_len = id_lengths[h.seqidx]
+            th.sort_by_seqidx_and_alipos()
+            th.remove_duplicates(pli.use_bit_cutoffs)
+            th.sort_by_sortkey()
+
         pli.n_output = pli.pos_output = 0
         for h in th.hit:
             if h.flags & (IS_REPORTED | IS_INCLUDED):
@@ -263,6 +298,9 @@ def run(argv=None) -> int:
         if fstblfp:
             fstblfp.write(th.tabular_frameshifts_text(
                 hmm.name, hmm.acc, pli, nquery == 1))
+        if extblfp:
+            extblfp.write(th.tabular_exons_text(
+                hmm.name, hmm.acc, pli, nquery == 1))
         elapsed = time.time() - t0
         ofp.write(statistics_text(pli, elapsed))
         ofp.write("//\n")
@@ -278,6 +316,10 @@ def run(argv=None) -> int:
         fstblfp.write(tabular_tail("bathsearch", args.queryfile,
                                    args.dbfile, cmdline))
         fstblfp.close()
+    if extblfp:
+        extblfp.write(tabular_tail("bathsearch", args.queryfile,
+                                   args.dbfile, cmdline))
+        extblfp.close()
     ofp.write("[ok]\n")
     if ofp is not sys.stdout:
         ofp.close()

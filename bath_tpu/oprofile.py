@@ -90,6 +90,25 @@ class OProfile:
         self.reconfig_msv_length(L)
         self.reconfig_rest_length(L)
 
+    # ref: p7_oprofile_ReconfigUnihit / ReconfigMultihit
+    def reconfig_unihit(self, L: int):
+        self.xf[C.X_E, C.MOVE] = 1.0
+        self.xf[C.X_E, C.LOOP] = 0.0
+        if self.xw is not None:
+            self.xw[C.X_E, C.MOVE] = 0
+            self.xw[C.X_E, C.LOOP] = -32768
+        self.nj = 0.0
+        self.reconfig_length(L)
+
+    def reconfig_multihit(self, L: int):
+        self.xf[C.X_E, C.MOVE] = 0.5
+        self.xf[C.X_E, C.LOOP] = 0.5
+        if self.xw is not None:
+            self.xw[C.X_E, C.MOVE] = _wordify(self.scale_w, np.log(0.5))
+            self.xw[C.X_E, C.LOOP] = _wordify(self.scale_w, np.log(0.5))
+        self.nj = 1.0
+        self.reconfig_length(L)
+
 
 def _wordify(scale_w: float, sc) -> int:
     sc = float(_round_c(np.float32(scale_w) * np.float32(sc)))

@@ -246,15 +246,16 @@ def profile_config_fs(hmm: HMM, bg: Background, gcode: GeneticCode,
     fsprob = hmm.fsprob
 
     one_indel = two_indel = no_indel = stop_codon = np.float32(0.0)
-    if codon_lengths == 5:
-        one_indel = np.float32(np.log(fsprob))
-        two_indel = np.float32(np.log(fsprob / 2.0))
-        stop_codon = np.float32(np.log(fsprob))
-        no_indel = np.float32(np.log(1.0 - fsprob * 4.0))
-    elif codon_lengths == 3:
-        one_indel = np.float32(np.log(fsprob))
-        stop_codon = np.float32(np.log(fsprob))
-        no_indel = np.float32(np.log(1.0 - fsprob * 3.0))
+    with np.errstate(divide="ignore"):   # fsprob=0 -> -inf intended
+        if codon_lengths == 5:
+            one_indel = np.float32(np.log(fsprob))
+            two_indel = np.float32(np.log(fsprob / 2.0))
+            stop_codon = np.float32(np.log(fsprob))
+            no_indel = np.float32(np.log(1.0 - fsprob * 4.0))
+        elif codon_lengths == 3:
+            one_indel = np.float32(np.log(fsprob))
+            stop_codon = np.float32(np.log(fsprob))
+            no_indel = np.float32(np.log(1.0 - fsprob * 3.0))
 
     # transitions identical to the standard profile
     tsc = np.full((M, C.NTRANS), NEG_INF, dtype=np.float32)

@@ -1,0 +1,227 @@
+"""Top-level splicing pipeline: the --splice post-pass over tophits
+(ref: p7_splice.c p7_splice_SpliceHits :59, serial_loop :134,
+p7_splice_SpliceGraph :529, p7_splice_AlignSplicedPath).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import constants as C
+from ..domaindef import Domain
+from ..stats import exp_logsurv
+from ..logsum import flogsum
+from ..tophits import IS_DUPLICATE, IS_INCLUDED, IS_REPORTED
+from .align import align_spliced_sequence, create_spliced_sequence
+from .graph import ALIGNMENT_EXT, NEG_INF, SpliceGraph
+from .splice import (PathSeq, SpliceConfig, get_sub_sequence,
+                     splice_exons)
+
+LOG2 = math.log(2.0)
+
+
+def splice_hits(tophits, seeds, om, gm, gm1, bg, gcode, seq_lookup,
+                db_nuc_cnt: int, cfg: SpliceConfig | None = None):
+    """Run the splicing pipeline over reported hits.
+
+    seq_lookup: dict name -> (full plus-strand dsq, seqidx, L).
+    Modifies <tophits> in place: spliced hits replace their exons'
+    original hits (ref: p7_splice_SpliceHits)."""
+    cfg = cfg or SpliceConfig()
+
+    # group hits into (seqidx, strand) graphs (ref: serial_loop :150)
+    groups: dict[tuple, list[int]] = {}
+    for h, hit in enumerate(tophits.hit):
+        if not hit.dcl:
+            continue
+        d = hit.dcl[0]
+        revcomp = d.iali > d.jali
+        if hit.flags & IS_DUPLICATE:
+            continue
+        if not (hit.flags & IS_REPORTED) \
+                and math.exp(hit.sum_lnP) >= cfg.F3:
+            continue
+        groups.setdefault((hit.seqidx, revcomp, hit.name), []).append(h)
+
+    for (seqidx, revcomp, seqname), idxs in groups.items():
+        if seqname not in seq_lookup:
+            continue
+        full_dsq, _, seqL = seq_lookup[seqname]
+        graph = SpliceGraph(seqidx, revcomp, seqname, seqL)
+        for h in idxs:
+            graph.add_node(tophits.hit[h], orig_idx=h)
+        graph.anchor_N = graph.num_nodes
+        # seeds between anchors (ref: AddSeeds) — not yet implemented
+        splice_graph(graph, tophits, om, gm, gm1, bg, gcode, full_dsq,
+                     db_nuc_cnt, cfg)
+
+
+def splice_graph(graph: SpliceGraph, tophits, om, gm, gm1, bg, gcode,
+                 full_dsq, db_nuc_cnt: int, cfg: SpliceConfig):
+    """Splice one per-(sequence,strand) graph
+    (ref: p7_splice_SpliceGraph :529)."""
+    graph.create_unspliced_edges(gm1.tsc[:, C.P_BM], cfg.max_intron)
+
+    bounds: list[tuple[int, int]] = []
+    path_seq: PathSeq | None = None
+    orig_path = graph.get_best_path()
+    guard = 0
+    while orig_path is not None and guard < 100:
+        guard += 1
+        path_min = min(orig_path.iali[0], orig_path.jali[-1]) \
+            - ALIGNMENT_EXT
+        path_max = max(orig_path.iali[0], orig_path.jali[-1]) \
+            + ALIGNMENT_EXT
+        if path_seq is None or \
+                path_min < min(path_seq.start, path_seq.end) or \
+                path_max > max(path_seq.start, path_seq.end):
+            path_seq = get_sub_sequence(full_dsq, path_min, path_max,
+                                        graph.revcomp)
+
+        copy_path = orig_path.clone()
+        spliced_path = splice_exons(graph, gm1, copy_path, path_seq,
+                                    cfg)
+        success = False
+        if spliced_path is not None and spliced_path.path_len >= 1:
+            # re-fetch if the spliced path exceeds the window
+            path_min = min(spliced_path.iali[0], spliced_path.jali[-1]) \
+                - ALIGNMENT_EXT
+            path_max = max(spliced_path.iali[0], spliced_path.jali[-1]) \
+                + ALIGNMENT_EXT
+            if path_min < min(path_seq.start, path_seq.end) or \
+                    path_max > max(path_seq.start, path_seq.end):
+                path_seq = get_sub_sequence(full_dsq, path_min,
+                                            path_max, graph.revcomp)
+            if spliced_path.path_len > 1:
+                success = align_spliced_path(
+                    graph, tophits, om, gm, bg, gcode, spliced_path,
+                    path_seq, db_nuc_cnt, cfg)
+
+        if success:
+            hit_min = min(h for h in (spliced_path.iali[0],
+                                      spliced_path.jali[-1]))
+            hit_max = max(h for h in (spliced_path.iali[0],
+                                      spliced_path.jali[-1]))
+            graph.enforce_bounds(hit_min, hit_max)
+            bounds.append((hit_min, hit_max))
+            for h in range(graph.num_nodes):
+                d = graph.hits[h].dcl[0]
+                n_min, n_max = min(d.iali, d.jali), max(d.iali, d.jali)
+                if min(n_max, hit_max) - max(n_min, hit_min) + 1 > 0:
+                    graph.node_in_graph[h] = False
+        else:
+            if spliced_path is not None and spliced_path.path_len > 1:
+                pmin = min(orig_path.iali[0], orig_path.jali[-1])
+                pmax = max(orig_path.iali[0], orig_path.jali[-1])
+                graph.enforce_bounds(pmin, pmax)
+                bounds.append((pmin, pmax))
+            for nid in orig_path.node_id:
+                graph.node_in_graph[nid] = False
+
+        orig_path = graph.get_best_path()
+
+
+def align_spliced_path(graph: SpliceGraph, tophits, om, gm, bg, gcode,
+                       spliced_path, path_seq: PathSeq,
+                       db_nuc_cnt: int, cfg: SpliceConfig) -> bool:
+    """Create and align the spliced sequence; on success replace the
+    path's hits with one spliced hit
+    (ref: p7_splice_AlignSplicedPath)."""
+    seq = create_spliced_sequence(spliced_path, path_seq, gcode)
+    if seq is None:
+        return False
+    nuc_idx, amino_dsq = seq
+    res = align_spliced_sequence(om, gm, bg, amino_dsq, nuc_idx,
+                                 path_seq, cfg, gcode)
+    # restore multihit length model for any later users
+    om.reconfig_multihit(max(om.max_length, 1))
+    if res is None or len(res.exons) <= 1:
+        return False
+
+    # score adjustments (ref: AlignSplicedPath :~70-95)
+    orf_len = res.orf_to - res.orf_from + 1
+    n = res.amino_n
+    dom_score = res.envsc
+    dom_score -= 2 * math.log(2.0 / (n + 2.0))
+    dom_score += 2 * math.log(2.0 / (om.max_length + 2.0))
+    dom_score -= (n - orf_len) * math.log(n / (n + 2.0))
+    dom_score += (om.max_length - orf_len) \
+        * math.log(om.max_length / (om.max_length + 2.0))
+
+    if cfg.do_null2:
+        omega = 1.0 / 256.0
+        dom_bias = flogsum(0.0, math.log(omega) + res.domcorrection)
+    else:
+        dom_bias = 0.0
+    bg.set_length(om.max_length)
+    nullsc = bg.null_one(om.max_length)
+    dom_score = (dom_score - (nullsc + dom_bias)) / LOG2
+    dom_lnP = exp_logsurv(dom_score, om.evparam[C.EV_FTAU],
+                          om.evparam[C.EV_FLAMBDA])
+    dom_lnP += math.log(db_nuc_cnt / max(om.max_length, 1))
+
+    passes = (math.exp(dom_lnP) <= cfg.E) if cfg.T is None \
+        else (dom_score >= cfg.T)
+    if not passes:
+        return False
+
+    # mark exon anchor status
+    for e, info in enumerate(res.exons):
+        if e < spliced_path.path_len:
+            nid = spliced_path.node_id[e]
+            info.anchor = (0 <= nid < graph.anchor_N)
+            info.extend = bool(spliced_path.extension[e])
+
+    # find the first anchor node in the path to host the spliced hit
+    host = None
+    for s, nid in enumerate(spliced_path.node_id):
+        if 0 <= nid < graph.anchor_N and graph.orig_hit_idx[nid] >= 0:
+            host = nid
+            break
+    if host is None:
+        return False
+
+    d = Domain()
+    d.ihmm, d.jhmm = res.ihmm, res.jhmm
+    d.iali, d.jali = res.iali, res.jali
+    d.ienv, d.jenv = res.ienv, res.jenv
+    d.envsc = res.envsc
+    d.oasc = res.oasc
+    d.domcorrection = res.domcorrection
+    d.dombias = dom_bias
+    d.bitscore = dom_score
+    d.lnP = dom_lnP
+    d.is_reported = True
+    d.is_included = True
+    d.ad = res               # carries exons + display segments
+
+    replace_hit = tophits.hit[graph.orig_hit_idx[host]]
+    replace_hit.dcl = [d]
+    replace_hit.frameshift = False
+    replace_hit.flags = IS_REPORTED | IS_INCLUDED
+    replace_hit.nreported = 1
+    replace_hit.nincluded = 1
+    replace_hit.best_domain = 0
+    replace_hit.ndom = 1
+    replace_hit.score = replace_hit.sum_score = dom_score
+    replace_hit.lnP = replace_hit.sum_lnP = dom_lnP
+    replace_hit.pre_score = res.envsc / LOG2
+    replace_hit.pre_lnP = exp_logsurv(
+        replace_hit.pre_score, om.evparam[C.EV_FTAUFS5],
+        om.evparam[C.EV_FLAMBDA])
+    replace_hit.sortkey = -dom_lnP
+
+    # unreport the other original hits covered by this spliced hit
+    for s, nid in enumerate(spliced_path.node_id):
+        if nid == host or nid < 0:
+            continue
+        oi = graph.orig_hit_idx[nid] if nid < len(graph.orig_hit_idx) \
+            else -1
+        if oi >= 0 and tophits.hit[oi] is not replace_hit:
+            tophits.hit[oi].flags = IS_DUPLICATE
+            tophits.hit[oi].nreported = 0
+            tophits.hit[oi].nincluded = 0
+    return True

@@ -178,7 +178,14 @@ class TopHits:
         posw = max(6, self._max_pos_len())
         descw = max(32, textw - namew - 2 * posw - 32) if textw > 0 else 0
         out.append("Scores for complete hits:\n")
-        if pli.fs_pipe:
+        if getattr(pli, "spliced", False):
+            out.append("  %9s %6s %5s  %-*s %*s %*s  %5s  %s\n" % (
+                "E-value", " score", " bias", namew, "Sequence", posw,
+                "start", posw, "end", "exons", "Description"))
+            out.append("  %9s %6s %5s  %-*s %*s %*s  %5s  %s\n" % (
+                "-------", "------", "-----", namew, "--------", posw,
+                "-----", posw, "-----", "-----", "-----------"))
+        elif pli.fs_pipe:
             out.append("  %9s %6s %5s  %-*s %*s %*s  %6s  %5s  %s\n" % (
                 "E-value", " score", " bias", namew, "Sequence", posw,
                 "start", posw, "end", "shifts", "stops", "Description"))
@@ -206,7 +213,10 @@ class TopHits:
                 newness, math.exp(h.lnP), h.score,
                 d.dombias / C.CONST_LOG2, namew, h.name,
                 posw, d.iali, posw, d.jali)
-            if pli.fs_pipe:
+            if getattr(pli, "spliced", False):
+                nex = len(d.ad.exons) if hasattr(d.ad, "exons") else 1
+                line += "%5d" % nex
+            elif pli.fs_pipe:
                 line += "%6d  %5d" % (d.ad.frameshifts, d.ad.stops)
             out.append(line)
             desc = h.desc or ""
@@ -237,6 +247,35 @@ class TopHits:
             else:
                 out.append(">> %s  %s\n" % (showname, desc))
             d = h.dcl[0]
+            if hasattr(d.ad, "segments"):       # spliced hit
+                from .alidisplay import print_splice
+                res = d.ad
+                out.append("    %6s %5s %9s   %8s %9s    %9s %9s    %5s  %9s   %4s\n" % (
+                    "score", "bias", "Evalue", "hmm-from", "hmm-to",
+                    "ali-from", "ali-to", "exons", "sq-len", "acc"))
+                out.append("   %6s %5s %9s   %8s   %7s    %9s %9s    %5s  %9s   %4s\n" % (
+                    "------", "-----", "---------", "--------",
+                    "-------", "---------", "---------", "-----",
+                    "---------", "----"))
+                out.append(" %c %6.1f %5.1f %9.2g %10d %9d %c%c %9d %9d %c%c %5d  %9d   %4.2f\n" % (
+                    "!" if d.is_included else "?", d.bitscore,
+                    d.dombias / C.CONST_LOG2, math.exp(d.lnP),
+                    res.ihmm, res.jhmm,
+                    "[" if res.ihmm == 1 else ".",
+                    "]" if res.jhmm == pli.nnodes else ".",
+                    res.iali, res.jali, ".", ".",
+                    len(res.exons), h.target_len,
+                    d.oasc / (1.0 + abs(float(d.jenv - d.ienv) / 3))))
+                if pli.show_alignments:
+                    out.append("\n  Alignment:\n")
+                    out.append("  score: %.1f bits\n" % d.bitscore)
+                    out.append(print_splice(res, getattr(pli, "qname",
+                                                         ""),
+                                            h.name, textw))
+                    out.append("\n")
+                else:
+                    out.append("\n")
+                continue
             if pli.fs_pipe:
                 out.append("   %6s %5s %9s %10s %9s    %9s %9s    %6s  %5s %9s   %4s\n" % (
                     "score", "bias", "   Evalue", "hmm-from", " hmm-to",
@@ -349,6 +388,53 @@ class TopHits:
             else:
                 line += " %s\n" % (h.desc or "-")
             out.append(line)
+        return "".join(out)
+
+    # ref: p7_tophits_TabularExons :1735
+    def tabular_exons_text(self, qname: str, qacc: str, pli,
+                           show_header: bool) -> str:
+        out = []
+        tnamew = max(20, self._max_name_len())
+        qnamew = max(20, len(qname))
+        if show_header:
+            f1 = "#{:>7s} {:<{tw}s} {:<10s} {:<{qw}s} {:<10s} {:>9s} {:>9s} {:>9s} {:>6s} {:>5s} {:>3s} {:>3s} {:>9s} {:>9s} {:>9s} {:>9s} {:>9s} {:>5s} {:>7s}\n"
+            lead = len(f1.format("hit ID", "target name", "accession",
+                                 "query name", "accession", "", "", "",
+                                 "", "", "", "", "", "", "", "", "", "",
+                                 "", tw=tnamew, qw=qnamew))
+            out.append(f1.format(" hit ID", "target name", "accession",
+                                 "query name", "accession", "hmm len",
+                                 "seq len", "E-value", "score", "bias",
+                                 "#", "of", "hmm from", "hmm to",
+                                 "ali from", "ali to", "P-value", "PID",
+                                 "splice", tw=tnamew, qw=qnamew))
+            out.append(f1.format("-" * 7, "-" * tnamew, "-" * 10,
+                                 "-" * qnamew, "-" * 10, "-" * 9,
+                                 "-" * 9, "-" * 9, "-" * 6, "-" * 5,
+                                 "-" * 3, "-" * 3, "-" * 9, "-" * 9,
+                                 "-" * 9, "-" * 9, "-" * 9, "-" * 5,
+                                 "-" * 7, tw=tnamew, qw=qnamew))
+        hitid = 0
+        for h in self.hit:
+            if not (h.flags & IS_REPORTED):
+                continue
+            hitid += 1
+            d = h.dcl[0]
+            if not hasattr(d.ad, "exons"):
+                continue
+            res = d.ad
+            nex = len(res.exons)
+            for e, x in enumerate(res.exons, 1):
+                out.append("%8d %-*s %-10s %-*s %-10s %9d %9d %9.2g"
+                           " %6.1f %5.1f %3d %3d %9d %9d %9d %9d %9.2g"
+                           " %5.2f %7s\n" % (
+                               hitid, tnamew, h.name, h.acc or "-",
+                               qnamew, qname, qacc or "-", pli.nnodes,
+                               h.target_len, math.exp(h.lnP), h.score,
+                               d.dombias / C.CONST_LOG2, e, nex,
+                               x.hmm_from, x.hmm_to, x.seq_from,
+                               x.seq_to, math.exp(x.lnP), x.pid,
+                               x.signal if e < nex else "----"))
         return "".join(out)
 
     # ref: p7_tophits_TabularFrameshifts :1442

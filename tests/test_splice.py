@@ -1,0 +1,100 @@
+"""Splicing subsystem: spliced Viterbi self-consistency, synthetic
+junction recovery, and end-to-end --splice vs the reference's golden
+exon table (ref fixtures: tutorial/PTHR37536.*, testsuite/tmem-258.*)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from bath_tpu.bg import Background
+from bath_tpu.codontable import CodonTable
+from bath_tpu.gencode import GeneticCode
+from bath_tpu.hmmfile import read_hmm
+from bath_tpu.profile import profile_config_fs
+from bath_tpu.rng import Randomness
+from bath_tpu.splice.viterbi_spliced import (T_P, viterbi_spliced,
+                                             viterbi_spliced_trace)
+
+TUT = "/root/reference/tutorial"
+TS = "/root/reference/testsuite"
+
+
+@pytest.fixture(scope="module")
+def gm1():
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    bg = Background()
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    return hmm, profile_config_fs(hmm, bg, gcode, 1, 100), gcode
+
+
+def test_spliced_viterbi_junction_recovery(gm1):
+    """Two consensus exons joined by a GT..AG intron: the spliced
+    Viterbi must find exactly one P state at the exact junction."""
+    hmm, gm, gcode = gm1
+    r = Randomness(7)
+    ct = CodonTable(gcode)
+    aminos = np.argmax(hmm.mat[1:61, :20], axis=1)
+    ex1 = ct.reverse_translate(r, aminos[:30])
+    ex2 = ct.reverse_translate(r, aminos[30:])
+    A, Cn, G, T = 0, 1, 2, 3
+    intron = np.concatenate([[G, T], r.sample_iid(np.full(4, 0.25), 46),
+                             [A, G]])
+    dsq = np.concatenate([ex1, intron, ex2]).astype(np.int32)
+    L = len(dsq)
+    gx = viterbi_spliced(dsq, gm, 1, L, 1, 60, min_intron=30)
+    assert np.isfinite(gx.xC[L])
+    tr = viterbi_spliced_trace(dsq, gm, gx, 1, L, 1, 60, min_intron=30)
+    ps = [(k, i, c) for s, k, i, c in zip(tr.st, tr.k, tr.i, tr.c)
+          if s == T_P]
+    assert ps == [(31, 143, 0)]
+    # trace score is self-consistent and positive for a perfect match
+    assert tr.vitsc > 50
+
+
+def _run_splice(hmmfile, fafile, extbl=None):
+    cmd = [sys.executable, "-m", "bath_tpu.cli.bathsearch", "--splice"]
+    if extbl:
+        cmd += ["--exontblout", extbl]
+    cmd += [hmmfile, fafile]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def test_splice_pthr37536_vs_golden(tmp_path):
+    """The tutorial's 4-exon case: exon count and all three intron
+    junction coordinates must match the golden extbl exactly; scores
+    within numeric-path tolerance."""
+    extbl = str(tmp_path / "our.extbl")
+    out = _run_splice(f"{TUT}/PTHR37536.bhmm",
+                      f"{TUT}/target-PTHR37536.fa", extbl)
+    rows = [ln.split() for ln in open(extbl)
+            if ln.strip() and not ln.startswith("#")]
+    assert len(rows) == 4, out
+    # columns: ... # of hmm_from hmm_to ali_from ali_to P pid splice
+    ali = [(int(r[14]), int(r[15])) for r in rows]
+    # junctions (intron boundaries) exact vs golden PTHR37536.extbl
+    assert ali[0][1] == 491 and ali[1][0] == 577
+    assert ali[1][1] == 600 and ali[2][0] == 687
+    assert ali[2][1] == 798 and ali[3][0] == 952
+    score = float(rows[0][8])
+    assert abs(score - 87.9) < 4.0
+    sigs = [r[18] for r in rows]
+    assert sigs == ["gtag", "gtag", "gtag", "----"]
+
+
+def test_splice_tmem258_merges_exons():
+    """tmem-258: two separate hits must merge into one 2-exon spliced
+    hit covering 1..361 with a large score gain."""
+    out = _run_splice(f"{TS}/tmem-258.bhmm", f"{TS}/tmem-258.fa")
+    lines = [ln for ln in out.splitlines() if "test_splice" in ln]
+    hit_lines = [ln for ln in lines if ln.strip().startswith(
+        ("1", "2", "3", "4", "5", "6", "7", "8", "9"))]
+    assert any(" 2  " in ln or ln.split()[-2] == "2"
+               for ln in hit_lines), out
+    # the merged hit spans the whole gene and scores > either part
+    assert any(float(ln.split()[1]) > 150 for ln in hit_lines), out
