@@ -51,8 +51,22 @@ def main():
                for _ in range(n_iter)]
     lens = jnp.asarray(np.full(B, L, np.int32))
 
-    def run(d):
-        return jk.fs3_score_batch(d, lens, p3, nj=1.0)
+    use_pallas = "--pallas" in sys.argv
+    if use_pallas:
+        from bath_tpu.ops.pallas.fs3 import (codon_indices_fs3,
+                                             fs3_params_pallas,
+                                             fs3_score_pallas)
+        rfv_p, tr_p, Mp = fs3_params_pallas(om3)
+        pmove = jnp.full(B, 3.0 / (L // 3 + 3.0), jnp.float32)
+        batches = [tuple(jnp.asarray(c) for c in codon_indices_fs3(
+            np.asarray(d))) for d in batches]
+
+        def run(d):
+            return fs3_score_pallas(d, lens, pmove, rfv_p, tr_p, Mp,
+                                    nj=1.0, btile=256)
+    else:
+        def run(d):
+            return jk.fs3_score_batch(d, lens, p3, nj=1.0)
 
     np.asarray(run(batches[0]))         # compile + warm
     t0 = time.perf_counter()
