@@ -203,6 +203,14 @@ def extract_orfs(gcode: GeneticCode, dsq: np.ndarray, *,
     remaining open ORFs are flushed in frame order 0,1,2 at the end
     (ref: esl_gencode ProcessStart/Piece/End usage in bathsearch.c:385).
     """
+    # native C++ fast path (bath_tpu/native, src at native/src/bathio.cpp)
+    from . import native as _native
+    fast = _native.extract_orfs_native(
+        gcode, dsq, minlen=minlen, is_revcomp=is_revcomp,
+        require_initiator=require_initiator)
+    if fast is not None:
+        return fast
+
     L = len(dsq)
     orfs: list[Orf] = []
     aa_buf: list[list[int]] = [[], [], []]

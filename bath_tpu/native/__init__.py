@@ -1,0 +1,124 @@
+"""ctypes bindings for the native C++ host runtime (native/src/
+bathio.cpp): digitization, reverse complement, six-frame ORF
+extraction, frame translation.
+
+The native library is optional: every entry point has a pure-Python
+fallback (see gencode.extract_orfs), and the loader builds the .so on
+demand with g++ when it is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SO = os.path.join(_ROOT, "native", "libbathio.so")
+_SRC = os.path.join(_ROOT, "native", "src", "bathio.cpp")
+
+I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+I8P = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+U8P = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    try:
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
+                        _SRC], check=True, capture_output=True,
+                       timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.bio_digitize.restype = ctypes.c_int
+    lib.bio_digitize.argtypes = [ctypes.c_char_p, ctypes.c_int64, I8P,
+                                 I32P]
+    lib.bio_revcomp.restype = None
+    lib.bio_revcomp.argtypes = [I32P, ctypes.c_int64, I32P, I32P]
+    lib.bio_extract_orfs.restype = ctypes.c_int
+    lib.bio_extract_orfs.argtypes = [
+        I32P, ctypes.c_int64, I32P, U8P, U8P, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        I32P, I32P]
+    lib.bio_translate_frame.restype = None
+    lib.bio_translate_frame.argtypes = [
+        I32P, ctypes.c_int64, ctypes.c_int, I32P, U8P, ctypes.c_int,
+        I32P, ctypes.POINTER(ctypes.c_int64)]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# --- cached per-gencode native tables --------------------------------
+_MASKS_CACHE: dict[int, np.ndarray] = {}
+
+
+def nt_masks(abc) -> np.ndarray:
+    """[Kp] 4-bit masks of compatible canonical nucleotides."""
+    key = id(abc)
+    if key not in _MASKS_CACHE:
+        m = np.zeros(abc.Kp, dtype=np.uint8)
+        for x in range(abc.Kp):
+            bits = 0
+            for a in range(4):
+                if abc.degen[x, a]:
+                    bits |= 1 << a
+            m[x] = bits
+        _MASKS_CACHE[key] = m
+    return _MASKS_CACHE[key]
+
+
+def extract_orfs_native(gcode, dsq: np.ndarray, *, minlen: int = 20,
+                        is_revcomp: bool = False,
+                        require_initiator: bool = False):
+    """Native six-frame ORF extraction; returns list[Orf] identical to
+    gencode.extract_orfs, or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..gencode import Orf
+    dsq = np.ascontiguousarray(dsq, dtype=np.int32)
+    L = len(dsq)
+    basic = np.ascontiguousarray(gcode.basic, dtype=np.int32)
+    masks = nt_masks(gcode.nt_abc)
+    is_init = np.ascontiguousarray(
+        gcode.is_initiator.astype(np.uint8))
+    stop = gcode.aa_abc.Kp - 2
+    anyaa = gcode.aa_abc.Kp - 3
+    aa_out = np.empty(max(L, 4), dtype=np.int32)
+    meta = np.empty(4 * (L // 3 + 4), dtype=np.int32)
+    n = lib.bio_extract_orfs(dsq, L, basic, masks, is_init, stop,
+                             anyaa, minlen, int(require_initiator),
+                             int(is_revcomp), aa_out, meta)
+    orfs = []
+    off = 0
+    for i in range(n):
+        s, e, f, ln = meta[4 * i:4 * i + 4]
+        orfs.append(Orf(aa_out[off:off + ln].copy(), int(s), int(e),
+                        int(f)))
+        off += ln
+    return orfs

@@ -1,0 +1,63 @@
+"""Native C++ host runtime vs the pure-Python reference paths."""
+
+import numpy as np
+import pytest
+
+from bath_tpu import native
+from bath_tpu.alphabet import dna, revcomp
+from bath_tpu.gencode import GeneticCode, extract_orfs
+from bath_tpu.sequence import read_fasta
+
+TUT = "/root/reference/tutorial"
+
+
+@pytest.fixture(scope="module")
+def gcode():
+    g = GeneticCode.create(1)
+    g.set_initiator_any()
+    return g
+
+
+def _python_orfs(gcode, dsq, **kw):
+    """Force the pure-Python path by bypassing the native hook."""
+    import bath_tpu.gencode as gc
+    import bath_tpu.native as nat
+    lib = nat._LIB
+    tried = nat._TRIED
+    nat._LIB, nat._TRIED = None, True
+    try:
+        return extract_orfs(gcode, dsq, **kw)
+    finally:
+        nat._LIB, nat._TRIED = lib, tried
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib absent")
+def test_orfs_native_vs_python(gcode):
+    sq = read_fasta(f"{TUT}/target-AMP_N.fa", dna())[0]
+    for rc in (False, True):
+        d = revcomp(sq.dsq) if rc else sq.dsq
+        a = extract_orfs(gcode, d, minlen=20, is_revcomp=rc)
+        b = _python_orfs(gcode, d, minlen=20, is_revcomp=rc)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert (x.start, x.end, x.frame) == (y.start, y.end,
+                                                 y.frame)
+            assert np.array_equal(x.dsq, y.dsq)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib absent")
+def test_orfs_native_degenerate_and_minlen(gcode):
+    rng = np.random.default_rng(3)
+    d = rng.integers(0, 4, 5000).astype(np.int32)
+    # sprinkle degenerates and an N run
+    d[100:110] = 15
+    d[200] = 5
+    for kw in (dict(minlen=20), dict(minlen=1),
+               dict(minlen=20, require_initiator=True)):
+        a = extract_orfs(gcode, d, **kw)
+        b = _python_orfs(gcode, d, **kw)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert (x.start, x.end, x.frame) == (y.start, y.end,
+                                                 y.frame)
+            assert np.array_equal(x.dsq, y.dsq)
