@@ -39,6 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tblout", default=None)
     p.add_argument("--fstblout", default=None)
     p.add_argument("--exontblout", default=None)
+    p.add_argument("--qformat", default=None)
     p.add_argument("--splice", action="store_true")
     p.add_argument("--min_intron", type=int, default=13)
     p.add_argument("--max_intron", type=int, default=200000)
@@ -129,6 +130,46 @@ def output_header(ofp, args):
               "- - - - - - - -\n\n")
 
 
+def load_queries(path, args):
+    """Query open/autodetect: profile HMM file, MSA, or sequence(s)
+    (ref: bathsearch.c :552-632, p7_search_builder.c :98 — MSA/seq
+    queries are built + calibrated on the fly)."""
+    with open(path) as fh:
+        head = fh.read(256)
+    qfmt = getattr(args, "qformat", None)
+    if head.startswith(("BATH", "HMMER")):
+        yield from read_hmms(path)
+        return
+    from ..builder import BuilderConfig, build, single_build
+    from ..msa import read_stockholm
+    cfg = BuilderConfig(fs=True, ct=args.ct)
+    if head.startswith("# STOCKHOLM") or qfmt in ("stockholm", "sto"):
+        for msa in read_stockholm(path):
+            if not msa.name:
+                msa.name = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            yield build(msa, cfg)
+        return
+    if not head.lstrip().startswith(">"):
+        raise SystemExit(f"can't autodetect query format of {path}")
+    body = "".join(ln for ln in head.splitlines()[1:]
+                   if not ln.startswith(">"))
+    is_aligned = any(c in body for c in "-.")
+    if qfmt in ("afa",) or (is_aligned and qfmt is None):
+        from ..msa import read_afa
+        for msa in read_afa(path):
+            if not msa.name:
+                msa.name = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            yield build(msa, cfg)
+        return
+    from ..alphabet import amino
+    from ..sequence import read_fasta
+    for sq in read_fasta(path, amino()):
+        h = single_build(sq.dsq, sq.name, cfg)
+        if sq.desc:
+            h.desc = sq.desc
+        yield h
+
+
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
     ofp = open(args.outfile, "w") if args.outfile else sys.stdout
@@ -147,7 +188,7 @@ def run(argv=None) -> int:
     output_header(ofp, args)
 
     nquery = 0
-    for hmm in read_hmms(args.queryfile):
+    for hmm in load_queries(args.queryfile, args):
         nquery += 1
         t0 = time.time()
         if args.fs or args.fsonly:
