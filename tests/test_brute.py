@@ -305,3 +305,32 @@ def test_brute_forward_fs5(seed):
         brute = enumerate_forward_fs5(om, dsq)
         _, dp = ffs.forward_fs5(dsq, om)
         assert dp == pytest.approx(brute, abs=3e-4), (L, dp, brute)
+
+
+# ---------------------------------------------------------------------
+# Emission sanity (ref: emit.c usage in the reference's utests):
+# model-emitted sequences must score higher on average than random.
+# ---------------------------------------------------------------------
+def test_emitted_sequences_score_high():
+    from bath_tpu.emit import core_emit
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.rng import Randomness
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    r = Randomness(11)
+    gm = profile_config(hmm, bg, L=100)
+    om = oprofile_convert(gm)
+    emitted, rand = [], []
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        sq, _tr = core_emit(r, hmm)
+        if len(sq) == 0:
+            continue
+        om.reconfig_length(len(sq))
+        _, sc = fb.forward(sq.astype(np.int32), om)
+        emitted.append(sc - bg.null_one(len(sq)))
+        rs = rng.integers(0, 20, len(sq)).astype(np.int32)
+        _, sc2 = fb.forward(rs, om)
+        rand.append(sc2 - bg.null_one(len(rs)))
+    assert np.mean(emitted) > np.mean(rand) + 5.0
