@@ -313,8 +313,15 @@ def run(argv=None) -> int:
                                 F1=pli.F1, F2=pli.F2, F3=pli.F3,
                                 do_null2=pli.do_null2,
                                 do_biasfilter=pli.do_biasfilter)
-            splice_hits(th, None, om, gm, gm_tr, bg, gcode, seq_lookup,
-                        res_cnt, scfg)
+            # seed recovery (ref: bathsearch.c :930-933)
+            from ..splice.seeds import (get_seed_hits,
+                                        remove_duplicate_windows)
+            th.sort_by_seqidx_and_alipos()
+            ws = remove_duplicate_windows(hit_windows, th, pli.F3)
+            seeds = get_seed_hits(ws, th, gm_fs5, seq_lookup, pli.F3,
+                                  args.max_intron)
+            splice_hits(th, seeds, om, gm, gm_tr, bg, gcode,
+                        seq_lookup, res_cnt, scfg)
             for h in th.unsrt:
                 if h.seqidx in id_lengths:
                     h.target_len = id_lengths[h.seqidx]

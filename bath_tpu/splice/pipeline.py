@@ -54,9 +54,58 @@ def splice_hits(tophits, seeds, om, gm, gm1, bg, gcode, seq_lookup,
         for h in idxs:
             graph.add_node(tophits.hit[h], orig_idx=h)
         graph.anchor_N = graph.num_nodes
-        # seeds between anchors (ref: AddSeeds) — not yet implemented
+        if seeds is not None:
+            add_seeds(graph, seeds, cfg)
         splice_graph(graph, tophits, om, gm, gm1, bg, gcode, full_dsq,
                      db_nuc_cnt, cfg)
+
+
+def _hit_upstream(up, down, revcomp: bool) -> bool:
+    """ref: p7_splice_HitUpstream."""
+    if revcomp:
+        return up.iali > down.iali and up.jali > down.jali
+    return up.iali < down.iali and up.jali < down.jali
+
+
+def add_seeds(graph: SpliceGraph, seeds, cfg: SpliceConfig):
+    """Add F3-passing seed hits that lie between two anchors
+    (ref: p7_splice_AddSeeds :332)."""
+    if graph.anchor_N < 2:
+        return
+    for hit in seeds.unsrt:
+        d = hit.dcl[0]
+        if not d.is_reported:           # didn't pass forward
+            continue
+        if hit.seqidx != graph.seqidx:
+            continue
+        revcomp = d.iali > d.jali
+        if revcomp != graph.revcomp:
+            continue
+        placed = False
+        for h1 in range(graph.anchor_N):
+            a1 = graph.hits[h1].dcl[0]
+            if not _hit_upstream(d, a1, graph.revcomp):
+                continue
+            gap = (d.jali - a1.iali - 1) if graph.revcomp \
+                else (a1.iali - d.jali - 1)
+            if gap > cfg.max_intron:
+                continue
+            for h2 in range(graph.anchor_N):
+                if h2 == h1:
+                    continue
+                a2 = graph.hits[h2].dcl[0]
+                if not _hit_upstream(a2, d, graph.revcomp):
+                    continue
+                gap2 = (a2.jali - d.iali - 1) if graph.revcomp \
+                    else (d.iali - a2.jali - 1)
+                if gap2 > cfg.max_intron:
+                    continue
+                d.is_included = True
+                graph.add_node(hit, orig_idx=-1)
+                placed = True
+                break
+            if placed:
+                break
 
 
 def splice_graph(graph: SpliceGraph, tophits, om, gm, gm1, bg, gcode,
