@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--block_length", type=int,
                    default=C.BLOCK_LENGTH_DEFAULT)
+    p.add_argument("--restrictdb_stkey", default=None,
+                   help="search starts at the sequence named <key> "
+                        "(ref: bathsearch.c :143)")
+    p.add_argument("--restrictdb_n", type=int, default=-1,
+                   help="search at most <n> sequences from stkey")
     p.add_argument("--backend", default="numpy",
                    choices=["numpy", "jax"],
                    help="compute backend for the filter cascade")
@@ -238,10 +243,47 @@ def run(argv=None) -> int:
             from ..pipeline_fs import pli_frameshift
             fs_funcs = pli_frameshift
 
+        msv_batch = None
+        if args.backend == "jax":
+            from ..ops.jaxk.msv_exact import MSVExact
+            msv_batch = MSVExact(om)
+
+        def batch_usc(orf_list):
+            """Batched exact MSV scores for a window's ORFs (device)."""
+            if msv_batch is None or not orf_list:
+                return None
+            from ..ops.jaxk.batch import pack_sequences
+            seqs = [o.dsq for o in orf_list]
+            # pad batch length to a bucket to limit recompiles
+            batch, lens = pack_sequences(seqs, pad_value=28)
+            Lb = max(64, 1 << int(np.ceil(np.log2(batch.shape[1]))))
+            if batch.shape[1] < Lb:
+                batch = np.pad(batch, ((0, 0), (0, Lb - batch.shape[1])),
+                               constant_values=28)
+            Bb = max(8, 1 << int(np.ceil(np.log2(batch.shape[0]))))
+            if batch.shape[0] < Bb:
+                batch = np.pad(batch, ((0, Bb - batch.shape[0]), (0, 0)),
+                               constant_values=28)
+                lens = np.pad(lens, (0, Bb - len(lens)),
+                              constant_values=1)
+            return msv_batch.scores(batch, lens)[:len(orf_list)]
+
         seqidx = 0
+        db_started = args.restrictdb_stkey is None
+        db_seqs_done = 0
         for window, is_last in read_windows(
                 args.dbfile, context=om.max_length * 3,
                 block_length=pli.block_length):
+            # --restrictdb: search a database slice (ref: :143-145)
+            if not db_started:
+                if window.name == args.restrictdb_stkey:
+                    db_started = True
+                else:
+                    continue
+            if args.restrictdb_n > 0 and db_seqs_done >= args.restrictdb_n:
+                break
+            if is_last:
+                db_seqs_done += 1
             if window.n < 15:
                 if is_last:
                     id_lengths[window.idx] = window.L
@@ -256,7 +298,8 @@ def run(argv=None) -> int:
                                     require_initiator=require_init)
                 pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5, data,
                               bg, th, seqid_for_hits, window, orfs, gcode,
-                              hit_windows, C.NOCOMPLEMENT, fs_funcs)
+                              hit_windows, C.NOCOMPLEMENT, fs_funcs,
+                              usc_pre=batch_usc(orfs))
             if pli.strands != C.STRAND_TOPONLY:
                 pli.nres += window.W
                 rc = window.reverse_complement()
@@ -265,7 +308,8 @@ def run(argv=None) -> int:
                                     require_initiator=require_init)
                 pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5, data,
                               bg, th, seqid_for_hits, rc, orfs, gcode,
-                              hit_windows, C.COMPLEMENT, fs_funcs)
+                              hit_windows, C.COMPLEMENT, fs_funcs,
+                              usc_pre=batch_usc(orfs))
             if is_last:
                 # true source length for assign_Lengths
                 id_lengths[window.idx] = window.start + window.n - 1

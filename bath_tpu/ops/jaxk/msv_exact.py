@@ -1,0 +1,140 @@
+"""Bit-exact batched SSV/MSV filter on device (ref:
+impl_sse/ssvfilter.c p7_SSVFilter :875, msvfilter.c p7_MSVFilter :76;
+numpy reference semantics in ops/reference/filters.py).
+
+The quantized filter arithmetic is integer, so the batched device
+version reproduces the scalar reference exactly: both the SSV
+fast path and the full MSV recurrence are computed for every item
+(branchless), and the reference's fallback rules are applied as
+selects.  This is the F1-gate batch kernel for `--backend jax`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ... import constants as C
+from .batch import round_up
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+
+@functools.partial(jax.jit, static_argnames=("Mp", "base", "tec",
+                                             "tbm", "bias"))
+def _ssv_msv_impl(dsq, lens, tjb, sbv, rbv, Mp, base, tec, tbm, bias,
+                  scale):
+    """Returns (score [B] f32, with +inf for overflow; the reference's
+    'no result' SSV cases fall through to the MSV result exactly)."""
+    B, L = dsq.shape
+
+    # ---------------- SSV (ref: ssvfilter.c :875) -------------------
+    def ssv_step(carry, xi):
+        d, xEu = carry
+        resi, i = xi
+        row = sbv[resi]                         # [B, Mp] int32
+        dshift = jnp.pad(d, ((0, 0), (1, 0)),
+                         constant_values=-128)[:, :-1]
+        d2 = jnp.clip(dshift - row, -128, 127)
+        active = (i < lens)[:, None]
+        d = jnp.where(active, d2, d)
+        u = jnp.where(active, d2 & 0xFF, 0)
+        xEu = jnp.maximum(xEu, u.max(axis=1))
+        return (d, xEu), None
+
+    d0 = jnp.full((B, Mp), -128, I32)
+    (_, xEu), _ = jax.lax.scan(
+        ssv_step, (d0, jnp.zeros(B, I32)),
+        (dsq.T, jnp.arange(L, dtype=I32)))
+
+    # SSV post-processing with uint16 wraparound (ref: filters.py)
+    no_ssv = (tjb + tbm + tec + bias) >= 127        # per-item [B]
+    xE1 = xEu
+    ovf1 = xE1 >= 255 - bias
+    none1 = base - tjb - tbm < 128                  # with ovf1 -> None
+    xE2 = (xE1 + base - tjb - tbm) & 0xFFFF
+    xE2 = (xE2 - 128) & 0xFFFF
+    ovf2 = xE2 >= 255 - bias
+    xJ = (xE2 - tec) & 0xFFFF
+    none2 = xJ > base
+    ssv_sc = ((xJ - tjb).astype(F32) - base) / scale - 3.0
+    ssv_sc = ssv_sc.astype(F32)
+    ssv_none = no_ssv | (ovf1 & none1) | none2
+    ssv_inf = (~ssv_none) & ((ovf1 & ~none1) | ovf2)
+
+    # ---------------- MSV (ref: msvfilter.c :76) --------------------
+    tjbm = (tjb + tbm) & 0xFF
+
+    def msv_step(carry, xi):
+        dp, xJm, xBm, overflow = carry
+        resi, i = xi
+        row = rbv[resi]
+        mpv = jnp.pad(dp, ((0, 0), (1, 0)))[:, :-1]
+        sv = jnp.maximum(mpv, xBm[:, None])
+        sv = jnp.minimum(sv + bias, 255)
+        sv = jnp.maximum(sv - row, 0)
+        xE = sv.max(axis=1)
+        ovf = xE + bias >= 255
+        xE = jnp.maximum(0, xE - tec)
+        xJ2 = jnp.maximum(xJm, xE)
+        xB2 = jnp.maximum(0, jnp.maximum(base, xJ2) - tjbm)
+        active = (i < lens)
+        dp = jnp.where(active[:, None], sv, dp)
+        xJm = jnp.where(active, xJ2, xJm)
+        xBm = jnp.where(active, xB2, xBm)
+        overflow = jnp.where(active, overflow | ovf, overflow)
+        return (dp, xJm, xBm, overflow), None
+
+    carry0 = (jnp.zeros((B, Mp), I32), jnp.zeros(B, I32),
+              jnp.maximum(0, base - tjbm), jnp.zeros(B, bool))
+    (_, xJm, _, movf), _ = jax.lax.scan(
+        msv_step, carry0, (dsq.T, jnp.arange(L, dtype=I32)))
+    msv_sc = ((xJm - tjb).astype(F32) - base) / scale - 3.0
+    msv_sc = jnp.where(movf, jnp.inf, msv_sc.astype(F32))
+
+    out = jnp.where(ssv_none, msv_sc,
+                    jnp.where(ssv_inf, jnp.inf, ssv_sc))
+    return out
+
+
+class MSVExact:
+    """Packs an OProfile for the exact batched filter."""
+
+    def __init__(self, om, lane_multiple: int = 128):
+        M, Kp = om.M, om.Kp
+        Mp = round_up(M, lane_multiple)
+        sbv = np.full((Kp, Mp), 127, np.int32)   # dead lanes: max cost
+        sbv[:, :M] = om.sbv[:, 1:M + 1].astype(np.int32)
+        rbv = np.full((Kp, Mp), 255, np.int32)
+        rbv[:, :M] = om.rbv[:, 1:M + 1].astype(np.int32)
+        self.Mp = Mp
+        self.sbv = jnp.asarray(sbv)
+        self.rbv = jnp.asarray(rbv)
+        self.base = int(om.base_b)
+        self.tec = int(om.tec_b)
+        self.tbm = int(om.tbm_b)
+        self.bias = int(om.bias_b)
+        self.scale = float(om.scale_b)
+        self._om = om
+
+    def tjb_for(self, lens: np.ndarray) -> np.ndarray:
+        return np.array([self._om._unbiased_byteify(
+            np.log(3.0 / (int(L) + 3.0))) for L in lens],
+            dtype=np.int32)
+
+    def scores(self, dsq_batch: np.ndarray, lens: np.ndarray
+               ) -> np.ndarray:
+        """[B, Lmax] padded digital aminos (pad 28=missing) + [B]
+        lengths -> [B] MSV scores identical to
+        ops.reference.filters.msv_filter per item."""
+        tjb = jnp.asarray(self.tjb_for(lens))
+        out = _ssv_msv_impl(jnp.asarray(dsq_batch, dtype=jnp.int32),
+                            jnp.asarray(lens, dtype=jnp.int32), tjb,
+                            self.sbv, self.rbv, self.Mp, self.base,
+                            self.tec, self.tbm, self.bias, self.scale)
+        return np.asarray(out)

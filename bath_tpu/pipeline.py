@@ -223,8 +223,12 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
                   bg: Background, hitlist: TopHits, seqidx: int,
                   dnasq: Sequence, orfs: list[Orf], gcode: GeneticCode,
                   hit_windows: list[Window], complementarity: int,
-                  fs_funcs=None) -> None:
-    """One DNA window vs one profile (ref: p7_Pipeline_BATH :1583)."""
+                  fs_funcs=None, usc_pre=None) -> None:
+    """One DNA window vs one profile (ref: p7_Pipeline_BATH :1583).
+
+    <usc_pre>: optional per-ORF MSV scores precomputed by the batched
+    device kernel (ops/jaxk/msv_exact, bit-exact vs msv_filter); when
+    given, the scalar MSV call is skipped."""
     if dnasq.n < 15 or not orfs:
         return
 
@@ -245,7 +249,10 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
         om.reconfig_length(orfsq.n)
         nullsc = bg.null_one(orfsq.n)
 
-        usc = msv_filter(orfsq.dsq, om)
+        if usc_pre is not None:
+            usc = float(usc_pre[idx])
+        else:
+            usc = msv_filter(orfsq.dsq, om)
         seqsc = (usc - nullsc) / C.CONST_LOG2
         P = float(stats.gumbel_surv(seqsc, om.evparam[C.EV_MMU],
                                     om.evparam[C.EV_MLAMBDA]))

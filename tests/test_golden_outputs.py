@@ -141,3 +141,32 @@ def test_pth2_tbl_cigar(tmp_path):
             if not l.startswith("#") or l.startswith("#-") or
             l.startswith("# hit")]
     assert got == want
+
+
+@pytest.mark.slow
+def test_amp_n_frameline(tmp_path):
+    ours = run_bathsearch(
+        ["--fs", "--frameline", f"{TUT}/AMP_N.bhmm",
+         f"{TUT}/target-AMP_N.fa"], tmp_path, "frameline.out")
+    a = strip_volatile(ours, True)
+    b = golden("AMP_N-frameline.out")
+    # alignment block must match byte-for-byte
+    amine = a[a.index("Alignment:"):a.index("Internal")]
+    bmine = b[b.index("Alignment:"):b.index("Internal")]
+    assert amine == bmine
+
+
+@pytest.mark.slow
+def test_pthr37536_nonsplice(tmp_path):
+    ours = run_bathsearch(
+        [f"{TUT}/PTHR37536.bhmm", f"{TUT}/target-PTHR37536.fa"],
+        tmp_path, "pthr.out")
+    # two hits with exact filter counts as in the splice golden's
+    # underlying search (coords from PTHR37536.out anchors)
+    assert "  seq1" in ours
+    scores = ours[ours.index("Scores for complete"):
+                  ours.index("Annotation")]
+    hits = [ln for ln in scores.splitlines()
+            if re.match(r"^ +[0-9.e-]+ +[0-9.]+ ", ln)]
+    assert len(hits) == 2
+    assert "119" in hits[0] and "478" in hits[0]

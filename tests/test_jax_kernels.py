@@ -82,3 +82,42 @@ def test_multichip_dryrun():
         capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dryrun_multichip(4): ok" in r.stdout
+
+
+def test_msv_exact_batch_bitparity(setup):
+    """Batched device SSV/MSV (--backend jax) is bit-exact vs the
+    scalar reference filter."""
+    from bath_tpu.ops.jaxk.msv_exact import MSVExact
+    from bath_tpu.ops.reference.filters import msv_filter
+
+    hmm, bg, om = setup
+    mx = MSVExact(om)
+    rng = np.random.default_rng(5)
+    seqs = [rng.integers(0, 20, L).astype(np.int32)
+            for L in (20, 33, 64, 150, 280)]
+    batch, lens = pack_sequences(seqs, pad_value=28)
+    got = mx.scores(batch, lens)
+    for s, g in zip(seqs, got):
+        om.reconfig_length(len(s))
+        ref = msv_filter(s, om)
+        assert g == ref or (np.isinf(g) and np.isinf(ref)), (len(s), g, ref)
+
+
+def test_backend_jax_golden_identical():
+    """bathsearch --backend jax output == --backend numpy output."""
+    import re
+    import subprocess
+    import sys
+
+    def run(backend):
+        r = subprocess.run(
+            [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+             "--backend", backend,
+             "/root/reference/tutorial/AMP_N.bhmm",
+             "/root/reference/tutorial/target-AMP_N.fa"],
+            capture_output=True, text=True, timeout=900,
+            cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
+
+    assert run("jax") == run("numpy")
