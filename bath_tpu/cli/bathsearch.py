@@ -78,6 +78,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref: bathsearch.c :143)")
     p.add_argument("--restrictdb_n", type=int, default=-1,
                    help="search at most <n> sequences from stkey")
+    p.add_argument("--hmmout", default=None,
+                   help="save HMMs built from MSA/seq queries to <f>")
+    p.add_argument("--tformat", default=None)
+    p.add_argument("--singlemx", action="store_true")
+    p.add_argument("--popen", type=float, default=0.02)
+    p.add_argument("--pextend", type=float, default=0.4)
+    p.add_argument("--w_beta", type=float, default=1e-7)
+    p.add_argument("--w_length", type=int, default=0)
+    p.add_argument("--cpu", type=int, default=0,
+                   help="accepted for compatibility; batching replaces "
+                        "the reference's worker threads")
     p.add_argument("--backend", default="numpy",
                    choices=["numpy", "jax"],
                    help="compute backend for the filter cascade")
@@ -147,12 +158,25 @@ def load_queries(path, args):
         return
     from ..builder import BuilderConfig, build, single_build
     from ..msa import read_stockholm
-    cfg = BuilderConfig(fs=True, ct=args.ct)
+    cfg = BuilderConfig(fs=True, ct=args.ct,
+                        popen=getattr(args, "popen", 0.02),
+                        pextend=getattr(args, "pextend", 0.4),
+                        w_beta=getattr(args, "w_beta", 1e-7),
+                        w_len=getattr(args, "w_length", 0))
+    hmmout = getattr(args, "hmmout", None)
+    hfp = open(hmmout, "w") if hmmout else None
+
+    def emit(h):
+        if hfp is not None:
+            from ..hmmfile import write_hmm
+            write_hmm(hfp, h)
+            hfp.flush()
+        return h
     if head.startswith("# STOCKHOLM") or qfmt in ("stockholm", "sto"):
         for msa in read_stockholm(path):
             if not msa.name:
                 msa.name = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-            yield build(msa, cfg)
+            yield emit(build(msa, cfg))
         return
     if not head.lstrip().startswith(">"):
         raise SystemExit(f"can't autodetect query format of {path}")
@@ -164,7 +188,7 @@ def load_queries(path, args):
         for msa in read_afa(path):
             if not msa.name:
                 msa.name = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-            yield build(msa, cfg)
+            yield emit(build(msa, cfg))
         return
     from ..alphabet import amino
     from ..sequence import read_fasta
@@ -172,7 +196,9 @@ def load_queries(path, args):
         h = single_build(sq.dsq, sq.name, cfg)
         if sq.desc:
             h.desc = sq.desc
-        yield h
+        yield emit(h)
+    if hfp is not None:
+        hfp.close()
 
 
 def run(argv=None) -> int:
