@@ -269,19 +269,17 @@ def run(argv=None) -> int:
             from ..pipeline_fs import pli_frameshift
             fs_funcs = pli_frameshift
 
-        msv_batch = None
+        msv_batch = vit_batch = None
         if args.backend == "jax":
-            from ..ops.jaxk.msv_exact import MSVExact
+            from ..ops.jaxk.msv_exact import MSVExact, VitExact
             msv_batch = MSVExact(om)
+            vit_batch = VitExact(om)
 
-        def batch_usc(orf_list):
-            """Batched exact MSV scores for a window's ORFs (device)."""
-            if msv_batch is None or not orf_list:
-                return None
+        def _bucketed(orf_list):
             from ..ops.jaxk.batch import pack_sequences
             seqs = [o.dsq for o in orf_list]
-            # pad batch length to a bucket to limit recompiles
             batch, lens = pack_sequences(seqs, pad_value=28)
+            # pad to power-of-two buckets to limit recompiles
             Lb = max(64, 1 << int(np.ceil(np.log2(batch.shape[1]))))
             if batch.shape[1] < Lb:
                 batch = np.pad(batch, ((0, 0), (0, Lb - batch.shape[1])),
@@ -292,7 +290,21 @@ def run(argv=None) -> int:
                                constant_values=28)
                 lens = np.pad(lens, (0, Bb - len(lens)),
                               constant_values=1)
+            return batch, lens
+
+        def batch_usc(orf_list):
+            """Batched exact MSV scores for a window's ORFs (device)."""
+            if msv_batch is None or not orf_list:
+                return None
+            batch, lens = _bucketed(orf_list)
             return msv_batch.scores(batch, lens)[:len(orf_list)]
+
+        def batch_vfsc(orf_list):
+            """Batched exact ViterbiFilter scores (device)."""
+            if vit_batch is None or not orf_list:
+                return None
+            batch, lens = _bucketed(orf_list)
+            return vit_batch.scores(batch, lens)[:len(orf_list)]
 
         seqidx = 0
         db_started = args.restrictdb_stkey is None
@@ -325,7 +337,8 @@ def run(argv=None) -> int:
                 pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5, data,
                               bg, th, seqid_for_hits, window, orfs, gcode,
                               hit_windows, C.NOCOMPLEMENT, fs_funcs,
-                              usc_pre=batch_usc(orfs))
+                              usc_pre=batch_usc(orfs),
+                              vfsc_pre=batch_vfsc(orfs))
             if pli.strands != C.STRAND_TOPONLY:
                 pli.nres += window.W
                 rc = window.reverse_complement()
@@ -335,7 +348,8 @@ def run(argv=None) -> int:
                 pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5, data,
                               bg, th, seqid_for_hits, rc, orfs, gcode,
                               hit_windows, C.COMPLEMENT, fs_funcs,
-                              usc_pre=batch_usc(orfs))
+                              usc_pre=batch_usc(orfs),
+                              vfsc_pre=batch_vfsc(orfs))
             if is_last:
                 # true source length for assign_Lengths
                 id_lengths[window.idx] = window.start + window.n - 1

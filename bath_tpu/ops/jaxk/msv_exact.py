@@ -138,3 +138,150 @@ class MSVExact:
                             self.sbv, self.rbv, self.Mp, self.base,
                             self.tec, self.tbm, self.bias, self.scale)
         return np.asarray(out)
+
+
+@functools.partial(jax.jit, static_argnames=("Mp", "base", "ddbound",
+                                             "scale", "emove",
+                                             "eloop"))
+def _vitfilter_impl(dsq, lens, rwv, tBM, tMM, tIM, tDM, tMD, tDD, tMI,
+                    tII, move_w, Mp, base, ddbound, scale, emove,
+                    eloop):
+    """Batched ViterbiFilter scores, int32 with int16-saturation
+    semantics (ref: impl_sse/vitfilter.c :39; numpy port in
+    ops/reference/filters.viterbi_filter).  The lazy-F DD closure is
+    replaced by an unconditional max-plus scan (identical results; the
+    laziness is a CPU shortcut)."""
+    B, L = dsq.shape
+    NEG = -32768
+
+    def sat(x):
+        return jnp.clip(x, -32768, 32767)
+
+    # the -3nat approximation: N/C/J LOOP word scores are 0; the
+    # MOVE scores are per-item (length model), E scores static
+    nloop = jloop = cloop = 0
+    nmove = jmove = cmove = move_w          # [B] int32
+
+    def shift(x):
+        return jnp.pad(x, ((0, 0), (1, 0)),
+                       constant_values=NEG)[:, :-1]
+
+    def ddscan(part):
+        # dd[k] = max(part[k], dd[k-1] + tDD[k]) along lanes
+        a = jnp.broadcast_to(jnp.pad(tDD, (1, 0),
+                                     constant_values=NEG)[:-1][None, :],
+                             part.shape)
+
+        def combine(x, y):
+            a1, b1 = x
+            a2, b2 = y
+            return sat(a1 + a2), jnp.maximum(sat(b1 + a2), b2)
+
+        _, dd = jax.lax.associative_scan(combine, (a, part), axis=1)
+        return dd
+
+    def step(carry, xi):
+        dm, di, dd, xN, xJ, xC, xB, ovf, score = carry
+        resi, i = xi
+        row = rwv[resi]
+        mp, ip, dp = shift(dm), shift(di), shift(dd)
+        sv = sat(xB[:, None] + tBM)
+        sv = jnp.maximum(sv, sat(mp + tMM))
+        sv = jnp.maximum(sv, sat(ip + tIM))
+        sv = jnp.maximum(sv, sat(dp + tDM))
+        sv = sat(sv + row)
+        xE = sv.max(axis=1)
+        ovf2 = xE >= 32767
+        new_i = jnp.maximum(sat(dm + tMI), sat(di + tII))
+        part = sat(shift(sv) + jnp.pad(tMD, (1, 0),
+                                       constant_values=NEG)[:-1])
+        new_d = ddscan(part)
+        xN2 = xN + nloop
+        xC2 = jnp.maximum(xC + cloop, xE + emove)
+        xJ2 = jnp.maximum(xJ + jloop, xE + eloop)
+        xB2 = jnp.maximum(xJ2 + jmove, xN2 + nmove)
+        xB2 = sat(xB2)
+        active = (i < lens)
+        am = active[:, None]
+        dm = jnp.where(am, sv, dm)
+        di = jnp.where(am, new_i, di)
+        dd = jnp.where(am, new_d, dd)
+        xN = jnp.where(active, xN2, xN)
+        xJ = jnp.where(active, xJ2, xJ)
+        xC = jnp.where(active, xC2, xC)
+        xB = jnp.where(active, xB2, xB)
+        ovf = jnp.where(active, ovf | ovf2, ovf)
+        done = (i + 1 == lens)
+        fin = jnp.where(
+            xC2 > NEG,
+            ((xC2 + cmove).astype(F32) - base) / scale - 3.0,
+            -jnp.inf)
+        score = jnp.where(done, fin.astype(F32), score)
+        return (dm, di, dd, xN, xJ, xC, xB, ovf, score), None
+
+    neg = jnp.full((B, Mp), NEG, I32)
+    carry0 = (neg, neg, neg,
+              jnp.full(B, base, I32),
+              jnp.full(B, NEG, I32),
+              jnp.full(B, NEG, I32),
+              base + nmove,
+              jnp.zeros(B, bool),
+              jnp.full(B, -jnp.inf, F32))
+    (_, _, _, _, _, _, _, ovf, score), _ = jax.lax.scan(
+        step, carry0, (dsq.T, jnp.arange(L, dtype=I32)))
+    return jnp.where(ovf, jnp.inf, score)
+
+
+class VitExact:
+    """Packs an OProfile for the exact batched Viterbi filter."""
+
+    def __init__(self, om, lane_multiple: int = 128):
+        M, Kp = om.M, om.Kp
+        Mp = round_up(M, lane_multiple)
+        NEG = -32768
+        rwv = np.full((Kp, Mp), NEG, np.int32)
+        rwv[:, :M] = om.rwv[:, 1:M + 1].astype(np.int32)
+        twv = om.twv.astype(np.int32)
+
+        def pad(v, fill=NEG):
+            out = np.full(Mp, fill, np.int32)
+            out[:len(v)] = v
+            return jnp.asarray(out)
+
+        self.Mp = Mp
+        self.rwv = jnp.asarray(rwv)
+        self.tBM = pad(twv[:M, C.P_BM])
+        self.tMM = pad(twv[:M, C.P_MM])
+        self.tIM = pad(twv[:M, C.P_IM])
+        self.tDM = pad(twv[:M, C.P_DM])
+        # slot j holds the transition into slot j+1 region as in the
+        # scalar port: tMD[k]/tDD[k] used at target slot k
+        self.tMD = pad(twv[1:M, C.P_MD])
+        self.tDD = pad(twv[1:M, C.P_DD])
+        self.tMI = pad(twv[1:M + 1, C.P_MI])
+        self.tII = pad(twv[1:M + 1, C.P_II])
+        self.base = int(om.base_w)
+        self.ddbound = int(om.ddbound_w)
+        self.scale = float(om.scale_w)
+        self.emove = int(om.xw[C.X_E, C.MOVE])
+        self.eloop = int(om.xw[C.X_E, C.LOOP])
+        self._om = om
+
+    def move_for(self, lens: np.ndarray) -> np.ndarray:
+        from ...oprofile import _wordify
+        nj = 1.0
+        out = np.empty(len(lens), np.int32)
+        for i, L in enumerate(lens):
+            pmove = (np.float32(2.0) + np.float32(nj)) / (
+                np.float32(int(L)) + np.float32(2.0) + np.float32(nj))
+            out[i] = _wordify(self.scale, np.log(pmove))
+        return out
+
+    def scores(self, dsq_batch, lens) -> np.ndarray:
+        move_w = jnp.asarray(self.move_for(np.asarray(lens)))
+        return np.asarray(_vitfilter_impl(
+            jnp.asarray(dsq_batch, dtype=jnp.int32),
+            jnp.asarray(lens, dtype=jnp.int32), self.rwv, self.tBM,
+            self.tMM, self.tIM, self.tDM, self.tMD, self.tDD,
+            self.tMI, self.tII, move_w, self.Mp, self.base,
+            self.ddbound, self.scale, self.emove, self.eloop))

@@ -223,7 +223,7 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
                   bg: Background, hitlist: TopHits, seqidx: int,
                   dnasq: Sequence, orfs: list[Orf], gcode: GeneticCode,
                   hit_windows: list[Window], complementarity: int,
-                  fs_funcs=None, usc_pre=None) -> None:
+                  fs_funcs=None, usc_pre=None, vfsc_pre=None) -> None:
     """One DNA window vs one profile (ref: p7_Pipeline_BATH :1583).
 
     <usc_pre>: optional per-ORF MSV scores precomputed by the batched
@@ -275,6 +275,16 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
 
         old_window_cnt = len(hit_windows)
         if P > pli.F2:
+            if vfsc_pre is not None:
+                # gate on the batched device score first; only
+                # survivors re-run the scalar filter for window capture
+                vfsc = float(vfsc_pre[idx])
+                seqsc = (vfsc - filtersc) / C.CONST_LOG2
+                P = float(stats.gumbel_surv(
+                    seqsc, om.evparam[C.EV_VMU],
+                    om.evparam[C.EV_VLAMBDA]))
+                if P > pli.F2:
+                    continue
             vfsc = viterbi_filter(orfsq.dsq, om, data, filtersc, pli.F2,
                                   hit_windows)
             seqsc = (vfsc - filtersc) / C.CONST_LOG2
