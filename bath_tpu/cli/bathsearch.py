@@ -91,7 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the reference's worker threads")
     p.add_argument("--backend", default="numpy",
                    choices=["numpy", "jax"],
-                   help="compute backend for the filter cascade")
+                   help="filter-cascade backend: numpy (scalar exact "
+                        "reference path; fastest for small/medium "
+                        "windows) or jax (bit-exact batched device "
+                        "gates; wins on very large windows/batches)")
     return p
 
 
@@ -275,36 +278,50 @@ def run(argv=None) -> int:
             msv_batch = MSVExact(om)
             vit_batch = VitExact(om)
 
-        def _bucketed(orf_list):
-            from ..ops.jaxk.batch import pack_sequences
-            seqs = [o.dsq for o in orf_list]
-            batch, lens = pack_sequences(seqs, pad_value=28)
-            # pad to power-of-two buckets to limit recompiles
-            Lb = max(64, 1 << int(np.ceil(np.log2(batch.shape[1]))))
-            if batch.shape[1] < Lb:
-                batch = np.pad(batch, ((0, 0), (0, Lb - batch.shape[1])),
-                               constant_values=28)
-            Bb = max(8, 1 << int(np.ceil(np.log2(batch.shape[0]))))
-            if batch.shape[0] < Bb:
-                batch = np.pad(batch, ((0, Bb - batch.shape[0]), (0, 0)),
-                               constant_values=28)
-                lens = np.pad(lens, (0, Bb - len(lens)),
-                              constant_values=1)
-            return batch, lens
+        # fixed-shape buckets: every device call uses one of a small
+        # set of (B, L) shapes so each kernel compiles a handful of
+        # times per query, then streams (the reference's analogue is
+        # its fixed 256KiB block size, bathsearch.c:31)
+        BUCKET_B = 256
+        BUCKET_LS = (64, 128, 256, 512, 1024, 2048, 4096, 16384)
+        MIN_DEVICE_ORFS = 512   # below this, scalar path is faster
+
+        def _run_bucketed(scorer, orf_list):
+            out = np.empty(len(orf_list), np.float32)
+            order = sorted(range(len(orf_list)),
+                           key=lambda i: orf_list[i].n)
+            groups = {}
+            for i in order:
+                L = orf_list[i].n
+                Lb = next(b for b in BUCKET_LS if b >= L)
+                groups.setdefault(Lb, []).append(i)
+            for Lb, idxs in groups.items():
+                for c0 in range(0, len(idxs), BUCKET_B):
+                    chunk = idxs[c0:c0 + BUCKET_B]
+                    batch = np.full((BUCKET_B, Lb), 28, np.int32)
+                    lens = np.ones(BUCKET_B, np.int32)
+                    for r, i in enumerate(chunk):
+                        d = orf_list[i].dsq
+                        batch[r, :len(d)] = d
+                        lens[r] = len(d)
+                    sc = scorer(batch, lens)
+                    for r, i in enumerate(chunk):
+                        out[i] = sc[r]
+            return out
 
         def batch_usc(orf_list):
             """Batched exact MSV scores for a window's ORFs (device)."""
-            if msv_batch is None or not orf_list:
+            if msv_batch is None or len(orf_list) < MIN_DEVICE_ORFS:
                 return None
-            batch, lens = _bucketed(orf_list)
-            return msv_batch.scores(batch, lens)[:len(orf_list)]
+            return _run_bucketed(msv_batch.scores, orf_list)
 
         def batch_vfsc(orf_list):
-            """Batched exact ViterbiFilter scores (device)."""
-            if vit_batch is None or not orf_list:
+            """Batched exact ViterbiFilter scores (device): only pays
+            off for very large windows (the F2 gate sees ~2% of ORFs,
+            so the scalar filter usually wins)."""
+            if vit_batch is None or len(orf_list) < 8 * MIN_DEVICE_ORFS:
                 return None
-            batch, lens = _bucketed(orf_list)
-            return vit_batch.scores(batch, lens)[:len(orf_list)]
+            return _run_bucketed(vit_batch.scores, orf_list)
 
         seqidx = 0
         db_started = args.restrictdb_stkey is None
