@@ -1,0 +1,316 @@
+"""Stochastic-trace ensemble resolution of multidomain regions
+(ref: p7_domaindef.c region_trace_ensemble :~530,
+generic_stotrace.c p7_GStochasticTrace :42, p7_spensemble.c
+p7_spensemble_Cluster :321, generic_null2.c p7_GNull2_ByTrace).
+
+A multidomain region's Forward matrix is sampled <nsamples> times;
+sampled domain segments are single-linkage clustered (overlap +
+diagonal rules), significant clusters become envelopes with consensus
+endpoints, and the ensemble also yields per-position null2 odds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import constants as C
+from .oprofile import OProfile
+from .ops.reference import fwdback as fb
+from .ops.reference.fwdback import PMatrix, Trace
+from .rng import Randomness
+
+F32 = np.float32
+
+
+# ---------------------------------------------------------------------
+# Stochastic traceback from a full Forward matrix
+# ---------------------------------------------------------------------
+def stochastic_trace(r: Randomness, dsq: np.ndarray, om: OProfile,
+                     oxf: PMatrix) -> Trace:
+    """Sample one state path from P(path | seq) using the scaled
+    prob-space Forward matrix (ref: p7_GStochasticTrace :42 semantics;
+    sparse-rescale corrections for cross-row selections)."""
+    L, M = oxf.L, oxf.M
+    xf = om.xf
+    tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = fb._trans_views(om)
+    rfv = om.rfv
+    mm, im, dm = oxf.mm, oxf.im, oxf.dm
+    scale = oxf.scale
+    tr = Trace()
+    tr.append(C.T_T, 0, 0)
+    tr.append(C.T_C, 0, 0)
+
+    def choose(weights):
+        tot = float(sum(weights))
+        if tot <= 0:
+            return 0
+        roll = r.random() * tot
+        s = 0.0
+        for a, w in enumerate(weights):
+            s += w
+            if roll < s:
+                return a
+        return len(weights) - 1
+
+    i = L
+    k = 0
+    st = C.T_C
+    while st != C.T_S:
+        if st == C.T_C:
+            w_loop = float(oxf.xC[i - 1]) * float(xf[C.X_C, C.LOOP]) \
+                / float(scale[i]) if i > 0 else 0.0
+            w_move = float(oxf.xE[i]) * float(xf[C.X_E, C.MOVE])
+            nxt = (C.T_C, C.T_E)[choose((w_loop, w_move))]
+            if nxt == C.T_C:
+                i -= 1
+        elif st == C.T_E:
+            # local exit from any M or D at row i
+            wts = np.concatenate([mm[i][1:], dm[i][1:]])
+            sel = choose(wts)
+            if sel < M:
+                nxt, k = C.T_M, sel + 1
+            else:
+                nxt, k = C.T_D, sel - M + 1
+        elif st == C.T_M:
+            w = (float(oxf.xB[i - 1]) * float(tBM[k]),
+                 float(mm[i - 1][k - 1]) * float(tMM[k]),
+                 float(im[i - 1][k - 1]) * float(tIM[k]),
+                 float(dm[i - 1][k - 1]) * float(tDM[k]))
+            nxt = (C.T_B, C.T_M, C.T_I, C.T_D)[choose(w)]
+            i -= 1
+            k -= 1
+        elif st == C.T_D:
+            w = (float(mm[i][k - 1]) * float(tMD[k]),
+                 float(dm[i][k - 1]) * float(tDD[k]))
+            nxt = (C.T_M, C.T_D)[choose(w)]
+            k -= 1
+        elif st == C.T_I:
+            w = (float(mm[i - 1][k]) * float(tMI[k]),
+                 float(im[i - 1][k]) * float(tII[k]))
+            nxt = (C.T_M, C.T_I)[choose(w)]
+            i -= 1
+        elif st == C.T_B:
+            w_nmove = float(oxf.xN[i]) * float(xf[C.X_N, C.MOVE])
+            w_jmove = float(oxf.xJ[i]) * float(xf[C.X_J, C.MOVE])
+            nxt = (C.T_N, C.T_J)[choose((w_nmove, w_jmove))]
+        elif st == C.T_J:
+            w_loop = float(oxf.xJ[i - 1]) * float(xf[C.X_J, C.LOOP]) \
+                / float(scale[i]) if i > 0 else 0.0
+            w_move = float(oxf.xE[i]) * float(xf[C.X_E, C.LOOP])
+            nxt = (C.T_J, C.T_E)[choose((w_loop, w_move))]
+            if nxt == C.T_J:
+                i -= 1
+        elif st == C.T_N:
+            nxt = C.T_S if i == 0 else C.T_N
+            if nxt == C.T_N:
+                i -= 1
+        else:
+            raise RuntimeError("bogus state in stochastic trace")
+        if nxt == C.T_M:
+            tr.append(nxt, k, i)
+        elif nxt == C.T_I:
+            tr.append(nxt, k, i)
+        elif nxt == C.T_D:
+            tr.append(nxt, k, 0)
+        else:
+            tr.append(nxt, 0, 0 if nxt == C.T_S else i)
+        st = nxt
+    tr.reverse()
+    tr.M, tr.L = M, L
+    return tr
+
+
+def null2_by_trace(om: OProfile, tr: Trace, z1: int, z2: int
+                   ) -> np.ndarray:
+    """Null2 odds ratios from one trace segment
+    (ref: p7_GNull2_ByTrace :~60)."""
+    M, K = om.M, 20
+    musage = np.zeros(M + 1, F32)
+    iusage = np.zeros(M + 1, F32)
+    xfactor = 0.0
+    Ld = 0
+    for z in range(z1, z2 + 1):
+        s = tr.st[z]
+        if s == C.T_M:
+            Ld += 1
+            musage[tr.k[z]] += 1.0
+        elif s == C.T_I:
+            Ld += 1
+            iusage[tr.k[z]] += 1.0
+        elif s in (C.T_N, C.T_C, C.T_J):
+            if z > 0 and tr.st[z - 1] == s:
+                Ld += 1
+                xfactor += 1.0
+    if Ld == 0:
+        return np.ones(om.Kp, F32)
+    musage /= Ld
+    iusage /= Ld
+    xfactor /= Ld
+    null2 = np.zeros(om.Kp, F32)
+    # M/I emission odds; insert odds are 1 in H3
+    null2[:K] = musage[1:M + 1] @ om.rfv[:K, 1:M + 1].T
+    null2[:K] += iusage[1:M].sum() * 1.0
+    null2[:K] += xfactor
+    from .alphabet import amino
+    null2 = fb.finish_null2(null2, amino())
+    return null2
+
+
+# ---------------------------------------------------------------------
+# Single-linkage clustering of sampled segments
+# ---------------------------------------------------------------------
+def _link(h1, h2, min_overlap, of_smaller, max_diagdiff) -> bool:
+    """ref: p7_spensemble.c link_spsamples :191."""
+    _, i1, j1, k1, m1 = h1
+    _, i2, j2, k2, m2 = h2
+    nov = min(j1, j2) - max(i1, i2) + 1
+    n = min(j1 - i1 + 1, j2 - i2 + 1) if of_smaller \
+        else max(j1 - i1 + 1, j2 - i2 + 1)
+    if n <= 0 or nov / n < min_overlap:
+        return False
+    nov = min(m1, m2) - max(k1, k2)
+    n = min(m1 - k1 + 1, m2 - k2 + 1) if of_smaller \
+        else max(m1 - k1 + 1, m2 - k2 + 1)
+    if n <= 0 or nov / n < min_overlap:
+        return False
+    if abs((i1 - k1) - (i2 - k2)) <= max_diagdiff:
+        return True
+    if abs((j1 - m1) - (j2 - m2)) <= max_diagdiff:
+        return True
+    return False
+
+
+def cluster_segments(samples, nsamples, min_overlap, of_smaller,
+                     max_diagdiff, min_posterior, min_endpointp):
+    """Single-linkage cluster sampled (t, i, j, k, m) segments;
+    return significant clusters' consensus coords
+    [(i, j, k, m, prob)] sorted by i (ref: p7_spensemble_Cluster)."""
+    n = len(samples)
+    if n == 0:
+        return []
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a in range(n):
+        for b in range(a + 1, n):
+            if _link(samples[a], samples[b], min_overlap, of_smaller,
+                     max_diagdiff):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+    clusters: dict[int, list[int]] = {}
+    for a in range(n):
+        clusters.setdefault(find(a), []).append(a)
+
+    sigc = []
+    for members in clusters.values():
+        # posterior prob: distinct sample indices in the cluster
+        ninc = len({samples[h][0] for h in members})
+        if ninc / nsamples < min_posterior:
+            continue
+        epc_threshold = math.ceil(ninc * min_endpointp)
+
+        def consensus(vals, leftmost):
+            vmin, vmax = min(vals), max(vals)
+            counts = np.zeros(vmax - vmin + 1, np.int64)
+            for v in vals:
+                counts[v - vmin] += 1
+            rng_iter = range(vmin, vmax + 1) if leftmost \
+                else range(vmax, vmin - 1, -1)
+            for v in rng_iter:
+                if counts[v - vmin] >= epc_threshold:
+                    return v
+            return vmin + int(np.argmax(counts))
+
+        best_i = consensus([samples[h][1] for h in members], True)
+        best_j = consensus([samples[h][2] for h in members], False)
+        best_k = consensus([samples[h][3] for h in members], True)
+        best_m = consensus([samples[h][4] for h in members], False)
+        if best_i > best_j or best_k > best_m:
+            continue
+        sigc.append((best_i, best_j, best_k, best_m, ninc / nsamples))
+    sigc.sort(key=lambda s: s[0])
+    return sigc
+
+
+# ---------------------------------------------------------------------
+# The region resolver used by domaindef
+# ---------------------------------------------------------------------
+def region_trace_ensemble(ddef, om: OProfile, orfsq, ireg: int,
+                          jreg: int, saveL: int):
+    """Resolve a multidomain region into envelopes and set the
+    region's n2sc null2 scores (ref: region_trace_ensemble; the
+    returned envelopes are ORF coords).  Returns None on failure so
+    the caller falls back to a single envelope."""
+    Lr = jreg - ireg + 1
+    r = Randomness(ddef.seed)      # do_reseeding: reset per region
+    om.reconfig_multihit(saveL)
+    try:
+        sub = orfsq.dsq[ireg - 1:jreg]
+        oxf, _ = fb.forward(sub, om, full=True)
+    except fb.RangeError:
+        _restore_unihit(om, saveL)
+        return None
+    n2acc = np.zeros(Lr, np.float64)
+    samples = []
+    for t in range(ddef.nsamples):
+        tr = stochastic_trace(r, sub, om, oxf)
+        tr.index()
+        pos = 1
+        for d in range(tr.ndom):
+            samples.append((t, tr.sqfrom[d] + ireg - 1,
+                            tr.sqto[d] + ireg - 1,
+                            tr.hmmfrom[d], tr.hmmto[d]))
+            null2 = null2_by_trace(om, tr, tr.tfrom[d], tr.tto[d])
+            while pos <= tr.sqfrom[d]:
+                n2acc[pos - 1] += 1.0
+                pos += 1
+            while pos <= tr.sqto[d]:
+                n2acc[pos - 1] += float(null2[sub[pos - 1]])
+                pos += 1
+        while pos <= Lr:
+            n2acc[pos - 1] += 1.0
+            pos += 1
+    ddef.n2sc[ireg:jreg + 1] = np.log(
+        np.maximum(n2acc / ddef.nsamples, 1e-30)).astype(F32)
+
+    sigc = cluster_segments(samples, ddef.nsamples, ddef.min_overlap,
+                            ddef.of_smaller, ddef.max_diagdiff,
+                            ddef.min_posterior, ddef.min_endpointp)
+    # remove dominated overlapping clusters (ref: region_trace_ensemble
+    # :~575: >= 80% seq overlap of the smaller -> keep higher prob)
+    keep = [True] * len(sigc)
+    for d in range(len(sigc)):
+        for d2 in range(d + 1, len(sigc)):
+            nov = min(sigc[d][1], sigc[d2][1]) \
+                - max(sigc[d][0], sigc[d2][0]) + 1
+            if nov <= 0:
+                break
+            nmin = min(sigc[d][1] - sigc[d][0] + 1,
+                       sigc[d2][1] - sigc[d2][0] + 1)
+            if nov / nmin >= 0.8:
+                if sigc[d][4] > sigc[d2][4]:
+                    keep[d2] = False
+                else:
+                    keep[d] = False
+    envs = [(s[0], s[1]) for s, k in zip(sigc, keep) if k]
+    _restore_unihit(om, saveL)
+    return envs if envs else None
+
+
+def _restore_unihit(om, saveL):
+    om.nj = 0.0
+    om.xf[C.X_E, C.MOVE] = 1.0
+    om.xf[C.X_E, C.LOOP] = 0.0
+    if om.xw is not None:
+        om.xw[C.X_E, C.MOVE] = 0
+        om.xw[C.X_E, C.LOOP] = -32768
+    om.reconfig_rest_length(saveL)
+    om.reconfig_msv_length(saveL)

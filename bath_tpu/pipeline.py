@@ -380,9 +380,11 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
                 oxb, _ = fb.backward(orfsq.dsq, om, oxf, full=False)
             except RangeError:
                 continue
+            from .ensemble import region_trace_ensemble
             by_posterior_heuristics_bath(orfsq, windowsq, dnasq.n, om,
                                          gm_fs5, oxf, oxb, pli.ddef,
-                                         amino())
+                                         amino(),
+                                         ensemble_fn=region_trace_ensemble)
             if pli.ddef.nregions == 0 or pli.ddef.nenvelopes == 0:
                 pli.ddef.reuse()
                 continue
