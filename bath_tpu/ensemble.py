@@ -161,8 +161,11 @@ def null2_by_trace(om: OProfile, tr: Trace, z1: int, z2: int
 # ---------------------------------------------------------------------
 # Single-linkage clustering of sampled segments
 # ---------------------------------------------------------------------
-def _link(h1, h2, min_overlap, of_smaller, max_diagdiff) -> bool:
-    """ref: p7_spensemble.c link_spsamples :191."""
+def _link(h1, h2, min_overlap, of_smaller, max_diagdiff,
+          fs=False) -> bool:
+    """ref: p7_spensemble.c link_spsamples :191 (fs variant
+    link_spsamples_fs :227 divides seq coords by 3 in the diagonal
+    test)."""
     _, i1, j1, k1, m1 = h1
     _, i2, j2, k2, m2 = h2
     nov = min(j1, j2) - max(i1, i2) + 1
@@ -175,6 +178,12 @@ def _link(h1, h2, min_overlap, of_smaller, max_diagdiff) -> bool:
         else max(m1 - k1 + 1, m2 - k2 + 1)
     if n <= 0 or nov / n < min_overlap:
         return False
+    if fs:
+        if abs((i1 // 3 - k1) - (i2 // 3 - k2)) <= max_diagdiff:
+            return True
+        if abs((j1 // 3 - m1) - (j2 // 3 - m2)) <= max_diagdiff:
+            return True
+        return False
     if abs((i1 - k1) - (i2 - k2)) <= max_diagdiff:
         return True
     if abs((j1 - m1) - (j2 - m2)) <= max_diagdiff:
@@ -183,7 +192,8 @@ def _link(h1, h2, min_overlap, of_smaller, max_diagdiff) -> bool:
 
 
 def cluster_segments(samples, nsamples, min_overlap, of_smaller,
-                     max_diagdiff, min_posterior, min_endpointp):
+                     max_diagdiff, min_posterior, min_endpointp,
+                     fs=False):
     """Single-linkage cluster sampled (t, i, j, k, m) segments;
     return significant clusters' consensus coords
     [(i, j, k, m, prob)] sorted by i (ref: p7_spensemble_Cluster)."""
@@ -201,7 +211,7 @@ def cluster_segments(samples, nsamples, min_overlap, of_smaller,
     for a in range(n):
         for b in range(a + 1, n):
             if _link(samples[a], samples[b], min_overlap, of_smaller,
-                     max_diagdiff):
+                     max_diagdiff, fs):
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     parent[rb] = ra
@@ -314,3 +324,181 @@ def _restore_unihit(om, saveL):
         om.xw[C.X_E, C.LOOP] = -32768
     om.reconfig_rest_length(saveL)
     om.reconfig_msv_length(saveL)
+
+
+# ---------------------------------------------------------------------
+# Frameshift (5-codon) stochastic trace + region ensemble
+# (ref: impl_sse/stotrace_fs.c p7_StochasticTrace_Frameshift :72,
+#  p7_domaindef.c region_trace_ensemble_frameshift :~460)
+# ---------------------------------------------------------------------
+def stochastic_trace_fs5(r: Randomness, dsq: np.ndarray, om_fs,
+                         fx) -> Trace:
+    """Sample one path from the full 5-codon frameshift Forward
+    matrix (ops/reference/fwdback_fs.FSMatrix).  M steps carry their
+    sampled codon length in tr.c."""
+    from .ops.reference import fwdback_fs as ffs
+
+    L, M = fx.L, fx.M
+    xf = om_fs.xf
+    tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = ffs._trans_views_fs(om_fs)
+    mc, im, dm = fx.mc, fx.im, fx.dm
+    scale = fx.scale
+    cloop = float(xf[C.X_C, C.LOOP])
+    jloop = float(xf[C.X_J, C.LOOP])
+    nloop = float(xf[C.X_N, C.LOOP])
+    tr = Trace()
+    tr.append(C.T_T, 0, 0)
+
+    def choose(weights):
+        tot = float(sum(weights))
+        if tot <= 0:
+            return 0
+        roll = r.random() * tot
+        s = 0.0
+        for a, w in enumerate(weights):
+            s += w
+            if roll < s:
+                return a
+        return len(weights) - 1
+
+    # terminal row selection (score logsums C at L, L-1, L-2)
+    wL = float(fx.xC[L])
+    wL1 = float(fx.xC[L - 1]) * cloop / float(scale[L]) if L >= 1 else 0
+    wL2 = float(fx.xC[L - 2]) * cloop / (float(scale[L])
+                                         * float(scale[L - 1])) \
+        if L >= 2 else 0
+    i = (L, L - 1, L - 2)[choose((wL, wL1, wL2))]
+    tr.append(C.T_C, 0, i)
+    k = 0
+    st = C.T_C
+    while st != C.T_S:
+        if st == C.T_C:
+            if i >= 3:
+                adj = float(scale[i]) * float(scale[i - 1]) \
+                    * float(scale[i - 2])
+                w_loop = float(fx.xC[i - 3]) * cloop / adj
+            else:
+                w_loop = 0.0
+            w_move = float(fx.xE[i]) * float(xf[C.X_E, C.MOVE])
+            nxt = (C.T_C, C.T_E)[choose((w_loop, w_move))]
+            if nxt == C.T_C:
+                i -= 3
+        elif st == C.T_E:
+            wts = np.concatenate([mc[0][i][1:], dm[i][1:]])
+            sel = choose(wts)
+            if sel < M:
+                k = sel + 1
+                c = 1 + choose([float(mc[cc][i][k])
+                                for cc in range(1, 6)])
+                nxt = C.T_M
+            else:
+                nxt, k, c = C.T_D, sel - M + 1, 0
+        elif st == C.T_M:
+            # predecessors live at row i-c (entry term of the codon)
+            ip = i - c
+            w = (float(fx.xB[ip]) * float(tBM[k]),
+                 float(mc[0][ip][k - 1]) * float(tMM[k]),
+                 float(im[ip][k - 1]) * float(tIM[k]),
+                 float(dm[ip][k - 1]) * float(tDM[k]))
+            nxt = (C.T_B, C.T_M, C.T_I, C.T_D)[choose(w)]
+            i = ip
+            k -= 1
+            if nxt == C.T_M:
+                c = 1 + choose([float(mc[cc][i][k])
+                                for cc in range(1, 6)])
+        elif st == C.T_D:
+            w = (float(mc[0][i][k - 1]) * float(tMD[k]),
+                 float(dm[i][k - 1]) * float(tDD[k]))
+            nxt = (C.T_M, C.T_D)[choose(w)]
+            k -= 1
+            if nxt == C.T_M:
+                c = 1 + choose([float(mc[cc][i][k])
+                                for cc in range(1, 6)])
+        elif st == C.T_I:
+            w = (float(mc[0][i - 3][k]) * float(tMI[k]),
+                 float(im[i - 3][k]) * float(tII[k]))
+            nxt = (C.T_M, C.T_I)[choose(w)]
+            i -= 3
+            if nxt == C.T_M:
+                c = 1 + choose([float(mc[cc][i][k])
+                                for cc in range(1, 6)])
+        elif st == C.T_B:
+            w_n = float(fx.xN[i]) * float(xf[C.X_N, C.MOVE])
+            w_j = float(fx.xJ[i]) * float(xf[C.X_J, C.MOVE])
+            nxt = (C.T_N, C.T_J)[choose((w_n, w_j))]
+        elif st == C.T_J:
+            if i >= 3:
+                adj = float(scale[i]) * float(scale[i - 1]) \
+                    * float(scale[i - 2])
+                w_loop = float(fx.xJ[i - 3]) * jloop / adj
+            else:
+                w_loop = 0.0
+            w_move = float(fx.xE[i]) * float(xf[C.X_E, C.LOOP])
+            nxt = (C.T_J, C.T_E)[choose((w_loop, w_move))]
+            if nxt == C.T_J:
+                i -= 3
+        elif st == C.T_N:
+            nxt = C.T_S if i <= 2 else C.T_N
+            if nxt == C.T_N:
+                i -= 3
+        else:
+            raise RuntimeError("bogus state in fs stochastic trace")
+        if nxt == C.T_M:
+            tr.append(nxt, k, i, c=c)
+        elif nxt == C.T_I:
+            tr.append(nxt, k, i, c=3)
+        elif nxt == C.T_D:
+            tr.append(nxt, k, 0)
+        else:
+            tr.append(nxt, 0, 0 if nxt == C.T_S else i)
+        st = nxt
+    tr.reverse()
+    tr.M, tr.L = M, L
+    return tr
+
+
+def region_trace_ensemble_fs(ddef, om_fs5, windowsq, ireg: int,
+                             jreg: int, saveL: int):
+    """Frameshift-branch multidomain resolution: full fs5 Forward on
+    the region, sampled fs traces, fs-rule clustering (diagonals in
+    amino units), domination filtering
+    (ref: region_trace_ensemble_frameshift)."""
+    from .ops.reference import fwdback_fs as ffs
+
+    r = Randomness(ddef.seed)
+    om_fs5.reconfig_multihit(saveL)
+    try:
+        sub = windowsq.dsq[ireg - 1:jreg]
+        fx, _ = ffs.forward_fs5(sub, om_fs5, fast=True)
+    except ffs.RangeError:
+        om_fs5.reconfig_unihit(saveL)
+        return None
+    samples = []
+    for t in range(ddef.nsamples):
+        tr = stochastic_trace_fs5(r, sub, om_fs5, fx)
+        tr.index()
+        for d in range(tr.ndom):
+            samples.append((t, tr.sqfrom[d] + ireg - 1,
+                            tr.sqto[d] + ireg - 1,
+                            tr.hmmfrom[d], tr.hmmto[d]))
+    sigc = cluster_segments(samples, ddef.nsamples, ddef.min_overlap,
+                            ddef.of_smaller, ddef.max_diagdiff,
+                            ddef.min_posterior, ddef.min_endpointp,
+                            fs=True)
+    keep = [True] * len(sigc)
+    for d in range(len(sigc)):
+        for d2 in range(d + 1, len(sigc)):
+            nov = min(sigc[d][1], sigc[d2][1]) \
+                - max(sigc[d][0], sigc[d2][0]) + 1
+            if nov <= 0:
+                break
+            nmin = min(sigc[d][1] - sigc[d][0] + 1,
+                       sigc[d2][1] - sigc[d2][0] + 1)
+            if nov / nmin >= 0.8:
+                if sigc[d][4] > sigc[d2][4]:
+                    keep[d2] = False
+                else:
+                    keep[d] = False
+    envs = [(s[0], s[1]) for s, kp in zip(sigc, keep) if kp]
+    om_fs5.reconfig_unihit(saveL)
+    return envs if envs else None

@@ -769,8 +769,10 @@ def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
             except RangeError:
                 continue
             try:
-                by_posterior_heuristics_fs(pli, tmpseq, om_fs5, gm_fs5,
-                                           bg, gcode, oxf, oxb)
+                from .ensemble import region_trace_ensemble_fs
+                by_posterior_heuristics_fs(
+                    pli, tmpseq, om_fs5, gm_fs5, bg, gcode, oxf, oxb,
+                    ensemble_fn=region_trace_ensemble_fs)
             except RangeError:
                 continue
             if pli.ddef.nregions == 0 or pli.ddef.nenvelopes == 0:
@@ -805,9 +807,11 @@ def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
                     dsq=dnasq.dsq[orf_start - 1:orf_end],
                     start=orf_start, end=orf_end,
                     L=orf_end - orf_start + 1, abc=dnasq.abc)
-                by_posterior_heuristics_bath(orfsq, windowsq, dnasq.n, om,
-                                             gm_fs5, oxf_holder[f], oxb2,
-                                             pli.ddef, amino())
+                from .ensemble import region_trace_ensemble
+                by_posterior_heuristics_bath(
+                    orfsq, windowsq, dnasq.n, om, gm_fs5,
+                    oxf_holder[f], oxb2, pli.ddef, amino(),
+                    ensemble_fn=region_trace_ensemble)
                 if pli.ddef.nregions == 0 or pli.ddef.nenvelopes == 0:
                     pli.ddef.reuse()
                     oxf_holder[f] = None

@@ -67,3 +67,45 @@ def test_cluster_segments_rules():
     sigc = cluster_segments(samples, 21, 0.8, True, 4, 0.25, 0.02)
     assert len(sigc) == 2
     assert sigc[0][:2] == (1, 100) and sigc[1][:2] == (120, 220)
+
+
+def test_fs_stochastic_trace_and_ensemble():
+    """Frameshift stochastic trace samples valid codon paths; the fs
+    ensemble resolves a tandem DNA region."""
+    from bath_tpu.codontable import CodonTable
+    from bath_tpu.ensemble import (region_trace_ensemble_fs,
+                                   stochastic_trace_fs5)
+    from bath_tpu.gencode import GeneticCode
+    from bath_tpu.ops.reference import fwdback_fs as ffs
+    from bath_tpu.profile import profile_config_fs
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    bg = Background()
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    gm5 = profile_config_fs(hmm, bg, gcode, 5, 268)
+    om5 = ffs.fs_oprofile_convert(gm5)
+    cons = np.argmax(hmm.mat[1:, :20], axis=1).astype(np.int32)
+    ct = CodonTable(gcode)
+    r = Randomness(3)
+    dna = np.concatenate([ct.reverse_translate(r, cons),
+                          ct.reverse_translate(r, cons)])
+    om5.reconfig_multihit(268)
+    fx, _ = ffs.forward_fs5(dna, om5, fast=True)
+    r2 = Randomness(42)
+    tr = stochastic_trace_fs5(r2, dna, om5, fx)
+    tr.index()
+    assert tr.ndom >= 1
+    for z in range(tr.N):
+        if tr.st[z] == 1:          # T_M
+            assert 1 <= tr.k[z] <= om5.M
+            assert 1 <= tr.c[z] <= 5
+
+    winsq = Sequence(name="t", dsq=dna, start=1, end=len(dna),
+                     L=len(dna))
+    ddef = DomainDef()
+    envs = region_trace_ensemble_fs(ddef, om5, winsq, 1, len(dna), 268)
+    assert envs is not None and len(envs) == 2
+    # two envelopes splitting near the tandem boundary (nt 402)
+    assert envs[0][1] < envs[1][0]
+    assert abs(envs[0][1] - 402) < 30
