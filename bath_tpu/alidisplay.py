@@ -239,10 +239,12 @@ def print_bath(ad: AliDisplay, max_namewidth: int, min_aliwidth: int,
         out.append("  %s " % blank + "  "
                    + "".join("  %c  " % c for c in ad.mline[pos:pos + cur])
                    + "  \n")
-        # translation line
-        out.append("  %s " % blank + "  "
-                   + "".join("  %c  " % c for c in ad.aseq[pos:pos + cur])
-                   + "  \n")
+        # translation line (suppressed by --notrans)
+        if getattr(pli, "show_trans", True):
+            out.append("  %s " % blank + "  "
+                       + "".join("  %c  " % c
+                                 for c in ad.aseq[pos:pos + cur])
+                       + "  \n")
         # target nt line
         if ni > 0:
             out.append("  %*s %*d " % (namewidth, show_seqname,

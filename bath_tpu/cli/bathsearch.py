@@ -126,6 +126,7 @@ def make_pipeline(args) -> Pipeline:
     pli.show_alignments = not args.noali
     pli.show_accessions = args.acc
     pli.show_frameline = args.frameline
+    pli.show_trans = not args.notrans
     pli.show_cigar = args.cigar
     pli.strands = {"both": C.STRAND_BOTH, "plus": C.STRAND_TOPONLY,
                    "minus": C.STRAND_BOTTOMONLY}[args.strand]

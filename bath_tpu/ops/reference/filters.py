@@ -148,9 +148,11 @@ def ssv_filter_bath(dsq: np.ndarray, om: OProfile, data: ScoreData,
     L, M, Kp = len(dsq), om.M, om.Kp
     invP = float(gumbel_invsurv(P, om.evparam[C.EV_MMU],
                                 om.evparam[C.EV_MLAMBDA]))
-    sc_thresh = int(math.ceil(
-        (nullsc + invP * C.CONST_LOG2 + 3.0) * om.scale_b
-        + om.base_b + om.tec_b + om.tjb_b))
+    val = (nullsc + invP * C.CONST_LOG2 + 3.0) * om.scale_b \
+        + om.base_b + om.tec_b + om.tjb_b
+    # P=1 (--max) makes the threshold -inf: capture everything
+    sc_thresh = int(math.ceil(val)) if math.isfinite(val) \
+        else -(1 << 30)
 
     rbv = om.rbv.astype(np.int16)
     bias = np.int16(om.bias_b)
@@ -239,15 +241,18 @@ def viterbi_filter(dsq: np.ndarray, om: OProfile, data: ScoreData | None = None,
     if capture:
         invP = float(gumbel_invsurv(P, om.evparam[C.EV_VMU],
                                     om.evparam[C.EV_VLAMBDA]))
-        sc_thresh = int(math.ceil(
-            (filtersc + C.CONST_LOG2 * invP + 3.0) * om.scale_w
-            - float(xw[C.X_E, C.MOVE]) - float(xw[C.X_C, C.MOVE])
-            + float(om.base_w)))
+        val = (filtersc + C.CONST_LOG2 * invP + 3.0) * om.scale_w \
+            - float(xw[C.X_E, C.MOVE]) - float(xw[C.X_C, C.MOVE]) \
+            + float(om.base_w)
+        # P=1 (--max) makes the threshold -inf: capture everything
+        sc_thresh = int(math.ceil(val)) if math.isfinite(val) \
+            else -(1 << 30)
         invP = float(gumbel_invsurv(P, om.evparam[C.EV_MMU],
                                     om.evparam[C.EV_MLAMBDA]))
-        sc_ext_thresh = int(math.ceil(
-            (filtersc + C.CONST_LOG2 * invP + 3.0) * om.scale_b
-            + om.base_b + om.tec_b + om.tjb_b))
+        val = (filtersc + C.CONST_LOG2 * invP + 3.0) * om.scale_b \
+            + om.base_b + om.tec_b + om.tjb_b
+        sc_ext_thresh = int(math.ceil(val)) if math.isfinite(val) \
+            else -(1 << 30)
         skip_until = 0
         Qw = max(2, (M + 7) // 8)
 

@@ -58,6 +58,7 @@ class Pipeline:
     show_alignments: bool = True
     show_accessions: bool = False
     show_frameline: bool = False
+    show_trans: bool = True
     show_cigar: bool = False
     Z: float = 0.0
     Z_setby_opt: bool = False
