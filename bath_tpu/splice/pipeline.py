@@ -57,7 +57,7 @@ def splice_hits(tophits, seeds, om, gm, gm1, bg, gcode, seq_lookup,
         if seeds is not None:
             add_seeds(graph, seeds, cfg)
         splice_graph(graph, tophits, om, gm, gm1, bg, gcode, full_dsq,
-                     db_nuc_cnt, cfg)
+                     db_nuc_cnt, cfg, seeds)
 
 
 def _hit_upstream(up, down, revcomp: bool) -> bool:
@@ -109,7 +109,8 @@ def add_seeds(graph: SpliceGraph, seeds, cfg: SpliceConfig):
 
 
 def splice_graph(graph: SpliceGraph, tophits, om, gm, gm1, bg, gcode,
-                 full_dsq, db_nuc_cnt: int, cfg: SpliceConfig):
+                 full_dsq, db_nuc_cnt: int, cfg: SpliceConfig,
+                 seeds=None):
     """Splice one per-(sequence,strand) graph
     (ref: p7_splice_SpliceGraph :529)."""
     graph.create_unspliced_edges(gm1.tsc[:, C.P_BM], cfg.max_intron)
@@ -135,7 +136,11 @@ def splice_graph(graph: SpliceGraph, tophits, om, gm, gm1, bg, gcode,
                                     cfg)
         success = False
         if spliced_path is not None and spliced_path.path_len >= 1:
-            # re-fetch if the spliced path exceeds the window
+            # end extensions with seed hits (ref: ExtendPath +
+            # SpliceExtensions)
+            extend_path(graph, seeds, spliced_path, bounds, cfg)
+            # re-fetch if the (possibly extended) path exceeds the
+            # window
             path_min = min(spliced_path.iali[0], spliced_path.jali[-1]) \
                 - ALIGNMENT_EXT
             path_max = max(spliced_path.iali[0], spliced_path.jali[-1]) \
@@ -144,6 +149,9 @@ def splice_graph(graph: SpliceGraph, tophits, om, gm, gm1, bg, gcode,
                     path_max > max(path_seq.start, path_seq.end):
                 path_seq = get_sub_sequence(full_dsq, path_min,
                                             path_max, graph.revcomp)
+            if any(spliced_path.extension):
+                splice_extensions(graph, gm1, spliced_path, path_seq,
+                                  cfg)
             if spliced_path.path_len > 1:
                 success = align_spliced_path(
                     graph, tophits, om, gm, bg, gcode, spliced_path,
@@ -274,3 +282,187 @@ def align_spliced_path(graph: SpliceGraph, tophits, om, gm, bg, gcode,
             tophits.hit[oi].nreported = 0
             tophits.hit[oi].nincluded = 0
     return True
+
+
+# ---------------------------------------------------------------------
+# Path end-extension with seed hits
+# (ref: p7_splice_ExtendPath :~770, p7_splice_SpliceExtensions)
+# ---------------------------------------------------------------------
+def extend_path(graph: SpliceGraph, seeds, spliced_path,
+                bounds, cfg: SpliceConfig):
+    """Add seed hits upstream of the first / downstream of the last
+    path node as extension steps (marked extension=True); the spliced
+    Viterbi in splice_extensions then decides whether real splice
+    sites support them."""
+    if seeds is None:
+        return
+
+    def candidates(term_dom, upstream: bool):
+        out = []
+        # unused graph seed nodes
+        for nid in range(graph.anchor_N, graph.num_nodes):
+            if not graph.node_in_graph[nid]:
+                continue
+            d = graph.hits[nid].dcl[0]
+            if upstream and _hit_upstream(d, term_dom, graph.revcomp):
+                out.append(("g", nid, d))
+            if not upstream and _hit_upstream(term_dom, d,
+                                              graph.revcomp):
+                out.append(("g", nid, d))
+        # unplaced seed hits
+        for hit in seeds.unsrt:
+            d = hit.dcl[0]
+            if d.is_included or hit.seqidx != graph.seqidx:
+                continue
+            if (d.iali > d.jali) != graph.revcomp:
+                continue
+            if upstream and _hit_upstream(d, term_dom, graph.revcomp):
+                out.append(("s", hit, d))
+            if not upstream and _hit_upstream(term_dom, d,
+                                              graph.revcomp):
+                out.append(("s", hit, d))
+        # keep those within max_intron and outside prior-hit bounds
+        res = []
+        for kind, ref_, d in out:
+            if upstream:
+                gap = (d.jali - term_dom.iali - 1) if graph.revcomp \
+                    else (term_dom.iali - d.jali - 1)
+            else:
+                gap = (term_dom.jali - d.iali - 1) if graph.revcomp \
+                    else (d.iali - term_dom.jali - 1)
+            if gap < 0 or gap > cfg.max_intron:
+                continue
+            lo = min(d.iali, d.jali)
+            hi = max(d.iali, d.jali)
+            if any(lo <= bmax and hi >= bmin for (bmin, bmax) in
+                   bounds):
+                continue
+            res.append((kind, ref_, d))
+        return res
+
+    # UP: prepend the closest compatible seed (chain of one; the
+    # spliced Viterbi can still discover multiple introns)
+    first = graph.hits[spliced_path.node_id[0]].dcl[0]
+    ups = candidates(first, True)
+    if ups:
+        kind, ref_, d = max(
+            ups, key=lambda t: (min(t[2].iali, t[2].jali)
+                                if not graph.revcomp
+                                else -min(t[2].iali, t[2].jali)))
+        if d.ihmm < first.jhmm:
+            if kind == "s":
+                d.is_included = True
+                graph.add_node(ref_, orig_idx=-1)
+                nid = graph.num_nodes - 1
+            else:
+                nid = ref_
+            for lst, val in ((spliced_path.node_id, nid),
+                             (spliced_path.extension, True),
+                             (spliced_path.ihmm, d.ihmm),
+                             (spliced_path.jhmm, d.jhmm),
+                             (spliced_path.iali, d.iali),
+                             (spliced_path.jali, d.jali),
+                             (spliced_path.aliscore, d.aliscore)):
+                lst.insert(0, val)
+
+    last = graph.hits[spliced_path.node_id[-1]].dcl[0]
+    downs = candidates(last, False)
+    if downs:
+        kind, ref_, d = min(
+            downs, key=lambda t: (min(t[2].iali, t[2].jali)
+                                  if not graph.revcomp
+                                  else -min(t[2].iali, t[2].jali)))
+        if d.jhmm > last.ihmm:
+            if kind == "s":
+                d.is_included = True
+                graph.add_node(ref_, orig_idx=-1)
+                nid = graph.num_nodes - 1
+            else:
+                nid = ref_
+            spliced_path.node_id.append(nid)
+            spliced_path.extension.append(True)
+            spliced_path.ihmm.append(d.ihmm)
+            spliced_path.jhmm.append(d.jhmm)
+            spliced_path.iali.append(d.iali)
+            spliced_path.jali.append(d.jali)
+            spliced_path.aliscore.append(d.aliscore)
+
+
+def splice_extensions(graph: SpliceGraph, gm1, spliced_path,
+                      path_seq: PathSeq, cfg: SpliceConfig):
+    """Validate end extensions with the spliced Viterbi: the anchored
+    side is global, the extension side local, and a real splice
+    signal (intron) is required; unsupported extensions are dropped
+    (ref: p7_splice_SpliceExtensions, AlignExtendUp/Down)."""
+    from .splice import align_exons
+
+    s_start = next(i for i in range(spliced_path.path_len)
+                   if not spliced_path.extension[i])
+    s_end = next(i for i in range(spliced_path.path_len - 1, -1, -1)
+                 if not spliced_path.extension[i])
+
+    # ---- downstream ----
+    if s_end != spliced_path.path_len - 1:
+        k_start = spliced_path.ihmm[s_end]
+        i_start = spliced_path.iali[s_end]
+        k_end = spliced_path.jhmm[-1]
+        i_end = spliced_path.jali[-1]
+        res = None
+        iss = path_seq.to_sub(i_start)
+        ise = path_seq.to_sub(i_end)
+        if 0 < iss < ise and k_start < k_end:
+            res = align_exons(graph, gm1, path_seq, iss, ise, k_start,
+                              k_end, cfg, global_start=True,
+                              global_end=False, require_intron=True)
+        # drop the unspliced extension steps
+        while spliced_path.path_len - 1 > s_end:
+            for lst in (spliced_path.node_id, spliced_path.extension,
+                        spliced_path.ihmm, spliced_path.jhmm,
+                        spliced_path.iali, spliced_path.jali,
+                        spliced_path.aliscore):
+                lst.pop()
+        if res is not None:
+            ret, _tmp = res
+            spliced_path.jali[-1] = ret.jali[0]
+            spliced_path.jhmm[-1] = ret.jhmm[0]
+            for t in range(1, ret.path_len):
+                spliced_path.node_id.append(-1)
+                spliced_path.extension.append(True)
+                spliced_path.iali.append(ret.iali[t])
+                spliced_path.jali.append(ret.jali[t])
+                spliced_path.ihmm.append(ret.ihmm[t])
+                spliced_path.jhmm.append(ret.jhmm[t])
+                spliced_path.aliscore.append(0.0)
+
+    # ---- upstream ----
+    if s_start != 0:
+        k_start = spliced_path.ihmm[0]
+        i_start = spliced_path.iali[0]
+        k_end = spliced_path.jhmm[s_start]
+        i_end = spliced_path.jali[s_start]
+        res = None
+        iss = path_seq.to_sub(i_start)
+        ise = path_seq.to_sub(i_end)
+        if 0 < iss < ise and k_start < k_end:
+            res = align_exons(graph, gm1, path_seq, iss, ise, k_start,
+                              k_end, cfg, global_start=False,
+                              global_end=True, require_intron=True)
+        ndrop = s_start
+        for _ in range(ndrop):
+            for lst in (spliced_path.node_id, spliced_path.extension,
+                        spliced_path.ihmm, spliced_path.jhmm,
+                        spliced_path.iali, spliced_path.jali,
+                        spliced_path.aliscore):
+                lst.pop(0)
+        if res is not None:
+            ret, _tmp = res
+            spliced_path.iali[0] = ret.iali[-1]
+            spliced_path.ihmm[0] = ret.ihmm[-1]
+            for t in range(ret.path_len - 2, -1, -1):
+                spliced_path.node_id.insert(0, -1)
+                spliced_path.extension.insert(0, True)
+                spliced_path.iali.insert(0, ret.iali[t])
+                spliced_path.jali.insert(0, ret.jali[t])
+                spliced_path.ihmm.insert(0, ret.ihmm[t])
+                spliced_path.jhmm.insert(0, ret.jhmm[t])
+                spliced_path.aliscore.insert(0, 0.0)

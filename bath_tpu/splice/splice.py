@@ -96,16 +96,20 @@ def get_sub_sequence(full_dsq: np.ndarray, seq_min: int, seq_max: int,
 # ---------------------------------------------------------------------
 def align_exons(graph: SpliceGraph, gm1, path_seq: PathSeq,
                 i_sub_start: int, i_sub_end: int, k_start: int,
-                k_end: int, cfg: SpliceConfig):
+                k_end: int, cfg: SpliceConfig,
+                global_start: bool = True, global_end: bool = True,
+                require_intron: bool = False):
     """Run the spliced Viterbi between a pair of path nodes and
     decompose the trace into exons.  Returns (ret_path, tmp_path)
     with genomic coordinates, or None on failure
-    (ref: p7_splice_AlignExons)."""
+    (ref: p7_splice_AlignExons; with local start/end this is
+    p7_splice_AlignExtendUp/Down, which additionally require at
+    least one intron in the trace)."""
     Lsub = i_sub_end - i_sub_start + 1
     gm1.reconfig_length(Lsub // 3)
     gx = viterbi_spliced(path_seq.dsq, gm1, i_sub_start, i_sub_end,
                          k_start, k_end, cfg.min_intron,
-                         cfg.signal_scores, True, True)
+                         cfg.signal_scores, global_start, global_end)
     if gx.xC[gx.L] == -np.inf:
         return None
     try:
@@ -113,6 +117,8 @@ def align_exons(graph: SpliceGraph, gm1, path_seq: PathSeq,
                                    i_sub_end, k_start, k_end,
                                    cfg.min_intron, cfg.signal_scores)
     except RuntimeError:
+        return None
+    if require_intron and not any(s == T_P for s in tr.st):
         return None
 
     # filter out low-quality splicings (ref: AlignExons P > F2 check)

@@ -98,3 +98,40 @@ def test_splice_tmem258_merges_exons():
                for ln in hit_lines), out
     # the merged hit spans the whole gene and scores > either part
     assert any(float(ln.split()[1]) > 150 for ln in hit_lines), out
+
+
+def test_splice_end_extension_recovers_small_exon(tmp_path):
+    """A 15-amino first exon (too small to be a reported hit on its
+    own) is recovered by the seed-extension machinery
+    (ref: p7_splice_ExtendPath / AlignExtendUp)."""
+    from bath_tpu.codontable import CodonTable
+    from bath_tpu.rng import Randomness
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    ct = CodonTable(gcode)
+    r = Randomness(5)
+    cons = np.argmax(hmm.mat[1:, :20], axis=1).astype(np.int32)
+    ex0 = ct.reverse_translate(r, cons[:15])
+    ex1 = ct.reverse_translate(r, cons[15:])
+    A, Cc, G, T = 0, 1, 2, 3
+    sym = "ACGT"
+    intron = np.concatenate([[G, T], r.sample_iid(np.full(4, 0.25), 80),
+                             [A, G]])
+    flank = lambda n: r.sample_iid(np.full(4, 0.25), n)
+    full = np.concatenate([flank(60), ex0, intron, ex1, flank(60)])
+    fa = tmp_path / "ext.fa"
+    with open(fa, "w") as f:
+        f.write(">ext_test\n")
+        s = "".join(sym[x] for x in full)
+        for i in range(0, len(s), 60):
+            f.write(s[i:i + 60] + "\n")
+    out = _run_splice(f"{TUT}/AMP_N.bhmm", str(fa))
+    hit = [ln for ln in out.splitlines()
+           if "ext_test" in ln and ln.strip()[0].isdigit()]
+    assert hit, out
+    cols = hit[0].split()
+    # spliced hit covers both exons (starts at the tiny exon0) with 2 exons
+    assert int(cols[4]) == 61 and int(cols[5]) == 546
+    assert cols[6] == "2"
