@@ -8,11 +8,11 @@ p7_splice_AlignSplicedPath, p7_splice_AlignSplicedSequence).
 
 Design notes for the TPU-native build: the graph logic is host-side
 (small, irregular); the spliced Viterbi is the compute kernel (numpy
-reference now, Pallas candidate later).  The seed-extension machinery
-(ExtendPath / SpliceExtensions) is not yet implemented — paths are
-built from anchor hits and the junction search itself can discover
-novel internal exons (multiple introns per pairwise alignment), which
-covers the common case of missed internal exons.
+reference now, Pallas candidate later).  Internal exons are
+discovered by the junction search itself (multiple introns per
+pairwise alignment); terminal exons are recovered by the
+seed-extension machinery in pipeline.extend_path /
+splice_extensions.
 """
 
 from __future__ import annotations
