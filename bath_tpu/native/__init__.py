@@ -122,3 +122,75 @@ def extract_orfs_native(gcode, dsq: np.ndarray, *, minlen: int = 20,
                         int(f)))
         off += ln
     return orfs
+
+
+def _bind_filters(lib):
+    lib.bio_msv_filter.restype = ctypes.c_int
+    lib.bio_msv_filter.argtypes = [
+        I32P, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float)]
+    lib.bio_vit_filter.restype = ctypes.c_int
+    lib.bio_vit_filter.argtypes = [
+        I32P, ctypes.c_int64, I32P, I32P, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+
+
+_FILTER_CACHE: dict = {}
+
+
+def _packed_filters(om):
+    key = id(om)
+    ent = _FILTER_CACHE.get(key)
+    if ent is None or ent[0] is not om.sbv:
+        sbv = np.ascontiguousarray(om.sbv.astype(np.int16))
+        rbv = np.ascontiguousarray(om.rbv.astype(np.int32))
+        rwv = np.ascontiguousarray(om.rwv.astype(np.int32))
+        twv = np.ascontiguousarray(om.twv.astype(np.int32))
+        ent = (om.sbv, sbv, rbv, rwv, twv)
+        _FILTER_CACHE[key] = ent
+    return ent[1], ent[2], ent[3], ent[4]
+
+
+def msv_filter_native(dsq: np.ndarray, om) -> float | None:
+    """Bit-exact native MSV filter; None if the library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_filters_bound"):
+        _bind_filters(lib)
+        lib._filters_bound = True
+    sbv, rbv, _, _ = _packed_filters(om)
+    out = ctypes.c_float()
+    dsq = np.ascontiguousarray(dsq, dtype=np.int32)
+    st = lib.bio_msv_filter(dsq, len(dsq), sbv, rbv, om.Kp, om.M,
+                            int(om.base_b), int(om.tec_b),
+                            int(om.tjb_b), int(om.tbm_b),
+                            int(om.bias_b), float(om.scale_b),
+                            ctypes.byref(out))
+    return float("inf") if st == 1 else float(out.value)
+
+
+def vit_filter_native(dsq: np.ndarray, om) -> float | None:
+    """Bit-exact native ViterbiFilter score (no window capture);
+    None if the library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_filters_bound"):
+        _bind_filters(lib)
+        lib._filters_bound = True
+    _, _, rwv, twv = _packed_filters(om)
+    out = ctypes.c_float()
+    dsq = np.ascontiguousarray(dsq, dtype=np.int32)
+    from .. import constants as C
+    st = lib.bio_vit_filter(dsq, len(dsq), rwv, twv, om.Kp, om.M,
+                            int(om.base_w), float(om.scale_w),
+                            int(om.xw[C.X_N, C.MOVE]),
+                            int(om.xw[C.X_E, C.MOVE]),
+                            int(om.xw[C.X_E, C.LOOP]),
+                            ctypes.byref(out))
+    return float("inf") if st == 1 else float(out.value)

@@ -84,7 +84,12 @@ def ssv_filter(dsq: np.ndarray, om: OProfile) -> float | None:
 def msv_filter(dsq: np.ndarray, om: OProfile) -> float:
     """MSV score in nats (inf on overflow = certain hit).
     ref: impl_sse/msvfilter.c p7_MSVFilter :76.  Tries the SSV filter
-    first, exactly as the reference does."""
+    first, exactly as the reference does.  Uses the bit-exact native
+    C++ implementation when available (native/src/bathio.cpp)."""
+    from ...native import msv_filter_native
+    sc = msv_filter_native(dsq, om)
+    if sc is not None:
+        return sc
     sc = ssv_filter(dsq, om)
     if sc is not None:
         return sc

@@ -276,6 +276,18 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
 
         old_window_cnt = len(hit_windows)
         if P > pli.F2:
+            if vfsc_pre is None:
+                from .native import vit_filter_native
+                nv = vit_filter_native(orfsq.dsq, om)
+                if nv is not None:
+                    # native gate first; scalar capture only for
+                    # survivors (bit-identical scores)
+                    seqsc = (nv - filtersc) / C.CONST_LOG2
+                    Pn = float(stats.gumbel_surv(
+                        seqsc, om.evparam[C.EV_VMU],
+                        om.evparam[C.EV_VLAMBDA]))
+                    if Pn > pli.F2:
+                        continue
             if vfsc_pre is not None:
                 # gate on the batched device score first; only
                 # survivors re-run the scalar filter for window capture

@@ -165,3 +165,187 @@ void bio_translate_frame(const int32_t* dsq, int64_t L, int frame,
 }
 
 }  // extern "C"
+
+// --- quantized acceleration filters ---------------------------------
+// Exact ports of the reference's SSV/MSV/ViterbiFilter semantics
+// (ref: impl_sse/ssvfilter.c :875, msvfilter.c :76, vitfilter.c :39;
+// numpy reference in bath_tpu/ops/reference/filters.py).  All-integer
+// recurrences, so results are bit-identical to the scalar reference.
+
+extern "C" {
+
+// returns 0 = score valid, 1 = +inf (overflow / certain hit)
+// sbv: [Kp][M+1] int16 byte costs; rbv: [Kp][M+1] int32 (uint8 costs)
+int bio_msv_filter(const int32_t* dsq, int64_t L, const int16_t* sbv,
+                   const int32_t* rbv, int Kp, int M, int base,
+                   int tec, int tjb, int tbm, int bias, double scale,
+                   float* out_sc) {
+    int stride = M + 1;
+    // ---- SSV fast path ----
+    bool ssv_ok = (tjb + tbm + tec + bias) < 127;
+    if (ssv_ok) {
+        static thread_local int16_t* d = nullptr;
+        static thread_local int64_t dcap = 0;
+        if (dcap < stride) {
+            delete[] d;
+            d = new int16_t[stride];
+            dcap = stride;
+        }
+        for (int k = 0; k <= M; k++) d[k] = -128;
+        int xE_u = 0;
+        for (int64_t i = 0; i < L; i++) {
+            const int16_t* row = sbv + dsq[i] * stride;
+            for (int k = M; k >= 1; k--) {
+                int v = (int)d[k - 1] - (int)row[k];
+                if (v < -128) v = -128;
+                if (v > 127) v = 127;
+                d[k] = (int16_t)v;
+                int u = v & 0xFF;
+                if (u > xE_u) xE_u = u;
+            }
+            d[0] = -128;
+        }
+        // post-processing with uint16 wraparound (ref: filters.py)
+        unsigned xE = (unsigned)xE_u & 0xFFFF;
+        bool fell_through = false;
+        if (xE >= (unsigned)(255 - bias)) {
+            if (base - tjb - tbm < 128) fell_through = true;
+            else { *out_sc = 0.0f; return 1; }
+        }
+        if (!fell_through) {
+            xE = (xE + base - tjb - tbm) & 0xFFFF;
+            xE = (xE - 128) & 0xFFFF;
+            if (xE >= (unsigned)(255 - bias)) { *out_sc = 0.0f; return 1; }
+            unsigned xJ = (xE - tec) & 0xFFFF;
+            if (xJ > (unsigned)base) fell_through = true;
+            else {
+                // float64 math then cast, matching the numpy ref
+                *out_sc = (float)((((double)((int)xJ - tjb))
+                                   - (double)base) / scale - 3.0);
+                return 0;
+            }
+        }
+        // fell through -> full MSV below
+    }
+    // ---- full MSV ----
+    static thread_local int32_t* dp = nullptr;
+    static thread_local int64_t dpcap = 0;
+    if (dpcap < stride) {
+        delete[] dp;
+        dp = new int32_t[stride];
+        dpcap = stride;
+    }
+    for (int k = 0; k <= M; k++) dp[k] = 0;
+    int xJ = 0;
+    int tjbm = (tjb + tbm) & 0xFF;
+    int xB = base - tjbm;
+    if (xB < 0) xB = 0;
+    for (int64_t i = 0; i < L; i++) {
+        const int32_t* row = rbv + dsq[i] * stride;
+        int xE = 0;
+        int prev = 0;                     // mpv[0] = 0
+        for (int k = 1; k <= M; k++) {
+            int sv = prev > xB ? prev : xB;
+            prev = dp[k];                 // save old dp[k] for k+1
+            sv += bias;
+            if (sv > 255) sv = 255;
+            sv -= row[k];
+            if (sv < 0) sv = 0;
+            dp[k] = sv;
+            if (sv > xE) xE = sv;
+        }
+        dp[0] = 0;
+        if (xE + bias >= 255) { *out_sc = 0.0f; return 1; }
+        xE -= tec;
+        if (xE < 0) xE = 0;
+        if (xE > xJ) xJ = xE;
+        int b = base > xJ ? base : xJ;
+        xB = b - tjbm;
+        if (xB < 0) xB = 0;
+    }
+    *out_sc = (float)((((double)(xJ - tjb)) - (double)base) / scale
+                      - 3.0);
+    return 0;
+}
+
+// ViterbiFilter score only (no window capture), int16-saturated ops
+// in int32 (ref: vitfilter.c :39).  move_w: wordified length-model
+// move score; e_move/e_loop: E-state word scores.
+// twv layout: [M][8] in P_* slot order (P_MM..P_II as in bath_tpu).
+int bio_vit_filter(const int32_t* dsq, int64_t L, const int32_t* rwv,
+                   const int32_t* twv, int Kp, int M, int base,
+                   double scale, int move_w, int e_move, int e_loop,
+                   float* out_sc) {
+    const int NEG = -32768;
+    const int P_MM = 0, P_IM = 1, P_DM = 2, P_BM = 3, P_MD = 4,
+        P_DD = 5, P_MI = 6, P_II = 7;
+    int stride = M + 1;
+    auto sat = [](int x) {
+        if (x < -32768) return -32768;
+        if (x > 32767) return 32767;
+        return x;
+    };
+    static thread_local int32_t *dm = nullptr, *di = nullptr,
+        *dd = nullptr, *nm = nullptr, *ni = nullptr;
+    static thread_local int64_t cap = 0;
+    if (cap < stride) {
+        delete[] dm; delete[] di; delete[] dd;
+        delete[] nm; delete[] ni;
+        dm = new int32_t[stride]; di = new int32_t[stride];
+        dd = new int32_t[stride]; nm = new int32_t[stride];
+        ni = new int32_t[stride];
+        cap = stride;
+    }
+    for (int k = 0; k <= M; k++) dm[k] = di[k] = dd[k] = NEG;
+    int xN = base;
+    int xB = sat(xN + move_w);
+    int xJ = NEG, xC = NEG;
+    for (int64_t i = 0; i < L; i++) {
+        const int32_t* row = rwv + dsq[i] * stride;
+        int xE = NEG;
+        // M and I rows (new values into nm/ni)
+        nm[0] = ni[0] = NEG;
+        for (int k = 1; k <= M; k++) {
+            const int32_t* tin = twv + (k - 1) * 8;  // into node k
+            int sv = sat(xB + tin[P_BM]);
+            int v = sat(dm[k - 1] + tin[P_MM]); if (v > sv) sv = v;
+            v = sat(di[k - 1] + tin[P_IM]); if (v > sv) sv = v;
+            v = sat(dd[k - 1] + tin[P_DM]); if (v > sv) sv = v;
+            sv = sat(sv + row[k]);
+            nm[k] = sv;
+            if (sv > xE) xE = sv;
+            if (k < M) {
+                const int32_t* tout = twv + k * 8;    // out of node k
+                int iv = sat(dm[k] + tout[P_MI]);
+                int iv2 = sat(di[k] + tout[P_II]);
+                ni[k] = iv > iv2 ? iv : iv2;
+            } else ni[k] = NEG;
+        }
+        if (xE >= 32767) { *out_sc = 0.0f; return 1; }
+        // D row: max-plus closure along k
+        dd[0] = dd[1] = NEG;
+        for (int k = 2; k <= M; k++) {
+            const int32_t* tin = twv + (k - 1) * 8;
+            int v1 = sat(nm[k - 1] + tin[P_MD]);
+            int v2 = sat(dd[k - 1] + tin[P_DD]);
+            dd[k] = v1 > v2 ? v1 : v2;
+        }
+        // specials (-3nat approximation: loop scores 0)
+        int xC2 = xC > sat(xE + e_move) ? xC : sat(xE + e_move);
+        int xJ2 = xJ > sat(xE + e_loop) ? xJ : sat(xE + e_loop);
+        int b1 = sat(xJ2 + move_w), b2 = sat(xN + move_w);
+        xB = b1 > b2 ? b1 : b2;
+        xJ = xJ2; xC = xC2;
+        int32_t* t = dm; dm = nm; nm = t;
+        t = di; di = ni; ni = t;
+    }
+    if (xC > NEG) {
+        *out_sc = (float)((((double)(xC + move_w)) - (double)base)
+                          / scale - 3.0);
+        return 0;
+    }
+    *out_sc = -1.0f / 0.0f;
+    return 0;
+}
+
+}  // extern "C"
