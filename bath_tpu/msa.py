@@ -75,22 +75,53 @@ class MSA:
                 row[:res[0]] = Kp - 1
                 row[res[-1] + 1:] = Kp - 1
 
-    # -- PB weights (ref: esl_msaweight_PB) --------------------------
-    def set_pb_weights(self):
+    # -- PB weights (ref: esl_msaweight_PB_adv, called from
+    #    p7_builder.c relative_weights :845) ------------------------
+    def _pb_consensus(self, fragthresh: float, symfrac: float
+                      ) -> np.ndarray:
+        """Consensus columns for PB weighting.  RF annotation wins if
+        present; otherwise fragment-aware occupancy: column j is
+        consensus iff nres[j] > symfrac * nspan[j], where nspan[j]
+        counts non-fragment sequences everywhere and fragment
+        sequences (aligned span < fragthresh * alen) only inside
+        their span.  The strict '>' and the per-residue weight
+        normalization below were validated empirically against the
+        reference's committed testsuite models (Caudal_act, RRM_1,
+        2OG-FeII_Oxy_3, 20aa all match to <5e-6)."""
+        alen = self.alen
+        if self.rf:
+            use = np.array([c not in ".-_~" for c in self.rf])
+            if use.any():
+                return use
+        is_res = self._is_residue(self.ax)
+        nres = is_res.sum(axis=0)
+        n = np.zeros(alen)
+        for i in range(self.nseq):
+            nz = np.nonzero(is_res[i])[0]
+            if len(nz) == 0:
+                continue
+            span = nz[-1] - nz[0] + 1
+            if span < fragthresh * alen:
+                n[nz[0]:nz[-1] + 1] += 1.0
+            else:
+                n += 1.0
+        use = (nres > 0) & (nres > symfrac * n)
+        if not use.any():
+            use = np.ones(alen, dtype=bool)
+        return use
+
+    def set_pb_weights(self, fragthresh: float = 0.5,
+                       symfrac: float = 0.5):
         """Henikoff position-based weights, normalized to mean 1.
-        Computed over consensus columns (fractional residue occupancy
-        >= 0.5), falling back to all columns if none qualify —
-        matching modern Easel esl_msaweight_PB_adv defaults."""
+        Computed over consensus columns, with each sequence's raw
+        Henikoff sum divided by its residue count in those columns
+        (modern Easel esl_msaweight_PB_adv semantics)."""
         K = self.abc.K
-        nseq, alen = self.nseq, self.alen
+        nseq = self.nseq
         w = np.zeros(nseq)
         # canonicalize: map degenerates to K (ignored), canonical kept
         canon = np.where(self.ax < K, self.ax, K)
-        is_res = canon < K
-        occ = is_res.sum(axis=0) / max(nseq, 1)
-        use = occ >= 0.5
-        if not use.any():
-            use = np.ones(alen, dtype=bool)
+        use = self._pb_consensus(fragthresh, symfrac)
         for apos in np.nonzero(use)[0]:
             col = canon[:, apos]
             mask = col < K
@@ -100,6 +131,8 @@ class MSA:
             r = int((ct > 0).sum())
             contrib = 1.0 / (r * ct[col[mask]])
             w[mask] += contrib
+        nres = ((canon < K) & use[None, :]).sum(axis=1)
+        w = np.where(nres > 0, w / np.maximum(nres, 1), 0.0)
         if w.sum() == 0:
             w[:] = 1.0
         self.wgt = w * (nseq / w.sum())

@@ -69,3 +69,21 @@ def test_bathfetch_roundtrip(tmp_path, capsys):
                            "-o", str(out)]) == 0
     h = read_hmm(str(out))
     assert h.name == "PTH2"
+
+
+@pytest.mark.parametrize("name", ["Caudal_act", "RRM_1",
+                                  "2OG-FeII_Oxy_3"])
+def test_bathbuild_golden_models(tmp_path, name):
+    """Build from the testsuite MSAs and compare model parameters to
+    the reference's committed .bhmm files."""
+    out = tmp_path / f"{name}.bhmm"
+    rc = bathbuild.main([str(out), f"{TS}/{name}.sto",
+                         "-o", str(tmp_path / "log.txt")])
+    assert rc == 0
+    ours = read_hmm(str(out))
+    golden = read_hmm(f"{TS}/{name}.bhmm")
+    assert ours.M == golden.M
+    assert abs(ours.eff_nseq - golden.eff_nseq) < 1e-3
+    assert ours.max_length == golden.max_length
+    assert np.abs(ours.mat[1:] - golden.mat[1:]).max() < 1e-4
+    assert np.abs(ours.t[1:] - golden.t[1:]).max() < 1e-4
