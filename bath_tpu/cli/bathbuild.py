@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--EfN", type=int, default=200)
     p.add_argument("--Eft", type=float, default=0.04)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--informat", default=None,
+                   help="assert input MSA format (stockholm/afa); "
+                        "required hint when reading from stdin")
     p.add_argument("--w_beta", type=float, default=1e-7)
     p.add_argument("--w_length", type=int, default=0)
     return p
@@ -108,6 +111,13 @@ def config_from_args(args) -> BuilderConfig:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.hmmfile_out == "-":
+        print("Can't use '-' (stdin) for <hmmfile_out>",
+              file=sys.stderr)
+        return 1
+    if args.msafile == "-":
+        from ._io import spool_stdin
+        args.msafile = spool_stdin(".sto")
     ofp = open(args.outfile, "w") if args.outfile else sys.stdout
     cfg = config_from_args(args)
 

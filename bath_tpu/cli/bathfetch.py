@@ -33,6 +33,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.index and args.hmmfile == "-":
+        print("Can't use - with --index", file=sys.stderr)
+        return 1
+    if args.hmmfile == "-" and args.f and args.key == "-":
+        print("Either <hmmfile> or <keyfile> may be '-' (stdin), "
+              "but not both", file=sys.stderr)
+        return 1
+    if args.hmmfile == "-":
+        from ._io import spool_stdin
+        args.hmmfile = spool_stdin(".bhmm")
+    if args.f and args.key == "-":
+        from ._io import spool_stdin
+        args.key = spool_stdin(".key")
     if args.index:
         out = index_hmm_file(args.hmmfile)
         ix = load_index(args.hmmfile)

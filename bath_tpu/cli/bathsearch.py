@@ -207,6 +207,16 @@ def load_queries(path, args):
 
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.queryfile == "-" and args.dbfile == "-":
+        print("Either <hmmfile> or <seqdb> may be '-' (stdin), "
+              "but not both", file=sys.stderr)
+        return 1
+    if args.queryfile == "-":
+        from ._io import spool_stdin
+        args.queryfile = spool_stdin(".bhmm")
+    if args.dbfile == "-":
+        from ._io import spool_stdin
+        args.dbfile = spool_stdin(".fa")
     ofp = open(args.outfile, "w") if args.outfile else sys.stdout
     tblfp = open(args.tblout, "w") if args.tblout else None
     fstblfp = open(args.fstblout, "w") if args.fstblout else None

@@ -18,6 +18,9 @@ def main(argv=None) -> int:
                     "(TPU-native bath_tpu)")
     p.add_argument("hmmfile")
     args = p.parse_args(argv)
+    if args.hmmfile == "-":
+        from ._io import spool_stdin
+        args.hmmfile = spool_stdin(".bhmm")
 
     print("# bathstat :: display summary statistics for a profile file")
     print("#")
