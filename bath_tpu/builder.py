@@ -323,9 +323,11 @@ def validate_msa(msa: MSA):
 
 def build(msa: MSA, cfg: BuilderConfig | None = None,
           bg: Background | None = None,
-          r: Randomness | None = None) -> HMM:
+          r: Randomness | None = None,
+          postmsa_file: str | None = None) -> HMM:
     """MSA -> calibrated probability-form HMM
-    (ref: p7_builder.c p7_Builder :419)."""
+    (ref: p7_builder.c p7_Builder :419).  postmsa_file resaves the
+    trace-implied annotated alignment (ref: make_post_msa :371)."""
     cfg = cfg or BuilderConfig()
     bg = bg or Background(msa.abc)
     validate_msa(msa)
@@ -343,7 +345,12 @@ def build(msa: MSA, cfg: BuilderConfig | None = None,
         matassign = _matassign_hand(msa)
     else:
         matassign = _matassign_fast(msa, cfg.symfrac)
-    hmm, _ = matassign_to_hmm(msa, matassign)
+    hmm, traces = matassign_to_hmm(msa, matassign)
+    if postmsa_file:
+        from .tracealign import tracealign_msa, write_stockholm
+        names, rows, rf = tracealign_msa(msa, traces)
+        write_stockholm(postmsa_file, names, rows, rf=rf,
+                        name=msa.name)
 
     # cap weighted-average insert length (ref: p7_builder.c :437-439)
     if cfg.max_insert_len > 0:

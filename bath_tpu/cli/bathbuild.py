@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", dest="name", default=None,
                    help="name the (single) HMM")
     p.add_argument("-o", dest="outfile", default=None)
+    p.add_argument("-O", dest="postmsafile", default=None,
+                   help="resave annotated, possibly modified MSA "
+                        "to file <f>")
     p.add_argument("--ct", type=int, default=1,
                    help="NCBI translation table id")
     p.add_argument("--fsprob", type=float, default=0.01)
@@ -125,6 +128,9 @@ def main(argv=None) -> int:
     print(f"# input file:                       {args.msafile}", file=ofp)
     print(f"# output HMM file:                  {args.hmmfile_out}",
           file=ofp)
+    if args.postmsafile:
+        print("# processed alignment resaved to:   "
+              f"{args.postmsafile}", file=ofp)
     print("# " + "-" * 70, file=ofp)
     print("# %-6s %-20s %5s %5s %5s %4s %8s %6s %s"
           % ("idx", "name", "nseq", "len", "mlen", "ctbl", "eff_nseq",
@@ -153,7 +159,8 @@ def main(argv=None) -> int:
                 elif not msa.name:
                     base = os.path.basename(args.msafile)
                     msa.name = base.rsplit(".", 1)[0]
-                hmm = build(msa, cfg, bg=Background(), r=r)
+                hmm = build(msa, cfg, bg=Background(), r=r,
+                            postmsa_file=args.postmsafile)
                 entropy = mean_match_relative_entropy(hmm, bg)
                 write_hmm(hfp, hmm)
                 print("  %-6d %-20s %5d %5d %5d %4d %8.2f %6.3f %s"

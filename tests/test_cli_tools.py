@@ -71,6 +71,28 @@ def test_bathfetch_roundtrip(tmp_path, capsys):
     assert h.name == "PTH2"
 
 
+def test_bathbuild_postmsa_roundtrip(tmp_path):
+    """-O resaves the trace-implied alignment; rebuilding from it
+    with --hand recovers the same architecture
+    (ref: p7_builder.c make_post_msa :371, tracealign.c)."""
+    from bath_tpu.msa import read_msas
+    out = tmp_path / "m.bhmm"
+    post = tmp_path / "post.sto"
+    rc = bathbuild.main([str(out), f"{TS}/Caudal_act.sto",
+                         "-O", str(post), "-o", str(tmp_path / "l1")])
+    assert rc == 0
+    h1 = read_hmm(str(out))
+    msa = read_msas(str(post))[0]
+    assert msa.rf.count("x") == h1.M
+    out2 = tmp_path / "m2.bhmm"
+    rc = bathbuild.main([str(out2), str(post), "--hand",
+                         "-o", str(tmp_path / "l2")])
+    assert rc == 0
+    h2 = read_hmm(str(out2))
+    assert h2.M == h1.M
+    assert np.abs(h1.mat[1:] - h2.mat[1:]).max() < 0.01
+
+
 @pytest.mark.parametrize("name", ["Caudal_act", "RRM_1",
                                   "2OG-FeII_Oxy_3"])
 def test_bathbuild_golden_models(tmp_path, name):
