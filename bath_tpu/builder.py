@@ -37,8 +37,10 @@ class BuilderConfig:
     arch: str = "fast"            # fast | hand
     symfrac: float = 0.5
     fragthresh: float = 0.5
-    wgt: str = "pb"               # pb | none | given
-    effn: str = "entropy"         # entropy | none | set
+    wgt: str = "pb"               # pb | gsc | blosum | none | given
+    wid: float = 0.62             # --wblosum identity cutoff
+    effn: str = "entropy"   # entropy | entropy_exp | clust | none | set
+    eid: float = 0.62             # --eclust identity cutoff
     eset: float = -1.0
     re_target: float = ETARGET_AMINO
     esigma: float = 45.0
@@ -48,6 +50,8 @@ class BuilderConfig:
     w_len: int = 0
     popen: float = 0.02
     pextend: float = 0.4
+    mx: str = "BLOSUM62"          # single-seq substitution matrix
+    mxfile: str | None = None     # ... or read it from a file
     # BATH extras
     fs: bool = True               # calibrate frameshift taus
     fsprob: float = 0.01
@@ -289,6 +293,47 @@ def entropy_weight(hmm: HMM, bg: Background, pri: Prior | None,
     return 0.5 * (lo + hi)
 
 
+def scale_exponential(hmm: HMM, ex: float):
+    """Rescale per-column counts C_k -> C_k^ex
+    (ref: p7_hmm.c p7_hmm_ScaleExponential :831)."""
+    K = hmm.abc.K
+    for k in range(1, hmm.M + 1):
+        count = hmm.mat[k, :K].sum()
+        scale = (count ** ex) / count if count > 0 else 1.0
+        hmm.t[k] *= scale
+        hmm.mat[k] *= scale
+        hmm.ins[k] *= scale
+
+
+def entropy_weight_exp(hmm: HMM, bg: Background, pri: Prior | None,
+                       etarget: float) -> float:
+    """Find the exponent in [0, 1] such that exponentially rescaled
+    counts hit <etarget> mean relative entropy
+    (ref: eweight.c p7_EntropyWeight_exp :142)."""
+    def f(ex: float) -> float:
+        h2 = HMM.zeros(hmm.M, hmm.abc)
+        h2.t = hmm.t.copy()
+        h2.mat = hmm.mat.copy()
+        h2.ins = hmm.ins.copy()
+        h2.nseq = hmm.nseq
+        scale_exponential(h2, ex)
+        parameter_estimation(h2, pri)
+        return mean_match_relative_entropy(h2, bg) - etarget
+
+    if f(1.0) <= 0.0:
+        return 1.0
+    lo, hi = 0.0, 1.0
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        if f(mid) > 0.0:
+            hi = mid
+        else:
+            lo = mid
+        if hi - lo < 0.001:
+            break
+    return 0.5 * (lo + hi)
+
+
 def set_consensus(hmm: HMM, dsq: np.ndarray | None = None):
     """ref: p7_hmm.c p7_hmm_SetConsensus :709."""
     K = hmm.abc.K
@@ -335,6 +380,10 @@ def build(msa: MSA, cfg: BuilderConfig | None = None,
 
     if cfg.wgt == "pb":
         msa.set_pb_weights()
+    elif cfg.wgt == "gsc":
+        msa.set_gsc_weights()
+    elif cfg.wgt == "blosum":
+        msa.set_blosum_weights(cfg.wid)
     elif cfg.wgt == "none":
         msa.wgt = np.ones(msa.nseq)
     # "given": keep msa.wgt
@@ -370,20 +419,32 @@ def build(msa: MSA, cfg: BuilderConfig | None = None,
         pri = laplace_prior(msa.abc.K)
 
     # effective sequence number (ref: effective_seqnumber :905)
-    if cfg.effn == "entropy":
+    if cfg.effn == "entropy_exp":
         etarget = (cfg.esigma - LOG2R * math.log(
             2.0 / (hmm.M * (hmm.M + 1)))) / hmm.M
         etarget = max(cfg.re_target, etarget)
-        neff = entropy_weight(hmm, bg, pri, etarget)
-        hmm.eff_nseq = neff
-    elif cfg.effn == "set":
-        hmm.eff_nseq = cfg.eset
+        ex = entropy_weight_exp(hmm, bg, pri, etarget)
+        scale_exponential(hmm, ex)
+        hmm.eff_nseq = float(
+            hmm.mat[1:, :msa.abc.K].sum() / hmm.M)
     else:
-        hmm.eff_nseq = msa.nseq
-    scale = hmm.eff_nseq / hmm.nseq
-    hmm.t *= scale
-    hmm.mat *= scale
-    hmm.ins *= scale
+        if cfg.effn == "entropy":
+            etarget = (cfg.esigma - LOG2R * math.log(
+                2.0 / (hmm.M * (hmm.M + 1)))) / hmm.M
+            etarget = max(cfg.re_target, etarget)
+            neff = entropy_weight(hmm, bg, pri, etarget)
+            hmm.eff_nseq = neff
+        elif cfg.effn == "clust":
+            _, nclust = msa.single_linkage_clusters(cfg.eid)
+            hmm.eff_nseq = float(nclust)
+        elif cfg.effn == "set":
+            hmm.eff_nseq = cfg.eset
+        else:
+            hmm.eff_nseq = msa.nseq
+        scale = hmm.eff_nseq / hmm.nseq
+        hmm.t *= scale
+        hmm.mat *= scale
+        hmm.ins *= scale
 
     parameter_estimation(hmm, pri)
 
@@ -460,9 +521,11 @@ def single_build(dsq: np.ndarray, name: str,
                  cfg: BuilderConfig | None = None,
                  bg: Background | None = None,
                  r: Randomness | None = None) -> HMM:
-    """Single query sequence -> calibrated HMM via BLOSUM62
-    probabilities (ref: p7_SingleBuilder :478)."""
-    from .scorematrix import blosum62_conditionals
+    """Single query sequence -> calibrated HMM via substitution-matrix
+    probabilities, BLOSUM62 by default (ref: p7_SingleBuilder :478,
+    p7_builder_SetScoreSystem :286)."""
+    from .scorematrix import (matrix_conditionals, named_matrix,
+                              read_matrix_file)
 
     cfg = cfg or BuilderConfig()
     bg = bg or Background()
@@ -471,7 +534,9 @@ def single_build(dsq: np.ndarray, name: str,
     K, Kp = abc.K, abc.Kp
     keep = (dsq < K) | ((dsq > K) & (dsq < Kp - 2))
     dsq = dsq[keep]
-    Q = blosum62_conditionals(bg.f[:K])
+    S = (read_matrix_file(cfg.mxfile) if cfg.mxfile
+         else named_matrix(cfg.mx))
+    Q = matrix_conditionals(S, bg.f[:K])
     # degenerates emit like background (conditionals defined on
     # canonicals; map degenerate query residues to bg)
     Qfull = np.tile(bg.f[:K], (Kp, 1)).astype(np.float64)

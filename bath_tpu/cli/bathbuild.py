@@ -45,11 +45,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--symfrac", type=float, default=0.5)
     p.add_argument("--fragthresh", type=float, default=0.5)
     p.add_argument("--wpb", action="store_true", default=True)
+    p.add_argument("--wgsc", action="store_true",
+                   help="Gerstein/Sonnhammer/Chothia tree weights")
+    p.add_argument("--wblosum", action="store_true",
+                   help="Henikoff simple filter weights")
+    p.add_argument("--wid", type=float, default=0.62,
+                   help="for --wblosum: set identity cutoff")
     p.add_argument("--wnone", action="store_true")
     p.add_argument("--wgiven", action="store_true")
     p.add_argument("--eent", action="store_true", default=True)
+    p.add_argument("--eentexp", action="store_true",
+                   help="adjust eff seq # to reach rel. ent. target "
+                        "using exp scaling")
+    p.add_argument("--eclust", action="store_true",
+                   help="eff seq # is # of single linkage clusters")
+    p.add_argument("--eid", type=float, default=0.62,
+                   help="for --eclust: set fractional identity cutoff")
     p.add_argument("--enone", action="store_true")
     p.add_argument("--eset", type=float, default=None)
+    p.add_argument("--mx", default="BLOSUM62",
+                   help="substitution score matrix (with --singlemx)")
+    p.add_argument("--mxfile", default=None,
+                   help="read substitution score matrix from file <f>")
+    p.add_argument("--cpu", type=int, default=0,
+                   help="accepted for compatibility (single process)")
     p.add_argument("--ere", type=float, default=None)
     p.add_argument("--esigma", type=float, default=45.0)
     p.add_argument("--pnone", action="store_true")
@@ -84,11 +103,23 @@ def config_from_args(args) -> BuilderConfig:
         cfg.wgt = "none"
     elif args.wgiven:
         cfg.wgt = "given"
+    elif args.wgsc:
+        cfg.wgt = "gsc"
+    elif args.wblosum:
+        cfg.wgt = "blosum"
+        cfg.wid = args.wid
     if args.enone:
         cfg.effn = "none"
     elif args.eset is not None:
         cfg.effn = "set"
         cfg.eset = args.eset
+    elif args.eclust:
+        cfg.effn = "clust"
+        cfg.eid = args.eid
+    elif args.eentexp:
+        cfg.effn = "entropy_exp"
+    cfg.mx = args.mx
+    cfg.mxfile = args.mxfile
     if args.ere is not None:
         cfg.re_target = args.ere
     cfg.esigma = args.esigma

@@ -71,6 +71,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nonull2", action="store_true")
     p.add_argument("-Z", type=float, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mx", default="BLOSUM62",
+                   help="substitution score matrix for single-seq "
+                        "queries (built-in choices)")
+    p.add_argument("--mxfile", default=None,
+                   help="read substitution score matrix from file <f>")
+    p.add_argument("--crick", action="store_true",
+                   help="only translate top strand")
+    p.add_argument("--watson", action="store_true",
+                   help="only translate bottom strand")
+    p.add_argument("--nodeinfo", action="store_true",
+                   help="additional info on node types for "
+                        "--exontblout")
+    p.add_argument("--ssifile", default=None,
+                   help="override the restrictdb index file to <s>")
+    # accepted for reference cmdline compatibility; unused there too
+    # (ref: bathsearch.c options marked "Not used")
+    p.add_argument("--domE", type=float, default=10.0,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--domT", type=float, default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--domZ", type=float, default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--incdomE", type=float, default=0.01,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--incdomT", type=float, default=None,
+                   help=argparse.SUPPRESS)
     p.add_argument("--block_length", type=int,
                    default=C.BLOCK_LENGTH_DEFAULT)
     p.add_argument("--restrictdb_stkey", default=None,
@@ -166,7 +192,9 @@ def load_queries(path, args):
                         popen=getattr(args, "popen", 0.02),
                         pextend=getattr(args, "pextend", 0.4),
                         w_beta=getattr(args, "w_beta", 1e-7),
-                        w_len=getattr(args, "w_length", 0))
+                        w_len=getattr(args, "w_length", 0),
+                        mx=getattr(args, "mx", "BLOSUM62"),
+                        mxfile=getattr(args, "mxfile", None))
     hmmout = getattr(args, "hmmout", None)
     hfp = open(hmmout, "w") if hmmout else None
 
@@ -207,6 +235,10 @@ def load_queries(path, args):
 
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.crick:
+        args.strand = "plus"
+    elif args.watson:
+        args.strand = "minus"
     if args.queryfile == "-" and args.dbfile == "-":
         print("Either <hmmfile> or <seqdb> may be '-' (stdin), "
               "but not both", file=sys.stderr)
@@ -460,7 +492,8 @@ def run(argv=None) -> int:
                 hmm.name, hmm.acc, pli, nquery == 1))
         if extblfp:
             extblfp.write(th.tabular_exons_text(
-                hmm.name, hmm.acc, pli, nquery == 1))
+                hmm.name, hmm.acc, pli, nquery == 1,
+                node_info=args.nodeinfo))
         elapsed = time.time() - t0
         ofp.write(statistics_text(pli, elapsed))
         ofp.write("//\n")

@@ -137,6 +137,104 @@ class MSA:
             w[:] = 1.0
         self.wgt = w * (nseq / w.sum())
 
+    # -- pairwise identity / clustering (ref: easel esl_dst_XPairId,
+    #    esl_msacluster_SingleLinkage) ------------------------------
+    def pairwise_pid_matrix(self) -> np.ndarray:
+        """[nseq, nseq] fractional identity: identical canonical
+        residue pairs / min(residue lengths)."""
+        K = self.abc.K
+        canon = np.where(self.ax < K, self.ax, -1)
+        is_c = canon >= 0
+        lens = is_c.sum(axis=1)
+        N = self.nseq
+        P = np.eye(N)
+        for i in range(N):
+            eq = (canon[i][None, :] == canon) & is_c[i][None, :]
+            ident = eq.sum(axis=1)
+            denom = np.minimum(lens[i], lens)
+            P[i] = np.where(denom > 0, ident / np.maximum(denom, 1),
+                            0.0)
+        return P
+
+    def single_linkage_clusters(self, maxid: float
+                                ) -> tuple[np.ndarray, int]:
+        """Single-linkage clusters linking pairs with fractional
+        identity >= maxid.  Returns (labels, nclusters)."""
+        P = self.pairwise_pid_matrix()
+        N = self.nseq
+        parent = list(range(N))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(N):
+            for j in range(i + 1, N):
+                if P[i, j] >= maxid:
+                    parent[find(i)] = find(j)
+        roots = {}
+        labels = np.zeros(N, dtype=np.int64)
+        for i in range(N):
+            r = find(i)
+            labels[i] = roots.setdefault(r, len(roots))
+        return labels, len(roots)
+
+    # -- BLOSUM filter weights (ref: esl_msaweight_BLOSUM) -----------
+    def set_blosum_weights(self, wid: float = 0.62):
+        """Henikoff filter weights: 1/cluster-size at the <wid>
+        single-linkage identity cutoff, normalized to mean 1."""
+        labels, _ = self.single_linkage_clusters(wid)
+        sizes = np.bincount(labels)
+        w = 1.0 / sizes[labels]
+        self.wgt = w * (self.nseq / w.sum())
+
+    # -- GSC tree weights (ref: esl_msaweight_GSC) -------------------
+    def set_gsc_weights(self):
+        """Gerstein/Sonnhammer/Chothia weights: UPGMA tree on
+        fractional-difference distances; each branch length is split
+        evenly among the leaves below it; normalized to mean 1."""
+        N = self.nseq
+        if N < 2:
+            self.wgt = np.ones(N)
+            return
+        D = 1.0 - self.pairwise_pid_matrix()
+        # UPGMA: heights = join distance / 2
+        active = {i: ([i], 0.0) for i in range(N)}  # node: (leaves, h)
+        dist = {(i, j): D[i, j] for i in range(N) for j in range(i)}
+
+        def get(a, b):
+            return dist[(a, b) if a > b else (b, a)]
+
+        w = np.zeros(N)
+        nxt = N
+        while len(active) > 1:
+            (a, b) = min(((a, b) for a in active for b in active
+                          if a > b), key=lambda p: get(*p))
+            la, ha = active[a]
+            lb, hb = active[b]
+            h = get(a, b) / 2.0
+            # distribute the two child branch lengths evenly among
+            # the leaves below each child
+            w[la] += max(h - ha, 0.0) / len(la)
+            w[lb] += max(h - hb, 0.0) / len(lb)
+            merged = la + lb
+            for c in list(active):
+                if c in (a, b):
+                    continue
+                lc, _ = active[c]
+                dnew = (get(a, c) * len(la) + get(b, c) * len(lb)) \
+                    / (len(la) + len(lb))
+                dist[(max(nxt, c), min(nxt, c))] = dnew
+            del active[a], active[b]
+            active[nxt] = (merged, h)
+            nxt += 1
+        if w.sum() <= 0:
+            self.wgt = np.ones(N)
+        else:
+            self.wgt = w * (N / w.sum())
+
     def checksum(self) -> int:
         """32-bit order-dependent checksum of the digital residues
         (our own stable definition; the reference uses

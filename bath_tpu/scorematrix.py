@@ -73,5 +73,51 @@ def probify_given_bg(S: np.ndarray, f: np.ndarray
 def blosum62_conditionals(f: np.ndarray) -> np.ndarray:
     """P(b | a) matrix [20, 20] from BLOSUM62 given background <f>
     (ref: esl_scorematrix_JointToConditionalOnQuery)."""
-    _, q = probify_given_bg(blosum62(), f)   # lambda absorbs the
+    return matrix_conditionals(blosum62(), f)
+
+
+def matrix_conditionals(S: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """P(b | a) matrix [20, 20] from an arbitrary score matrix given
+    background <f> (ref: esl_scorematrix_JointToConditionalOnQuery)."""
+    _, q = probify_given_bg(S, f)            # lambda absorbs the
     return q / q.sum(axis=1, keepdims=True)  # half-bit score units
+
+
+# Easel canonical amino order
+AA_ORDER = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def read_matrix_file(path: str) -> np.ndarray:
+    """Parse an NCBI/Easel-format substitution matrix file into a
+    [20, 20] array in Easel amino order (ref: bathsearch --mxfile,
+    esl_scorematrix_Read semantics).  Extra rows/columns (B, Z, X,
+    '*') are ignored."""
+    lines = [ln for ln in open(path)
+             if ln.strip() and not ln.lstrip().startswith("#")]
+    if not lines:
+        raise ValueError(f"empty score matrix file {path}")
+    cols = [c.upper() for c in lines[0].split()]
+    scores: dict[tuple[str, str], float] = {}
+    for ln in lines[1:]:
+        parts = ln.split()
+        row = parts[0].upper()
+        for c, v in zip(cols, parts[1:]):
+            scores[(row, c)] = float(v)
+    S = np.zeros((20, 20), dtype=np.float64)
+    for i, a in enumerate(AA_ORDER):
+        for j, b in enumerate(AA_ORDER):
+            if (a, b) not in scores:
+                raise ValueError(
+                    f"score matrix file {path} is missing {a}x{b}")
+            S[i, j] = scores[(a, b)]
+    return S
+
+
+def named_matrix(name: str) -> np.ndarray:
+    """Built-in matrix by name (ref: bathsearch --mx).  BLOSUM62 is
+    bundled; other choices must come via --mxfile."""
+    if name.upper() == "BLOSUM62":
+        return blosum62()
+    raise ValueError(
+        f"substitution matrix '{name}' is not bundled; supply it "
+        "with --mxfile instead")

@@ -392,7 +392,8 @@ class TopHits:
 
     # ref: p7_tophits_TabularExons :1735
     def tabular_exons_text(self, qname: str, qacc: str, pli,
-                           show_header: bool) -> str:
+                           show_header: bool,
+                           node_info: bool = False) -> str:
         out = []
         tnamew = max(20, self._max_name_len())
         qnamew = max(20, len(qname))
@@ -402,18 +403,24 @@ class TopHits:
                                  "query name", "accession", "", "", "",
                                  "", "", "", "", "", "", "", "", "", "",
                                  "", tw=tnamew, qw=qnamew))
-            out.append(f1.format(" hit ID", "target name", "accession",
-                                 "query name", "accession", "hmm len",
-                                 "seq len", "E-value", "score", "bias",
-                                 "#", "of", "hmm from", "hmm to",
-                                 "ali from", "ali to", "P-value", "PID",
-                                 "splice", tw=tnamew, qw=qnamew))
-            out.append(f1.format("-" * 7, "-" * tnamew, "-" * 10,
-                                 "-" * qnamew, "-" * 10, "-" * 9,
-                                 "-" * 9, "-" * 9, "-" * 6, "-" * 5,
-                                 "-" * 3, "-" * 3, "-" * 9, "-" * 9,
-                                 "-" * 9, "-" * 9, "-" * 9, "-" * 5,
-                                 "-" * 7, tw=tnamew, qw=qnamew))
+            h1 = f1.format(" hit ID", "target name", "accession",
+                           "query name", "accession", "hmm len",
+                           "seq len", "E-value", "score", "bias",
+                           "#", "of", "hmm from", "hmm to",
+                           "ali from", "ali to", "P-value", "PID",
+                           "splice", tw=tnamew, qw=qnamew)
+            h2 = f1.format("-" * 7, "-" * tnamew, "-" * 10,
+                           "-" * qnamew, "-" * 10, "-" * 9,
+                           "-" * 9, "-" * 9, "-" * 6, "-" * 5,
+                           "-" * 3, "-" * 3, "-" * 9, "-" * 9,
+                           "-" * 9, "-" * 9, "-" * 9, "-" * 5,
+                           "-" * 7, tw=tnamew, qw=qnamew)
+            if node_info:
+                # ref: p7_tophits_TabularExons :1757 (--nodeinfo)
+                h1 = h1[:-1] + " %7s %7s\n" % ("anchor", "extend")
+                h2 = h2[:-1] + " %7s %7s\n" % ("-" * 7, "-" * 7)
+            out.append(h1)
+            out.append(h2)
         hitid = 0
         for h in self.hit:
             if not (h.flags & IS_REPORTED):
@@ -425,16 +432,22 @@ class TopHits:
             res = d.ad
             nex = len(res.exons)
             for e, x in enumerate(res.exons, 1):
-                out.append("%8d %-*s %-10s %-*s %-10s %9d %9d %9.2g"
-                           " %6.1f %5.1f %3d %3d %9d %9d %9d %9d %9.2g"
-                           " %5.2f %7s\n" % (
-                               hitid, tnamew, h.name, h.acc or "-",
-                               qnamew, qname, qacc or "-", pli.nnodes,
-                               h.target_len, math.exp(h.lnP), h.score,
-                               d.dombias / C.CONST_LOG2, e, nex,
-                               x.hmm_from, x.hmm_to, x.seq_from,
-                               x.seq_to, math.exp(x.lnP), x.pid,
-                               x.signal if e < nex else "----"))
+                ln = ("%8d %-*s %-10s %-*s %-10s %9d %9d %9.2g"
+                      " %6.1f %5.1f %3d %3d %9d %9d %9d %9d %9.2g"
+                      " %5.2f %7s" % (
+                          hitid, tnamew, h.name, h.acc or "-",
+                          qnamew, qname, qacc or "-", pli.nnodes,
+                          h.target_len, math.exp(h.lnP), h.score,
+                          d.dombias / C.CONST_LOG2, e, nex,
+                          x.hmm_from, x.hmm_to, x.seq_from,
+                          x.seq_to, math.exp(x.lnP), x.pid,
+                          x.signal if e < nex else "----"))
+                if node_info:
+                    # ref: p7_tophits_TabularExons :1828
+                    ln += " %7s %7s" % (
+                        "True" if (nex == 1 or x.anchor) else "False",
+                        "True" if (nex > 1 and x.extend) else "False")
+                out.append(ln + "\n")
         return "".join(out)
 
     # ref: p7_tophits_TabularFrameshifts :1442

@@ -71,6 +71,47 @@ def test_bathfetch_roundtrip(tmp_path, capsys):
     assert h.name == "PTH2"
 
 
+def test_bathbuild_weighting_and_effn_strategies(tmp_path):
+    """--wgsc/--wblosum/--eclust/--eentexp all build valid models
+    (ref: bathbuild.c weighting/effn option groups,
+    esl_msaweight_GSC/BLOSUM, eweight.c p7_EntropyWeight_exp)."""
+    results = {}
+    for tag, flags in (("pb", []), ("gsc", ["--wgsc"]),
+                       ("blosum", ["--wblosum"]),
+                       ("eclust", ["--eclust"]),
+                       ("eentexp", ["--eentexp"])):
+        out = tmp_path / f"{tag}.bhmm"
+        rc = bathbuild.main([str(out), f"{TS}/2OG-FeII_Oxy_3.sto",
+                             "-o", str(tmp_path / "log")] + flags)
+        assert rc == 0
+        h = read_hmm(str(out))
+        assert np.all(np.isfinite(h.mat[1:])) and h.eff_nseq > 0
+        results[tag] = h
+    # 10 diverse sequences -> 10 single-linkage clusters at 62% id
+    assert results["eclust"].eff_nseq == 10.0
+    # the weighting schemes genuinely differ
+    assert abs(results["pb"].eff_nseq
+               - results["blosum"].eff_nseq) > 1e-3
+
+
+def test_gsc_weights_downweight_duplicates():
+    """A duplicated sequence splits the weight its copies share
+    (GSC and BLOSUM weighting invariants)."""
+    from bath_tpu.msa import read_msas
+    msa = read_msas(f"{TS}/2OG-FeII_Oxy_3.sto")[0]
+    import numpy as _np
+    msa.ax = _np.vstack([msa.ax, msa.ax[0]])
+    msa.names = msa.names + ["dup"]
+    msa.wgt = _np.ones(msa.nseq)
+    msa.set_gsc_weights()
+    w = msa.wgt
+    assert abs(w.mean() - 1.0) < 1e-9
+    # the duplicated pair gets the smallest weights
+    assert max(w[0], w[-1]) <= w[1:-1].min() + 1e-9
+    msa.set_blosum_weights(0.9)
+    assert abs(msa.wgt[0] - 0.5 * msa.wgt[1]) < 1e-9
+
+
 def test_bathbuild_postmsa_roundtrip(tmp_path):
     """-O resaves the trace-implied alignment; rebuilding from it
     with --hand recovers the same architecture

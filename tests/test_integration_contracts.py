@@ -192,6 +192,43 @@ def test_i17_bathbuild_stdin(tmp_path):
     assert bad.returncode != 0
 
 
+def test_mxfile_matches_builtin_blosum62(tmp_path):
+    """--mxfile with a BLOSUM62 matrix file reproduces the built-in
+    --mx BLOSUM62 output exactly; unknown --mx names are rejected
+    (ref: bathsearch.c --mx/--mxfile, p7_builder_SetScoreSystem)."""
+    from bath_tpu.scorematrix import AA_ORDER, blosum62
+    S = blosum62().astype(int)
+    mx = tmp_path / "mx.txt"
+    with open(mx, "w") as fh:
+        fh.write("   " + "  ".join(AA_ORDER) + "\n")
+        for i, a in enumerate(AA_ORDER):
+            fh.write(a + " " + " ".join("%2d" % v for v in S[i])
+                     + "\n")
+    q = tmp_path / "q.fa"
+    q.write_text(">q20\nACDEFGHIKLMNPQRSTVWY\n")
+    t = tmp_path / "t.fa"
+    t.write_text(STAR1)
+    a = _run(["bath_tpu.cli.bathsearch", str(q), str(t)])
+    b = _run(["bath_tpu.cli.bathsearch", "--mxfile", str(mx), str(q),
+              str(t)])
+    assert a.returncode == 0 and b.returncode == 0
+    assert _body(a.stdout) == _body(b.stdout)
+    c = _run(["bath_tpu.cli.bathsearch", "--mx", "PAM30", str(q),
+              str(t)])
+    assert c.returncode != 0
+
+
+def test_crick_watson_strand_aliases(tmp_path):
+    """--crick keeps the plus-strand AMP_N hit; --watson drops it
+    (ref: bathsearch.c --crick/--watson hidden aliases)."""
+    hmm = f"{TUT}/AMP_N.bhmm"
+    fa = f"{TUT}/target-AMP_N.fa"
+    a = _run(["bath_tpu.cli.bathsearch", "--crick", hmm, fa])
+    b = _run(["bath_tpu.cli.bathsearch", "--watson", hmm, fa])
+    assert a.returncode == 0 and b.returncode == 0
+    assert "47.8" in a.stdout and "47.8" not in b.stdout
+
+
 def test_i17_bathfetch_bathstat_stdin(tmp_path):
     hmm = f"{TUT}/tRNA-proteins.bhmm"
     a = _run(["bath_tpu.cli.bathfetch", hmm, "PTH2"])
