@@ -28,7 +28,53 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output HMM to file named <key>")
     p.add_argument("--index", action="store_true",
                    help="index the <hmmfile>, creating <hmmfile>.bsi")
+    p.add_argument("--ct", type=int, default=None,
+                   help="use alt genetic code of NCBI transl table "
+                        "<n> (recalibrates frameshift taus)")
     return p
+
+
+def _fetch_text(hmmfile: str, key: str, ct: int | None) -> str:
+    """Fetch one HMM; with --ct (or missing fs taus) re-derive the
+    frameshift calibration under the requested genetic code
+    (ref: bathfetch.c :296-330)."""
+    text = fetch_hmm_text(hmmfile, key)
+    if ct is None:
+        return text
+    import io
+
+    from .. import constants as C
+    from ..bg import Background
+    from ..codontable import CodonTable
+    from ..evalues import fs_tau
+    from ..gencode import GeneticCode
+    from ..hmmfile import read_hmms_text, write_hmm
+    from ..ops.reference.fwdback_fs import fs_oprofile_convert
+    from ..profile import profile_config_fs
+    from ..rng import Randomness
+
+    hmm = read_hmms_text(text)[0]
+    hmm.fs = True
+    hmm.fsprob = 0.01
+    if (ct != hmm.ct
+            or hmm.evparam[C.EV_FTAUFS3] == C.EVPARAM_UNSET
+            or hmm.evparam[C.EV_FTAUFS5] == C.EVPARAM_UNSET):
+        hmm.ct = ct
+        bg = Background()
+        r = Randomness(42)
+        gcode = GeneticCode.create(ct)
+        gcode.set_initiator_any()
+        tbl = CodonTable(gcode)
+        lam = float(hmm.evparam[C.EV_FLAMBDA])
+        for nc, slot in ((3, C.EV_FTAUFS3), (5, C.EV_FTAUFS5)):
+            om = fs_oprofile_convert(
+                profile_config_fs(hmm, bg, gcode, nc, 100))
+            hmm.evparam[slot] = fs_tau(r, om, tbl, bg, 100, 200,
+                                       lam, 0.04)
+    hmm.ct = ct
+    buf = io.StringIO()
+    write_hmm(buf, hmm)
+    return buf.getvalue()
 
 
 def main(argv=None) -> int:
@@ -62,11 +108,11 @@ def main(argv=None) -> int:
     if args.keynamed:
         for k in keys:
             with open(k, "w") as fh:
-                fh.write(fetch_hmm_text(args.hmmfile, k))
+                fh.write(_fetch_text(args.hmmfile, k, args.ct))
         return 0
     ofp = open(args.outfile, "w") if args.outfile else sys.stdout
     for k in keys:
-        ofp.write(fetch_hmm_text(args.hmmfile, k))
+        ofp.write(_fetch_text(args.hmmfile, k, args.ct))
     if ofp is not sys.stdout:
         ofp.close()
     return 0

@@ -47,6 +47,18 @@ def read_hmm(path: str) -> HMM:
     return next(read_hmms(path))
 
 
+def read_hmms_text(text: str) -> list[HMM]:
+    """Parse HMM(s) from an in-memory string."""
+    import io
+    fh = io.StringIO(text)
+    out = []
+    while True:
+        h = _read_one(fh)
+        if h is None:
+            return out
+        out.append(h)
+
+
 def _read_one(fh: TextIO) -> HMM | None:
     # find format tag line
     line = ""

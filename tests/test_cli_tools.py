@@ -71,6 +71,23 @@ def test_bathfetch_roundtrip(tmp_path, capsys):
     assert h.name == "PTH2"
 
 
+def test_bathfetch_ct_recalibrates(tmp_path):
+    """--ct on fetch re-derives the frameshift taus under the new
+    genetic code (ref: bathfetch.c :296-330)."""
+    import shutil
+    src = tmp_path / "db.bhmm"
+    shutil.copy(f"{TUT}/tRNA-proteins.bhmm", src)
+    out = tmp_path / "one.bhmm"
+    assert bathfetch.main([str(src), "PTH2", "-o", str(out)]) == 0
+    h0 = read_hmm(str(out))
+    assert bathfetch.main(["--ct", "4", str(src), "PTH2",
+                           "-o", str(out)]) == 0
+    h1 = read_hmm(str(out))
+    assert h0.ct == 1 and h1.ct == 4
+    assert h1.evparam[C.EV_FTAUFS3] != h0.evparam[C.EV_FTAUFS3]
+    assert h1.evparam[C.EV_FTAUFS5] != C.EVPARAM_UNSET
+
+
 def test_bathbuild_weighting_and_effn_strategies(tmp_path):
     """--wgsc/--wblosum/--eclust/--eentexp all build valid models
     (ref: bathbuild.c weighting/effn option groups,
