@@ -62,8 +62,7 @@ def _ssv_msv_impl(dsq, lens, tjb, sbv, rbv, Mp, base, tec, tbm, bias,
     ovf2 = xE2 >= 255 - bias
     xJ = (xE2 - tec) & 0xFFFF
     none2 = xJ > base
-    ssv_sc = ((xJ - tjb).astype(F32) - base) / scale - 3.0
-    ssv_sc = ssv_sc.astype(F32)
+    ssv_int = xJ - tjb
     ssv_none = no_ssv | (ovf1 & none1) | none2
     ssv_inf = (~ssv_none) & ((ovf1 & ~none1) | ovf2)
 
@@ -94,12 +93,12 @@ def _ssv_msv_impl(dsq, lens, tjb, sbv, rbv, Mp, base, tec, tbm, bias,
               jnp.maximum(0, base - tjbm), jnp.zeros(B, bool))
     (_, xJm, _, movf), _ = jax.lax.scan(
         msv_step, carry0, (dsq.T, jnp.arange(L, dtype=I32)))
-    msv_sc = ((xJm - tjb).astype(F32) - base) / scale - 3.0
-    msv_sc = jnp.where(movf, jnp.inf, msv_sc.astype(F32))
-
-    out = jnp.where(ssv_none, msv_sc,
-                    jnp.where(ssv_inf, jnp.inf, ssv_sc))
-    return out
+    # the DP is pure-integer and therefore bit-exact on any backend;
+    # the float conversion happens on the HOST in f64 (matching the
+    # scalar reference's arithmetic exactly, filters.py:77-78)
+    out_int = jnp.where(ssv_none, xJm - tjb, ssv_int)
+    out_inf = jnp.where(ssv_none, movf, ssv_inf)
+    return out_int, out_inf
 
 
 class MSVExact:
@@ -133,11 +132,14 @@ class MSVExact:
         lengths -> [B] MSV scores identical to
         ops.reference.filters.msv_filter per item."""
         tjb = jnp.asarray(self.tjb_for(lens))
-        out = _ssv_msv_impl(jnp.asarray(dsq_batch, dtype=jnp.int32),
-                            jnp.asarray(lens, dtype=jnp.int32), tjb,
-                            self.sbv, self.rbv, self.Mp, self.base,
-                            self.tec, self.tbm, self.bias, self.scale)
-        return np.asarray(out)
+        ints, infs = _ssv_msv_impl(
+            jnp.asarray(dsq_batch, dtype=jnp.int32),
+            jnp.asarray(lens, dtype=jnp.int32), tjb,
+            self.sbv, self.rbv, self.Mp, self.base,
+            self.tec, self.tbm, self.bias, self.scale)
+        ints = np.asarray(ints).astype(np.float64)
+        sc = np.float32((ints - float(self.base)) / self.scale - 3.0)
+        return np.where(np.asarray(infs), np.float32(np.inf), sc)
 
 
 @functools.partial(jax.jit, static_argnames=("Mp", "base", "ddbound",
@@ -181,7 +183,7 @@ def _vitfilter_impl(dsq, lens, rwv, tBM, tMM, tIM, tDM, tMD, tDD, tMI,
         return dd
 
     def step(carry, xi):
-        dm, di, dd, xN, xJ, xC, xB, ovf, score = carry
+        dm, di, dd, xN, xJ, xC, xB, ovf, score, has = carry
         resi, i = xi
         row = rwv[resi]
         mp, ip, dp = shift(dm), shift(di), shift(dd)
@@ -212,12 +214,11 @@ def _vitfilter_impl(dsq, lens, rwv, tBM, tMM, tIM, tDM, tMD, tDD, tMI,
         xB = jnp.where(active, xB2, xB)
         ovf = jnp.where(active, ovf | ovf2, ovf)
         done = (i + 1 == lens)
-        fin = jnp.where(
-            xC2 > NEG,
-            ((xC2 + cmove).astype(F32) - base) / scale - 3.0,
-            -jnp.inf)
-        score = jnp.where(done, fin.astype(F32), score)
-        return (dm, di, dd, xN, xJ, xC, xB, ovf, score), None
+        # integer final term only; the float conversion happens on
+        # the host in f64 (bit-exact on any backend)
+        score = jnp.where(done, xC2 + cmove, score)
+        has = jnp.where(done, xC2 > NEG, has)
+        return (dm, di, dd, xN, xJ, xC, xB, ovf, score, has), None
 
     neg = jnp.full((B, Mp), NEG, I32)
     carry0 = (neg, neg, neg,
@@ -226,10 +227,11 @@ def _vitfilter_impl(dsq, lens, rwv, tBM, tMM, tIM, tDM, tMD, tDD, tMI,
               jnp.full(B, NEG, I32),
               base + nmove,
               jnp.zeros(B, bool),
-              jnp.full(B, -jnp.inf, F32))
-    (_, _, _, _, _, _, _, ovf, score), _ = jax.lax.scan(
+              jnp.zeros(B, I32),
+              jnp.zeros(B, bool))
+    (_, _, _, _, _, _, _, ovf, score, has), _ = jax.lax.scan(
         step, carry0, (dsq.T, jnp.arange(L, dtype=I32)))
-    return jnp.where(ovf, jnp.inf, score)
+    return score, has, ovf
 
 
 class VitExact:
@@ -279,9 +281,13 @@ class VitExact:
 
     def scores(self, dsq_batch, lens) -> np.ndarray:
         move_w = jnp.asarray(self.move_for(np.asarray(lens)))
-        return np.asarray(_vitfilter_impl(
+        ints, has, ovf = _vitfilter_impl(
             jnp.asarray(dsq_batch, dtype=jnp.int32),
             jnp.asarray(lens, dtype=jnp.int32), self.rwv, self.tBM,
             self.tMM, self.tIM, self.tDM, self.tMD, self.tDD,
             self.tMI, self.tII, move_w, self.Mp, self.base,
-            self.ddbound, self.scale, self.emove, self.eloop))
+            self.ddbound, self.scale, self.emove, self.eloop)
+        ints = np.asarray(ints).astype(np.float64)
+        sc = np.float32((ints - float(self.base)) / self.scale - 3.0)
+        sc = np.where(np.asarray(has), sc, np.float32(-np.inf))
+        return np.where(np.asarray(ovf), np.float32(np.inf), sc)

@@ -8,6 +8,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+try:
+    # the env may pin JAX_PLATFORMS to the TPU plugin; the config
+    # update (pre-backend-init) is what actually wins
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 REF = "/root/reference"

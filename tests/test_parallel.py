@@ -42,3 +42,56 @@ def test_merge_shard_count_invariant():
     assert [(round(h.score, 3), h.seqidx, h.dcl[0].iali) for h in a] == \
         [(round(h.score, 3), h.seqidx, h.dcl[0].iali) for h in b]
     assert abs(a[0].score - 50.0) < 1e-4
+
+
+def test_sharded_pipeline_step_shard_count_invariant():
+    """The determinism contract on device: the same window batch run
+    on a 1-device and an 8-device mesh produces identical scores and
+    identical psum-reduced counters (ref: SURVEY.md section 2.4 P2/P3,
+    i2-search-variation.sh thread-count invariance)."""
+    import jax
+    import numpy as np
+
+    from bath_tpu.bg import Background
+    from bath_tpu.gencode import GeneticCode
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.ops.jaxk import kernels as jk
+    from bath_tpu.ops.reference.fwdback_fs import fs_oprofile_convert
+    from bath_tpu.parallel.mesh import (make_mesh, make_pipeline_step,
+                                        replicate, shard_batch)
+    from bath_tpu.profile import profile_config, profile_config_fs
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 devices"
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    gm = profile_config(hmm, bg, L=100)
+    om = oprofile_convert(gm)
+    fp = jk.fwd_params(om)
+    mp = jk.msv_params(om)
+    p3 = jk.fs3_params(fs_oprofile_convert(
+        profile_config_fs(hmm, bg, gcode, 3, 100)))
+
+    rng = np.random.default_rng(11)
+    B, La, Ln = 16, 60, 180
+    adsq = rng.integers(0, 20, (B, La)).astype(np.int32)
+    alens = np.full(B, La, np.int32)
+    ndsq = rng.integers(0, 4, (B, Ln)).astype(np.int32)
+    nlens = np.full(B, Ln, np.int32)
+    tjb = np.full(B, om.tjb_b, np.int32)
+
+    outs = {}
+    for nd in (1, 8):
+        mesh = make_mesh(nd)
+        step = make_pipeline_step(mesh, fp, mp, p3)
+        args = [shard_batch(mesh, a) for a in
+                (adsq, alens, ndsq, nlens, tjb)]
+        fwd, msv, fs3, ctr = step(*args)
+        outs[nd] = (np.asarray(fwd), np.asarray(msv),
+                    np.asarray(fs3), np.asarray(ctr))
+    for a, b in zip(outs[1], outs[8]):
+        assert np.array_equal(a, b)
+    # counters reflect the global batch, not the shard
+    assert outs[8][3][0] == alens.sum() + nlens.sum()
