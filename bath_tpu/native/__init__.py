@@ -45,8 +45,11 @@ def get_lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO) and not _build():
-        return None
+    stale = (os.path.exists(_SO) and os.path.exists(_SRC)
+             and os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+    if (not os.path.exists(_SO) or stale) and not _build():
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -132,6 +135,14 @@ def _bind_filters(lib):
         I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.POINTER(ctypes.c_float)]
+    lib.bio_msv_filter_batch.restype = None
+    lib.bio_msv_filter_batch.argtypes = [
+        I32P, np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        I32P, I32P, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
     lib.bio_vit_filter.restype = ctypes.c_int
     lib.bio_vit_filter.argtypes = [
         I32P, ctypes.c_int64, I32P, I32P, ctypes.c_int, ctypes.c_int,
@@ -172,6 +183,34 @@ def msv_filter_native(dsq: np.ndarray, om) -> float | None:
                             int(om.bias_b), float(om.scale_b),
                             ctypes.byref(out))
     return float("inf") if st == 1 else float(out.value)
+
+
+def msv_filter_native_batch(orf_dsqs: list, om) -> np.ndarray | None:
+    """One native call scoring every ORF of a window batch
+    (bit-identical to per-ORF msv_filter_native); None if the library
+    is absent.  tjb is recomputed per ORF length exactly as
+    reconfig_msv_length does."""
+    lib = get_lib()
+    if lib is None or not orf_dsqs:
+        return None
+    if not hasattr(lib, "_filters_bound"):
+        _bind_filters(lib)
+        lib._filters_bound = True
+    sbv, rbv, _, _ = _packed_filters(om)
+    n = len(orf_dsqs)
+    lens = np.array([len(d) for d in orf_dsqs], dtype=np.int32)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    cat = np.concatenate([np.ascontiguousarray(d, dtype=np.int32)
+                          for d in orf_dsqs])
+    tjbs = np.array([om._unbiased_byteify(np.log(3.0 / (int(L) + 3.0)))
+                     for L in lens], dtype=np.int32)
+    out = np.empty(n, dtype=np.float32)
+    lib.bio_msv_filter_batch(cat, offs, lens, tjbs, n, sbv, rbv,
+                             om.Kp, om.M, int(om.base_b),
+                             int(om.tec_b), int(om.tbm_b),
+                             int(om.bias_b), float(om.scale_b), out)
+    return out
 
 
 def vit_filter_native(dsq: np.ndarray, om) -> float | None:

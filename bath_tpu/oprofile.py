@@ -87,8 +87,26 @@ class OProfile:
         self.L = L
 
     def reconfig_length(self, L: int):
-        self.reconfig_msv_length(L)
-        self.reconfig_rest_length(L)
+        # memoized: ORF lengths repeat heavily, and the per-call
+        # quantization (roundf emulation) dominated the e2e profile
+        key = (L, self.nj)
+        cache = self.__dict__.setdefault("_len_cache", {})
+        ent = cache.get(key)
+        if ent is None:
+            tjb = self._unbiased_byteify(np.log(3.0 / (L + 3.0)))
+            pmove = (np.float32(2.0) + np.float32(self.nj)) / (
+                np.float32(L) + np.float32(2.0) + np.float32(self.nj))
+            ploop = np.float32(1.0) - pmove
+            xw_move = _wordify(self.scale_w, np.log(pmove))
+            ent = (tjb, pmove, ploop, xw_move)
+            cache[key] = ent
+        tjb, pmove, ploop, xw_move = ent
+        self.tjb_b = tjb
+        for s in (C.X_N, C.X_C, C.X_J):
+            self.xf[s, C.LOOP] = ploop
+            self.xf[s, C.MOVE] = pmove
+            self.xw[s, C.MOVE] = xw_move
+        self.L = L
 
     # ref: p7_oprofile_ReconfigUnihit / ReconfigMultihit
     def reconfig_unihit(self, L: int):

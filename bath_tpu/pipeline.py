@@ -238,6 +238,12 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
     fwdsc_arr = [float("-inf")] * n_orfs
     oxf_holder = [None] * n_orfs
 
+    if usc_pre is None:
+        # one native call for the whole window's ORFs (bit-identical
+        # to the per-ORF scalar path; ref: msvfilter.c p7_MSVFilter)
+        from .native import msv_filter_native_batch
+        usc_pre = msv_filter_native_batch([o.dsq for o in orfs], om)
+
     for idx, orfsq in enumerate(orfs):
         # skip ORFs entirely inside the previous window's context
         if (orfsq.start < orfsq.end and orfsq.end < dnasq.C) or \

@@ -348,4 +348,24 @@ int bio_vit_filter(const int32_t* dsq, int64_t L, const int32_t* rwv,
     return 0;
 }
 
+// Batched MSV over concatenated ORFs: one library call per window
+// batch instead of one per ORF (the Python->C transition dominated
+// the e2e profile).  offs[i] is the start of ORF i in dsq_cat;
+// tjbs[i] the per-length tjb byte.  out[i] = score, +inf on the
+// overflow/certain-hit status.
+void bio_msv_filter_batch(const int32_t* dsq_cat, const int64_t* offs,
+                          const int32_t* lens, const int32_t* tjbs,
+                          int64_t n, const int16_t* sbv,
+                          const int32_t* rbv, int Kp, int M, int base,
+                          int tec, int tbm, int bias, double scale,
+                          float* out) {
+    for (int64_t i = 0; i < n; i++) {
+        float sc = 0.0f;
+        int st = bio_msv_filter(dsq_cat + offs[i], lens[i], sbv, rbv,
+                                Kp, M, base, tec, tjbs[i], tbm, bias,
+                                scale, &sc);
+        out[i] = st == 1 ? 1.0f / 0.0f : sc;
+    }
+}
+
 }  // extern "C"
