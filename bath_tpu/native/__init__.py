@@ -203,8 +203,16 @@ def msv_filter_native_batch(orf_dsqs: list, om) -> np.ndarray | None:
     np.cumsum(lens[:-1], out=offs[1:])
     cat = np.concatenate([np.ascontiguousarray(d, dtype=np.int32)
                           for d in orf_dsqs])
-    tjbs = np.array([om._unbiased_byteify(np.log(3.0 / (int(L) + 3.0)))
-                     for L in lens], dtype=np.int32)
+    tcache = om.__dict__.setdefault("_tjb_cache", {})
+
+    def tjb_of(L):
+        v = tcache.get(L)
+        if v is None:
+            v = om._unbiased_byteify(np.log(3.0 / (L + 3.0)))
+            tcache[L] = v
+        return v
+
+    tjbs = np.array([tjb_of(int(L)) for L in lens], dtype=np.int32)
     out = np.empty(n, dtype=np.float32)
     lib.bio_msv_filter_batch(cat, offs, lens, tjbs, n, sbv, rbv,
                              om.Kp, om.M, int(om.base_b),

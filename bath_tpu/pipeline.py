@@ -244,6 +244,21 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
         from .native import msv_filter_native_batch
         usc_pre = msv_filter_native_batch([o.dsq for o in orfs], om)
 
+    P1_pre = null_pre = None
+    if usc_pre is not None:
+        # vectorized F1 gate: null scores and Gumbel P-values for the
+        # whole batch, with the scalar path's exact f32/f64 op order
+        lens_a = np.array([o.n for o in orfs], dtype=np.int64)
+        p1v = lens_a.astype(np.float32) / (lens_a + 1).astype(
+            np.float32)
+        with np.errstate(divide="ignore"):
+            null_pre = (lens_a.astype(np.float32) * np.log(p1v)
+                        + np.log(np.float32(1.0) - p1v))
+        seqscv = (np.asarray(usc_pre, np.float64)
+                  - null_pre.astype(np.float64)) / C.CONST_LOG2
+        P1_pre = stats.gumbel_surv(seqscv, om.evparam[C.EV_MMU],
+                                   om.evparam[C.EV_MLAMBDA])
+
     for idx, orfsq in enumerate(orfs):
         # skip ORFs entirely inside the previous window's context
         if (orfsq.start < orfsq.end and orfsq.end < dnasq.C) or \
@@ -252,19 +267,25 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
         if orfsq.n <= 0:
             continue
         vfsc = float("-inf")
-        bg.set_length(orfsq.n)
-        om.reconfig_length(orfsq.n)
-        nullsc = bg.null_one(orfsq.n)
-
-        if usc_pre is not None:
+        if P1_pre is not None:
+            # batch-gated: only survivors pay the per-ORF reconfig
+            P = float(P1_pre[idx])
+            if P > pli.F1:
+                continue
+            nullsc = float(null_pre[idx])
             usc = float(usc_pre[idx])
+            bg.set_length(orfsq.n)
+            om.reconfig_length(orfsq.n)
         else:
+            bg.set_length(orfsq.n)
+            om.reconfig_length(orfsq.n)
+            nullsc = bg.null_one(orfsq.n)
             usc = msv_filter(orfsq.dsq, om)
-        seqsc = (usc - nullsc) / C.CONST_LOG2
-        P = float(stats.gumbel_surv(seqsc, om.evparam[C.EV_MMU],
-                                    om.evparam[C.EV_MLAMBDA]))
-        if P > pli.F1:
-            continue
+            seqsc = (usc - nullsc) / C.CONST_LOG2
+            P = float(stats.gumbel_surv(seqsc, om.evparam[C.EV_MMU],
+                                        om.evparam[C.EV_MLAMBDA]))
+            if P > pli.F1:
+                continue
         pli.pos_past_msv += orfsq.n * 3
 
         if pli.do_biasfilter:
