@@ -135,6 +135,9 @@ def _bind_filters(lib):
         I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.POINTER(ctypes.c_float)]
+    F32P = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.bio_dd_closure_f32.restype = None
+    lib.bio_dd_closure_f32.argtypes = [F32P, F32P, ctypes.c_int]
     lib.bio_msv_filter_batch.restype = None
     lib.bio_msv_filter_batch.argtypes = [
         I32P, np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -183,6 +186,25 @@ def msv_filter_native(dsq: np.ndarray, om) -> float | None:
                             int(om.bias_b), float(om.scale_b),
                             ctypes.byref(out))
     return float("inf") if st == 1 else float(out.value)
+
+
+_DD_FN = None
+
+
+def dd_closure_native(dc: np.ndarray, tdd: np.ndarray, M: int) -> bool:
+    """In-place sequential DD closure in C, bit-identical to the
+    Python loop.  Returns False if the library is absent."""
+    global _DD_FN
+    if _DD_FN is None:
+        lib = get_lib()
+        if lib is None:
+            return False
+        if not hasattr(lib, "_filters_bound"):
+            _bind_filters(lib)
+            lib._filters_bound = True
+        _DD_FN = lib.bio_dd_closure_f32
+    _DD_FN(dc, tdd, M)
+    return True
 
 
 def msv_filter_native_batch(orf_dsqs: list, om) -> np.ndarray | None:

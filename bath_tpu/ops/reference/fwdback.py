@@ -118,8 +118,11 @@ def forward(dsq: np.ndarray, om: OProfile, full: bool = False,
         if U is not None:
             dc[:] = dc @ U
         else:
-            for k in range(2, M + 1):    # sequential DD closure
-                dc[k] += dc[k - 1] * tDD[k]
+            from ...native import dd_closure_native
+            if not (tDD.dtype == np.float32 and tDD.flags.c_contiguous
+                    and dd_closure_native(dc, tDD, M)):
+                for k in range(2, M + 1):    # sequential DD closure
+                    dc[k] += dc[k - 1] * tDD[k]
         mc, ic = sv, new_i
         xE = F32(mc[1:].sum()) + F32(dc[1:].sum())
         xN = xN * xf[C.X_N, C.LOOP]
@@ -341,6 +344,8 @@ def optimal_accuracy(om: OProfile, pp: PMatrix) -> tuple[PMatrix, float]:
     def masked(mask, val):
         return np.where(mask, val, F32(0.0))
 
+    dd_all = bool(mDD[2:].all())
+
     for i in range(1, L + 1):
         mpv = np.empty(M + 1, F32); mpv[0] = NEG_INF; mpv[1:] = ox.mm[i - 1][:-1]
         ipv = np.empty(M + 1, F32); ipv[0] = NEG_INF; ipv[1:] = ox.im[i - 1][:-1]
@@ -359,8 +364,13 @@ def optimal_accuracy(om: OProfile, pp: PMatrix) -> tuple[PMatrix, float]:
         # D: masked max closure
         dv = np.full(M + 1, NEG_INF, F32)
         dv[2:] = masked(mMD[2:], sv[1:M])
-        for k in range(2, M + 1):
-            dv[k] = max(dv[k], masked(mDD[k], dv[k - 1]))
+        if dd_all:
+            # all DD transitions >0: the gated chain is a running
+            # max (byte-identical to the scalar loop)
+            np.maximum.accumulate(dv[2:], out=dv[2:])
+        else:
+            for k in range(2, M + 1):
+                dv[k] = max(dv[k], masked(mDD[k], dv[k - 1]))
         ox.dm[i] = dv
         xE = max(float(sv[1:].max(initial=-np.inf)),
                  float(dv[1:].max(initial=-np.inf)))

@@ -174,6 +174,11 @@ def _dd_closure(dc: np.ndarray, tDD: np.ndarray, M: int,
     if U is not None:
         dc[:] = dc @ U
         return
+    from ...native import dd_closure_native
+    if dc.dtype == np.float32 and tDD.dtype == np.float32 and \
+            dc.flags.c_contiguous and tDD.flags.c_contiguous and \
+            dd_closure_native(dc, tDD, M):
+        return
     for k in range(2, M + 1):
         dc[k] += dc[k - 1] * tDD[k]
 
@@ -776,6 +781,7 @@ def optimal_accuracy_fs(om: FSOProfile, pp: FSMatrix
     def masked(m, v):
         return np.where(m, v, F32(0.0))
 
+    dd_all = bool(masks["DD"][2:].all())
     sentinel = np.full(M + 1, NEG_INF, F32)
 
     for i in range(1, L + 1):
@@ -810,8 +816,14 @@ def optimal_accuracy_fs(om: FSOProfile, pp: FSMatrix
         ox.im[i] = iv
         dv = np.full(M + 1, NEG_INF, F32)
         dv[2:] = masked(masks["MD"][2:], sv[1:M])
-        for k in range(2, M + 1):
-            dv[k] = max(dv[k], masked(masks["DD"][k], dv[k - 1]))
+        if dd_all:
+            # DD transitions all >0 (the usual local profile): the
+            # gated chain reduces to a running max — byte-identical
+            # to the scalar loop, ~Mx fewer Python ops
+            np.maximum.accumulate(dv[2:], out=dv[2:])
+        else:
+            for k in range(2, M + 1):
+                dv[k] = max(dv[k], masked(masks["DD"][k], dv[k - 1]))
         ox.dm[i] = dv
         xE = max(float(sv[1:].max(initial=-np.inf)),
                  float(dv[1:].max(initial=-np.inf)))

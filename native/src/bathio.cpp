@@ -368,4 +368,10 @@ void bio_msv_filter_batch(const int32_t* dsq_cat, const int64_t* offs,
     }
 }
 
+// Sequential prob-space DD closure, same IEEE f32 op order as the
+// Python reference loop (fwdback_fs.py _dd_closure): bit-identical.
+void bio_dd_closure_f32(float* dc, const float* tdd, int M) {
+    for (int k = 2; k <= M; k++) dc[k] += dc[k - 1] * tdd[k];
+}
+
 }  // extern "C"
