@@ -135,9 +135,17 @@ def _bind_filters(lib):
         I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.POINTER(ctypes.c_float)]
-    F32P = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    # raw-pointer bindings: these run once per DP row, so the
+    # ndpointer validation cost matters — callers guarantee
+    # C-contiguous float32
+    VP = ctypes.c_void_p
     lib.bio_dd_closure_f32.restype = None
-    lib.bio_dd_closure_f32.argtypes = [F32P, F32P, ctypes.c_int]
+    lib.bio_dd_closure_f32.argtypes = [VP, VP, ctypes.c_int]
+    lib.bio_bwd_d_fs_f32.restype = None
+    lib.bio_bwd_d_fs_f32.argtypes = [VP, VP, VP, VP,
+                                     ctypes.c_float, ctypes.c_int]
+    lib.bio_bwd_dd_f32.restype = None
+    lib.bio_bwd_dd_f32.argtypes = [VP, VP, ctypes.c_int]
     lib.bio_msv_filter_batch.restype = None
     lib.bio_msv_filter_batch.argtypes = [
         I32P, np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -188,22 +196,50 @@ def msv_filter_native(dsq: np.ndarray, om) -> float | None:
     return float("inf") if st == 1 else float(out.value)
 
 
-_DD_FN = None
+_DD_FNS = None
+
+
+def _dd_fns():
+    global _DD_FNS
+    if _DD_FNS is None:
+        lib = get_lib()
+        if lib is None:
+            _DD_FNS = False
+        else:
+            if not hasattr(lib, "_filters_bound"):
+                _bind_filters(lib)
+                lib._filters_bound = True
+            _DD_FNS = (lib.bio_dd_closure_f32, lib.bio_bwd_d_fs_f32,
+                       lib.bio_bwd_dd_f32)
+    return _DD_FNS
 
 
 def dd_closure_native(dc: np.ndarray, tdd: np.ndarray, M: int) -> bool:
     """In-place sequential DD closure in C, bit-identical to the
     Python loop.  Returns False if the library is absent."""
-    global _DD_FN
-    if _DD_FN is None:
-        lib = get_lib()
-        if lib is None:
-            return False
-        if not hasattr(lib, "_filters_bound"):
-            _bind_filters(lib)
-            lib._filters_bound = True
-        _DD_FN = lib.bio_dd_closure_f32
-    _DD_FN(dc, tdd, M)
+    fns = _dd_fns()
+    if not fns:
+        return False
+    fns[0](dc.ctypes.data, tdd.ctypes.data, M)
+    return True
+
+
+def bwd_d_fs_native(nd, tdm, iv1, tdd, xE, M: int) -> bool:
+    """new_d[k] = tdm[k]*iv1[k] + tdd[k]*new_d[k+1] + xE, k=M-1..1."""
+    fns = _dd_fns()
+    if not fns:
+        return False
+    fns[1](nd.ctypes.data, tdm.ctypes.data, iv1.ctypes.data,
+           tdd.ctypes.data, float(xE), M)
+    return True
+
+
+def bwd_dd_native(dc, tdd, M: int) -> bool:
+    """dc[k] = dc[k] + dc[k+1]*tdd[k+1], k=M-1..1."""
+    fns = _dd_fns()
+    if not fns:
+        return False
+    fns[2](dc.ctypes.data, tdd.ctypes.data, M)
     return True
 
 

@@ -184,8 +184,10 @@ def backward(dsq: np.ndarray, om: OProfile, fwd: PMatrix,
     ic = np.zeros(M + 1, F32)
     mc[0] = dc[0] = 0
     # DD closure on row L: D(L,k) += tDD[k+1] * D(L,k+1), k=M-1..1
-    for k in range(M - 1, 0, -1):
-        dc[k] = dc[k] + dc[k + 1] * tDD[k + 1]
+    from ...native import bwd_dd_native
+    if not bwd_dd_native(dc, tDD, M):
+        for k in range(M - 1, 0, -1):
+            dc[k] = dc[k] + dc[k + 1] * tDD[k + 1]
     # M->D: M(L,k) += D(L,k+1) * tMD[k+1]
     mc[1:M] += dc[2:M + 1] * tMD[2:M + 1]
 
@@ -227,8 +229,9 @@ def backward(dsq: np.ndarray, om: OProfile, fwd: PMatrix,
         # {MD}->E and DD closure: D(i,k) = D_part(k) + xE + tDD[k+1]*D(i,k+1)
         new_d += xE
         new_d[0] = 0
-        for k in range(M - 1, 0, -1):
-            new_d[k] = new_d[k] + new_d[k + 1] * tDD[k + 1]
+        if not bwd_dd_native(new_d, tDD, M):
+            for k in range(M - 1, 0, -1):
+                new_d[k] = new_d[k] + new_d[k + 1] * tDD[k + 1]
         new_m += xE
         new_m[0] = 0
         new_m[1:M] += new_d[2:M + 1] * tMD[2:M + 1]

@@ -364,8 +364,11 @@ def backward_parser_fs3(dsq: np.ndarray, om: FSOProfile, fwd: PMatrix
         tMDk = np.zeros(M + 1, F32); tMDk[:M] = tMD[1:]
         tDDk = np.zeros(M + 1, F32); tDDk[:M] = tDD[1:]
         new_d[M] = xE
-        for k in range(M - 1, 0, -1):
-            new_d[k] = tDMk[k] * iv1[k] + tDDk[k] * new_d[k + 1] + xE
+        from ...native import bwd_d_fs_native
+        if not bwd_d_fs_native(new_d, tDMk, iv1, tDDk, xE, M):
+            for k in range(M - 1, 0, -1):
+                new_d[k] = tDMk[k] * iv1[k] + tDDk[k] * new_d[k + 1] \
+                    + xE
         # M->D
         dshift = np.zeros(M + 1, F32)
         dshift[:M] = new_d[1:]
@@ -652,8 +655,11 @@ def backward_fs5(dsq: np.ndarray, om: FSOProfile, fwd: FSMatrix
         new_m = tMMk * iv1 + tMI * bI3 + xE
         new_d = np.zeros(M + 1, F32)
         new_d[M] = xE
-        for k in range(M - 1, 0, -1):
-            new_d[k] = tDMk[k] * iv1[k] + tDDk[k] * new_d[k + 1] + xE
+        from ...native import bwd_d_fs_native
+        if not bwd_d_fs_native(new_d, tDMk, iv1, tDDk, xE, M):
+            for k in range(M - 1, 0, -1):
+                new_d[k] = tDMk[k] * iv1[k] + tDDk[k] * new_d[k + 1] \
+                    + xE
         dshift = np.zeros(M + 1, F32)
         dshift[:M] = new_d[1:]
         new_m = new_m + tMDk * dshift
@@ -781,6 +787,15 @@ def optimal_accuracy_fs(om: FSOProfile, pp: FSMatrix
     def masked(m, v):
         return np.where(m, v, F32(0.0))
 
+    # short-circuit all-true masks (the usual local profile): the
+    # np.where is an identity there, and it dominated the profile
+    mk = {name: (None if bool(m.all()) else m)
+          for name, m in masks.items()}
+
+    def mval(name, v):
+        m = mk[name]
+        return v if m is None else np.where(m, v, F32(0.0))
+
     dd_all = bool(masks["DD"][2:].all())
     sentinel = np.full(M + 1, NEG_INF, F32)
 
@@ -799,23 +814,24 @@ def optimal_accuracy_fs(om: FSOProfile, pp: FSMatrix
             else:
                 mp = ip = dp = sentinel
                 xB = NEG_INF
-            sv = masked(masks["BM"], xB)
-            sv = np.maximum(sv, masked(masks["MM"], mp))
-            sv = np.maximum(sv, masked(masks["IM"], ip))
-            sv = np.maximum(sv, masked(masks["DM"], dp))
+            sv = mval("BM", xB)
+            sv = np.maximum(sv, mval("MM", mp))
+            sv = np.maximum(sv, mval("IM", ip))
+            sv = np.maximum(sv, mval("DM", dp))
             svs.append(sv + pp.mc[c][i])
         sv = np.maximum.reduce(svs)
         sv[0] = NEG_INF
         ox.mm[i] = sv
         j3 = i - 3 if i >= 3 else 0
-        iv = np.maximum(masked(masks["MI"], ox.mm[j3]),
-                        masked(masks["II"], ox.im[j3]))
+        iv = np.maximum(mval("MI", ox.mm[j3]),
+                        mval("II", ox.im[j3]))
         iv = iv + pp.im[i]
         iv[0] = NEG_INF
         iv[M] = NEG_INF
         ox.im[i] = iv
         dv = np.full(M + 1, NEG_INF, F32)
-        dv[2:] = masked(masks["MD"][2:], sv[1:M])
+        dv[2:] = sv[1:M] if mk["MD"] is None else \
+            masked(masks["MD"][2:], sv[1:M])
         if dd_all:
             # DD transitions all >0 (the usual local profile): the
             # gated chain reduces to a running max — byte-identical

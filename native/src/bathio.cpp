@@ -374,4 +374,20 @@ void bio_dd_closure_f32(float* dc, const float* tdd, int M) {
     for (int k = 2; k <= M; k++) dc[k] += dc[k - 1] * tdd[k];
 }
 
+// Reversed D recurrence of the frameshift Backward rows
+// (fwdback_fs.py: new_d[k] = tdm[k]*iv1[k] + tdd[k]*new_d[k+1] + xE),
+// identical op order -> bit-identical.
+void bio_bwd_d_fs_f32(float* nd, const float* tdm, const float* iv1,
+                      const float* tdd, float xE, int M) {
+    for (int k = M - 1; k >= 1; k--)
+        nd[k] = tdm[k] * iv1[k] + tdd[k] * nd[k + 1] + xE;
+}
+
+// Reversed DD closure of the standard Backward rows
+// (fwdback.py: dc[k] = dc[k] + dc[k+1]*tdd[k+1]).
+void bio_bwd_dd_f32(float* dc, const float* tdd, int M) {
+    for (int k = M - 1; k >= 1; k--)
+        dc[k] = dc[k] + dc[k + 1] * tdd[k + 1];
+}
+
 }  // extern "C"
