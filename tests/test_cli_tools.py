@@ -71,6 +71,26 @@ def test_bathfetch_roundtrip(tmp_path, capsys):
     assert h.name == "PTH2"
 
 
+def test_hmm_format_sweep():
+    """Every committed .hmm fixture (HMMER3/e and 3/f, amino and DNA)
+    parses (ref: p7_hmmfile.c format autodetect chain)."""
+    import glob
+    for f in sorted(glob.glob(f"{TS}/*.hmm")):
+        h = read_hmm(f)
+        assert h.M > 0 and h.name
+
+
+@pytest.mark.parametrize("name,M", [("M1", 1), ("XYPPX", 5)])
+def test_bathconvert_edge_models(tmp_path, name, M):
+    """Tiny and single-node models convert + calibrate cleanly."""
+    out = tmp_path / f"{name}.bhmm"
+    rc = bathconvert.main([str(out), f"{TS}/{name}.hmm"])
+    assert rc == 0
+    h = read_hmm(str(out))
+    assert h.M == M and h.fs
+    assert h.evparam[C.EV_FTAUFS3] != C.EVPARAM_UNSET
+
+
 def test_bathfetch_ct_recalibrates(tmp_path):
     """--ct on fetch re-derives the frameshift taus under the new
     genetic code (ref: bathfetch.c :296-330)."""
