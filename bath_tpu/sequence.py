@@ -84,12 +84,101 @@ def parse_fasta(path: str, abc: Alphabet) -> Iterator[tuple[str, str, str]]:
         yield name, desc, "".join(chunks)
 
 
+def parse_embl(path: str) -> Iterator[tuple[str, str, str, str]]:
+    """Yield (name, acc, desc, seqtext) from an EMBL/UniProt-style
+    flat file (ID/AC/DE/SQ records; ref: esl_sqio EMBL parser as
+    exercised by testsuite/i9-optional-annotation.pl)."""
+    name = acc = desc = ""
+    in_seq = False
+    chunks: list[str] = []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("//"):
+                if name:
+                    yield name, acc, desc, "".join(chunks)
+                name = acc = desc = ""
+                in_seq = False
+                chunks = []
+            elif line.startswith("ID"):
+                parts = line[2:].split()
+                name = parts[0].rstrip(";") if parts else ""
+            elif line.startswith("AC"):
+                parts = line[2:].split()
+                if parts and not acc:
+                    acc = parts[0].rstrip(";")
+            elif line.startswith("DE"):
+                d = line[2:].strip()
+                desc = (desc + " " + d).strip() if desc else d
+            elif line.startswith("SQ"):
+                in_seq = True
+            elif in_seq:
+                chunks.append("".join(c for c in line
+                                      if c.isalpha() or c == "*"))
+    if name:
+        yield name, acc, desc, "".join(chunks)
+
+
+def parse_genbank(path: str) -> Iterator[tuple[str, str, str, str]]:
+    """Yield (name, acc, desc, seqtext) from a GenBank/DDBJ flat file
+    (LOCUS/ACCESSION/DEFINITION/ORIGIN records)."""
+    name = acc = desc = ""
+    in_seq = False
+    chunks: list[str] = []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("//"):
+                if name:
+                    yield name, acc, desc, "".join(chunks)
+                name = acc = desc = ""
+                in_seq = False
+                chunks = []
+            elif line.startswith("LOCUS"):
+                parts = line.split()
+                name = parts[1] if len(parts) > 1 else ""
+            elif line.startswith("ACCESSION"):
+                parts = line.split()
+                if len(parts) > 1:
+                    acc = parts[1]
+            elif line.startswith("DEFINITION"):
+                desc = line[len("DEFINITION"):].strip()
+            elif line.startswith("ORIGIN"):
+                in_seq = True
+            elif in_seq:
+                chunks.append("".join(c for c in line
+                                      if c.isalpha() or c == "*"))
+    if name:
+        yield name, acc, desc, "".join(chunks)
+
+
+def parse_seqfile(path: str, abc: Alphabet | None = None
+                  ) -> Iterator[tuple[str, str, str, str]]:
+    """Autodetecting sequence reader: FASTA, EMBL/UniProt, or
+    GenBank/DDBJ (ref: esl_sqio_Open format guessing).  Yields
+    (name, acc, desc, seqtext)."""
+    with open(path) as fh:
+        head = ""
+        for line in fh:
+            if line.strip():
+                head = line
+                break
+    if head.startswith(">"):
+        for name, desc, text in parse_fasta(path, abc):
+            yield name, "", desc, text
+    elif head.startswith("ID"):
+        yield from parse_embl(path)
+    elif head.startswith("LOCUS"):
+        yield from parse_genbank(path)
+    else:
+        raise ValueError(f"unrecognized sequence file format: {path}")
+
+
 def read_fasta(path: str, abc: Alphabet) -> list[Sequence]:
     out = []
-    for i, (name, desc, text) in enumerate(parse_fasta(path, abc)):
+    for i, (name, acc, desc, text) in enumerate(parse_seqfile(path,
+                                                              abc)):
         dsq = abc.digitize(text)
-        out.append(Sequence(name=name, desc=desc, dsq=dsq, L=len(dsq),
-                            idx=i, abc=abc))
+        out.append(Sequence(name=name, acc=acc, desc=desc, dsq=dsq,
+                            L=len(dsq), idx=i, abc=abc))
     return out
 
 
@@ -101,7 +190,8 @@ def read_windows(path: str, *, context: int,
     windows carry the trailing <context> residues of the previous
     window; W counts only the new residues."""
     abc = dna()
-    for idx, (name, desc, text) in enumerate(parse_fasta(path, abc)):
+    for idx, (name, acc, desc, text) in enumerate(
+            parse_seqfile(path, abc)):
         full = abc.digitize(text)
         L = len(full)
         pos = 0              # residues consumed so far
@@ -114,7 +204,8 @@ def read_windows(path: str, *, context: int,
                 c = min(context, pos)
                 s = pos - c
             e = min(L, pos + block_length)
-            w = Sequence(name=name, desc=desc, dsq=full[s:e].copy(),
+            w = Sequence(name=name, acc=acc, desc=desc,
+                         dsq=full[s:e].copy(),
                          start=s + 1, end=e, L=L, W=e - pos, C=c,
                          idx=idx, abc=abc)
             pos = e

@@ -142,6 +142,59 @@ seq3 ACDEFGHIKLLMNPQRSTVWY
     assert len(rows) == 4
 
 
+# --- i9: optional annotation propagation ----------------------------
+def test_i9_annotation_propagation(tmp_path):
+    """MSA #=GF ID/AC flow into the query columns; EMBL-format target
+    ID/AC/DE flow into the target columns of --tblout
+    (ref: i9-optional-annotation.pl)."""
+    sto = tmp_path / "two.sto"
+    sto.write_text("""# STOCKHOLM 1.0
+#=GF ID ali1
+#=GF AC XX01234.5
+#=GF DE A test description
+
+seq1 ACDEFGHIKLMNPQRSTVWY
+seq2 ACDEFGHIKLMNPQRSTVWY
+seq3 ACDEFGHIKLMNPQRSTVWY
+//
+# STOCKHOLM 1.0
+#=GF ID ali2
+
+seq1 ACDEFGHIKLMNPQRSTVWY
+seq2 ACDEFGHIKLMNPQRSTVWY
+seq3 ACDEFGHIKLMNPQRSTVWY
+//
+""")
+    seq = tmp_path / "t.embl"
+    dna = "GCATGTGACGAGTTTGGCCATATAAAACTTATGAATCCACAGCGCTCAACT" \
+          "GTATGGTAT"
+    seq.write_text(f"""ID   test1   STANDARD;  PRT;  20 AA.
+AC   AC00001;
+DE   Sequence description
+SQ   SEQUENCE   20 AA; 99999 MW;  FFFFFFFFFFFFFFFF CRC64;
+     {dna}
+//
+ID   test2   STANDARD;  PRT;  20 AA.
+SQ   SEQUENCE   20 AA; 99999 MW;  FFFFFFFFFFFFFFFF CRC64;
+     {dna}
+//
+""")
+    hmms = tmp_path / "two.bhmm"
+    assert bathbuild.main([str(hmms), str(sto),
+                           "-o", str(tmp_path / "log")]) == 0
+    tbl = str(tmp_path / "t.tbl")
+    assert bathsearch.run(["--tblout", tbl, "-o", str(tmp_path / "o"),
+                           str(hmms), str(seq)]) == 0
+    rows = [ln.split() for ln in open(tbl) if not ln.startswith("#")]
+    assert len(rows) == 4
+    assert rows[0][1] == "test1" and rows[0][2] == "AC00001"
+    assert rows[0][3] == "ali1" and rows[0][4] == "XX01234.5"
+    assert rows[1][1] == "test2" and rows[1][2] == "-"
+    assert rows[2][3] == "ali2" and rows[2][4] == "-"
+    # description column carries the EMBL DE text
+    assert "Sequence description" in " ".join(rows[0])
+
+
 # --- i17: stdin ('-') plumbing --------------------------------------
 def _run(cmd, stdin_file=None):
     fh = open(stdin_file) if stdin_file else subprocess.DEVNULL
