@@ -40,3 +40,44 @@ def test_fs3_pallas_vs_jnp_interpret():
     ref = jk.fs3_score_batch(jnp.asarray(dsq), lens,
                              jk.fs3_params(om3), nj=1.0)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 0.01
+
+
+def test_ssv_pallas_vs_scalar_interpret():
+    """Pallas SSV xEu == the scalar SSV inner-loop running uint8 max,
+    bit for bit (ref: ssvfilter.c :875)."""
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.ops.pallas.ssv import ssv_params_pallas, ssv_xe_pallas
+    from bath_tpu.profile import profile_config
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    om = oprofile_convert(profile_config(hmm, Background(), L=100))
+    sbv_dev, Mp = ssv_params_pallas(om)
+    M = om.M
+    sbv = om.sbv.astype(np.int64)     # [Kp, M+1]
+
+    def scalar_xe(s):
+        d = np.full(M + 1, -128, np.int64)
+        xe = 0
+        for x in s:
+            row = sbv[x]
+            d2 = np.empty_like(d)
+            d2[0] = -128
+            d2[1:] = np.clip(d[:-1] - row[1:], -128, 127)
+            d = d2
+            xe = max(xe, int((d[1:] & 0xFF).max(initial=0)))
+        return xe
+
+    rng = np.random.default_rng(21)
+    B = 8
+    seqs = [rng.integers(0, 20, L).astype(np.int32)
+            for L in (16, 40, 64, 64, 100, 128, 7, 128)]
+    Lmax = max(len(s) for s in seqs)
+    batch = np.zeros((Lmax, B), np.int32)
+    lens = np.array([len(s) for s in seqs], np.int32)
+    for i, s in enumerate(seqs):
+        batch[:len(s), i] = s
+    got = np.asarray(ssv_xe_pallas(jnp.asarray(batch),
+                                   jnp.asarray(lens), sbv_dev, Mp,
+                                   interpret=True, btile=8, lblk=32))
+    want = np.array([scalar_xe(s) for s in seqs])
+    assert np.array_equal(got, want), (got, want)
