@@ -49,6 +49,8 @@ def _ssv_kernel(dsq_ref, lens_ref, sbv_ref, out_ref, d_scr, acc_scr,
         gi = lb * Lblk + j
         res = dsq_ref[j].reshape(Bt, 1)         # [Bt, 1]
         oh = (res == iota_k).astype(F32)
+        # default TPU matmul precision (bf16 passes) is exact here:
+        # SSV byte costs fit in bf16's 8-bit mantissa (|v| <= 128)
         row = jnp.dot(oh, sbv_ref[:, :],
                       preferred_element_type=F32).astype(I32)
         d = d_scr[:, :]

@@ -81,3 +81,39 @@ def test_ssv_pallas_vs_scalar_interpret():
                                    interpret=True, btile=8, lblk=32))
     want = np.array([scalar_xe(s) for s in seqs])
     assert np.array_equal(got, want), (got, want)
+
+
+def test_vit_pallas_vs_jnp_exact_interpret():
+    """Pallas ViterbiFilter ints == the bit-exact jnp VitExact path
+    (itself validated against the scalar reference)."""
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.ops.jaxk.msv_exact import VitExact
+    from bath_tpu.ops.pallas.vit import vit_ints_pallas, vit_params_pallas
+    from bath_tpu.profile import profile_config
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    om = oprofile_convert(profile_config(hmm, Background(), L=100))
+    vx = VitExact(om)
+    rwv, tr, Mp, base, emove, eloop = vit_params_pallas(om)
+
+    rng = np.random.default_rng(13)
+    B = 8
+    seqs = [rng.integers(0, 20, L).astype(np.int32)
+            for L in (24, 48, 64, 64, 96, 128, 9, 128)]
+    Lmax = max(len(s) for s in seqs)
+    batch_bl = np.full((B, Lmax), 28, np.int32)   # msv_exact layout
+    lens = np.array([len(s) for s in seqs], np.int32)
+    for i, s in enumerate(seqs):
+        batch_bl[i, :len(s)] = s
+    want = vx.scores(batch_bl, lens)
+
+    movew = vx.move_for(lens)
+    got_i, got_has, got_ovf = vit_ints_pallas(
+        jnp.asarray(batch_bl.T.copy()), jnp.asarray(lens),
+        jnp.asarray(movew), rwv, tr, Mp, base, emove, eloop,
+        interpret=True, btile=8, lblk=32)
+    ints = np.asarray(got_i).astype(np.float64)
+    sc = np.float32((ints - float(base)) / vx.scale - 3.0)
+    sc = np.where(np.asarray(got_has), sc, np.float32(-np.inf))
+    got = np.where(np.asarray(got_ovf), np.float32(np.inf), sc)
+    assert np.array_equal(got, want), (got, want)
