@@ -117,3 +117,30 @@ def test_vit_pallas_vs_jnp_exact_interpret():
     sc = np.where(np.asarray(got_has), sc, np.float32(-np.inf))
     got = np.where(np.asarray(got_ovf), np.float32(np.inf), sc)
     assert np.array_equal(got, want), (got, want)
+
+
+def test_fwd_pallas_vs_jnp_interpret():
+    """Pallas Forward gate vs the batched jnp Forward (per-item
+    length models), float-tolerance parity."""
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.ops.pallas.fwd import fwd_params_pallas, fwd_score_pallas
+    from bath_tpu.profile import profile_config
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    om = oprofile_convert(profile_config(hmm, Background(), L=100))
+    rfv, tr, U, Mp = fwd_params_pallas(om)
+    p = jk.fwd_params(om)
+    rng = np.random.default_rng(31)
+    B, Lmax = 8, 96
+    lens_np = np.array([96, 64, 40, 96, 17, 80, 96, 33], np.int32)
+    batch = np.full((B, Lmax), 28, np.int32)
+    for i, L in enumerate(lens_np):
+        batch[i, :L] = rng.integers(0, 20, L)
+    got = np.asarray(fwd_score_pallas(
+        jnp.asarray(batch.T.copy()), jnp.asarray(lens_np), rfv, tr,
+        U, Mp, nj=1.0, interpret=True, btile=8, lblk=32))
+    ref = np.asarray(jk._forward_score_perlen_impl(
+        jnp.asarray(batch), jnp.asarray(lens_np), p.rfv, p.tBM,
+        p.tMM, p.tIM, p.tDM, p.tMD, p.tDD, p.tMI, p.tII, nj=1.0,
+        Mp=p.Mp, U=p.U))
+    assert np.abs(got - ref).max() < 0.01, (got, ref)
