@@ -152,6 +152,10 @@ def main(argv=None) -> int:
     if args.msafile == "-":
         from ._io import spool_stdin
         args.msafile = spool_stdin(".sto")
+    if not os.path.exists(args.msafile):
+        print(f"Failed to open MSA file {args.msafile} for reading",
+              file=sys.stderr)
+        return 1
     ofp = open(args.outfile, "w") if args.outfile else sys.stdout
     cfg = config_from_args(args)
 

@@ -249,6 +249,13 @@ def run(argv=None) -> int:
     if args.dbfile == "-":
         from ._io import spool_stdin
         args.dbfile = spool_stdin(".fa")
+    import os
+    for path, what in ((args.queryfile, "query file"),
+                       (args.dbfile, "target sequence database")):
+        if not os.path.exists(path):
+            print(f"Failed to open {what} {path} for reading",
+                  file=sys.stderr)
+            return 1
     ofp = open(args.outfile, "w") if args.outfile else sys.stdout
     tblfp = open(args.tblout, "w") if args.tblout else None
     fstblfp = open(args.fstblout, "w") if args.fstblout else None
