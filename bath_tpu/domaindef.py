@@ -17,8 +17,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import constants as C
-from .bg import Background
-from .gencode import GeneticCode
 from .oprofile import OProfile
 from .ops.reference import fwdback as fb
 from .ops.reference.fwdback import PMatrix, RangeError, Trace

@@ -17,7 +17,6 @@ p7_pipeline_Merge; SURVEY.md section 2.4).  The TPU-native equivalent:
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 

@@ -14,7 +14,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .. import constants as C
-from ..logsum import flogsum
 from ..ops.reference import fwdback as fb
 from ..stats import exp_logsurv
 from .splice import PathSeq, SpliceConfig

@@ -23,8 +23,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .. import constants as C
-from ..stats import exp_logsurv
-from ..logsum import flogsum
 from ..ops.reference import fwdback as fb
 from .graph import (ALIGNMENT_EXT, MAX_INTRON_EXT, NEG_INF, SpliceGraph,
                     SplicePath)

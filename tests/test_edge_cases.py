@@ -4,7 +4,6 @@ esl fatal-error discipline: clean message + nonzero exit)."""
 
 import os
 
-import pytest
 
 from bath_tpu.cli import bathbuild, bathsearch
 from bath_tpu.hmmfile import read_hmm

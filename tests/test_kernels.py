@@ -95,7 +95,6 @@ def test_decoding_rows_normalize(amp_n):
 def brute_force_forward(hmm, gm, dsq, max_len=6):
     """Enumerate all paths of a tiny model/sequence; exact Forward
     probability (ref: itest_brute.c idea, generalized)."""
-    import itertools
     M = hmm.M
     L = len(dsq)
     # path: B -> (M/I/D walk) -> E, with N/C loops around
