@@ -234,7 +234,13 @@ def viterbi_filter(dsq: np.ndarray, om: OProfile, data: ScoreData | None = None,
     """Viterbi filter score in nats; when <windows> is provided, also
     captures diagonal windows at rows whose xE crosses the derived
     threshold (ref: impl_sse/vitfilter.c p7_ViterbiFilter :39 and
-    p7_ViterbiFilter_BATH :286)."""
+    p7_ViterbiFilter_BATH :286).  Score-only calls use the bit-exact
+    native C implementation when available."""
+    if windows is None:
+        from ...native import vit_filter_native
+        sc = vit_filter_native(dsq, om)
+        if sc is not None:
+            return sc
     L, M, Kp = len(dsq), om.M, om.Kp
     sat = lambda a: np.clip(a, -32768, 32767)
     twv = np.zeros((M + 1, C.NTRANS), dtype=np.int32)
