@@ -133,7 +133,10 @@ def fs_tau(r: Randomness, om_fs, ct: CodonTable, bg: Background, L: int,
         dna = ct.reverse_translate(r, amino)
         try:
             if om_fs.codon_lengths == 3:
-                _, fsc = forward_parser_fs3(dna, om_fs, fast=True)
+                from .native import fs3_parser_score_native
+                fsc = fs3_parser_score_native(dna, om_fs)
+                if fsc is None:
+                    _, fsc = forward_parser_fs3(dna, om_fs, fast=True)
             else:
                 _, fsc = forward_fs5(dna, om_fs, fast=True)
         except RangeError:

@@ -746,7 +746,14 @@ def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
 
         om_fs3.reconfig_length(wlen // 3)
         try:
-            oxf, fwdsc = ffs.forward_parser_fs3(tmpseq.dsq, om_fs3)
+            # bit-exact native score first (gate); the full parser
+            # matrix is only computed for gate survivors
+            from .native import fs3_parser_score_native
+            fwdsc = fs3_parser_score_native(tmpseq.dsq, om_fs3)
+            oxf = None
+            if fwdsc is None:
+                oxf, fwdsc = ffs.forward_parser_fs3(tmpseq.dsq,
+                                                    om_fs3)
         except RangeError:
             continue
         seqscore = (fwdsc - filtersc) / C.CONST_LOG2
@@ -765,6 +772,9 @@ def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
                                or P_min > pli.F3):
             pli.pos_past_fwd += wlen
             try:
+                if oxf is None:
+                    oxf, _ = ffs.forward_parser_fs3(tmpseq.dsq,
+                                                    om_fs3)
                 oxb, _ = ffs.backward_parser_fs3(tmpseq.dsq, om_fs3, oxf)
             except RangeError:
                 continue

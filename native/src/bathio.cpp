@@ -390,4 +390,146 @@ void bio_bwd_dd_f32(float* dc, const float* tdd, int M) {
         dc[k] = dc[k] + dc[k + 1] * tdd[k + 1];
 }
 
+// numpy's pairwise summation for f32 (PW_BLOCKSIZE = 128), needed so
+// the C DP reductions are bit-identical to the numpy reference's
+// .sum() calls.
+static float np_pairwise_f32(const float* a, int64_t n) {
+    if (n < 8) {
+        float res = 0.f;
+        for (int64_t i = 0; i < n; i++) res += a[i];
+        return res;
+    } else if (n <= 128) {
+        float r[8];
+        for (int j = 0; j < 8; j++) r[j] = a[j];
+        int64_t i = 8;
+        for (; i < n - (n % 8); i += 8)
+            for (int j = 0; j < 8; j++) r[j] += a[i + j];
+        float res = ((r[0] + r[1]) + (r[2] + r[3]))
+            + ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; i++) res += a[i];
+        return res;
+    } else {
+        int64_t n2 = n / 2;
+        n2 -= n2 % 8;
+        return np_pairwise_f32(a, n2) + np_pairwise_f32(a + n2, n - n2);
+    }
+}
+
+// Frameshift 3-codon Forward parser, score path only — a bit-exact
+// transcription of the numpy reference (fwdback_fs.py
+// forward_parser_fs3 :204; ref: impl_sse/fwdback_fs.c :97): same
+// elementwise f32 op order, numpy-pairwise reductions, global
+// live-row rescaling.  Logs are left to the caller: out_scales[i]
+// records the rescale factor applied at row i (1.0 = none) and
+// *out_xctot the final C-state total, so Python computes
+// totscale/score with numpy's own log semantics.
+// xff layout: [nloop nmove jloop jmove cloop cmove eloop emove].
+// Returns 0 ok, 1 range error (nan/inf/underflow), caller raises.
+int bio_fs3_parser_score(const int32_t* ci2, const int32_t* ci3,
+                         const int32_t* ci4, int64_t L,
+                         const float* rfv, int M,
+                         const float* tBM, const float* tMM,
+                         const float* tIM, const float* tDM,
+                         const float* tMD, const float* tDD,
+                         const float* tMI, const float* tII,
+                         const float* xff, float* out_scales,
+                         float* out_xctot) {
+    const int W = M + 1;
+    const float nloop = xff[0], nmove = xff[1], jloop = xff[2],
+        jmove = xff[3], cloop = xff[4], cmove = xff[5],
+        eloop = xff[6], emove = xff[7];
+    static thread_local float* buf = nullptr;
+    static thread_local int64_t cap = 0;
+    // 4 M + 4 I + 4 D + 3 IVX rows + 1 scratch shift row
+    if (cap < 16 * (int64_t)W) {
+        delete[] buf;
+        buf = new float[16 * W];
+        cap = 16 * W;
+    }
+    float* mrow[4]; float* irow[4]; float* drow[4]; float* ivx[3];
+    for (int r = 0; r < 4; r++) {
+        mrow[r] = buf + r * W;
+        irow[r] = buf + (4 + r) * W;
+        drow[r] = buf + (8 + r) * W;
+    }
+    for (int r = 0; r < 3; r++) ivx[r] = buf + (12 + r) * W;
+    for (int64_t k = 0; k < 15 * W; k++) buf[k] = 0.f;
+    float xNb[4] = {1.f, 1.f, 0.f, 0.f};
+    float xBb[4] = {nmove, nmove, 0.f, 0.f};
+    float xJb[4] = {0.f, 0.f, 0.f, 0.f};
+    float xCb[4] = {0.f, 0.f, 0.f, 0.f};
+    if (L < 2) return 1;
+    for (int64_t i = 0; i <= L; i++) out_scales[i] = 1.0f;
+
+    for (int64_t i = 2; i <= L; i++) {
+        int curr = (int)(i % 4), prev2 = (int)((i - 2) % 4),
+            prev3 = (int)((i + 1) % 4);          // == (i-3) mod 4
+        int s2 = (int)(i % 3), s3 = (int)((i - 1) % 3),
+            s4 = (int)((i - 2) % 3);
+        float* sv = ivx[s2];
+        const float* mp = mrow[prev2];
+        const float* ip = irow[prev2];
+        const float* dp = drow[prev2];
+        const float xB2 = xBb[prev2];
+        sv[0] = 0.f;
+        for (int k = 1; k <= M; k++)
+            sv[k] = xB2 * tBM[k] + mp[k - 1] * tMM[k]
+                + ip[k - 1] * tIM[k] + dp[k - 1] * tDM[k];
+        const float* e2 = rfv + (int64_t)ci2[i - 1] * W;
+        float* msv = mrow[curr];     // overwritten below before use
+        if (i >= 3) {
+            const float* e3 = rfv + (int64_t)ci3[i - 1] * W;
+            const float* e4 = rfv + (int64_t)ci4[i - 1] * W;
+            const float* i3 = ivx[s3];
+            const float* i4 = ivx[s4];
+            for (int k = 0; k <= M; k++)
+                msv[k] = sv[k] * e2[k] + i3[k] * e3[k] + i4[k] * e4[k];
+        } else {
+            for (int k = 0; k <= M; k++) msv[k] = sv[k] * e2[k];
+        }
+        msv[0] = 0.f;
+        float* ni = irow[curr];
+        const float* m3 = mrow[prev3];
+        const float* i3r = irow[prev3];
+        for (int k = 0; k <= M; k++)
+            ni[k] = m3[k] * tMI[k] + i3r[k] * tII[k];
+        ni[0] = 0.f;
+        float* dc = drow[curr];
+        dc[0] = dc[1] = 0.f;
+        for (int k = 2; k <= M; k++) dc[k] = msv[k - 1] * tMD[k];
+        for (int k = 2; k <= M; k++) dc[k] += dc[k - 1] * tDD[k];
+        float xE = np_pairwise_f32(msv + 1, M)
+            + np_pairwise_f32(dc + 1, M);
+        float xN, xJ, xC;
+        if (i >= 3) {
+            xN = xNb[prev3] * nloop;
+            xJ = xJb[prev3] * jloop + xE * eloop;
+            xC = xCb[prev3] * cloop + xE * emove;
+        } else {
+            xN = 1.0f;
+            xJ = xE * eloop;
+            xC = xE * emove;
+        }
+        float xB = xN * nmove + xJ * jmove;
+        if (xE > 1.0e4f) {
+            float inv = 1.0f / xE;
+            xN *= inv; xJ *= inv; xC *= inv; xB *= inv;
+            for (int64_t k = 0; k < 15 * W; k++) buf[k] *= inv;
+            for (int r = 0; r < 4; r++) {
+                xNb[r] *= inv; xBb[r] *= inv;
+                xJb[r] *= inv; xCb[r] *= inv;
+            }
+            out_scales[i] = xE;
+            xE = 1.0f;
+        }
+        xNb[curr] = xN; xBb[curr] = xB; xJb[curr] = xJ; xCb[curr] = xC;
+    }
+    float xctot = xCb[L % 4] + xCb[(L - 1) % 4] * cloop
+        + xCb[(L - 2) % 4] * cloop;
+    if (xctot != xctot || xctot - xctot != 0.0f) return 1;  // nan/inf
+    if (L > 2 && xctot == 0.0f) return 1;
+    *out_xctot = xctot * cmove;
+    return 0;
+}
+
 }  // extern "C"
