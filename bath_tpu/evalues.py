@@ -107,7 +107,10 @@ def fwd_tau(r: Randomness, om: OProfile, bg: Background, L: int, N: int,
     xv = np.empty(N)
     for i in range(N):
         dsq = r.sample_iid(bg.f, L)
-        _, fsc = forward(dsq, om, fast=True)
+        from .native import fwd_parser_score_native
+        fsc = fwd_parser_score_native(dsq, om)
+        if fsc is None:
+            _, fsc = forward(dsq, om, fast=True)
         nullsc = bg.null_one(L)
         xv[i] = (fsc - nullsc) / LOG2
     gmu, glam = gumbel_fit_complete(xv)

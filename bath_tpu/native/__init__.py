@@ -152,6 +152,11 @@ def _bind_filters(lib):
         [I32P, I32P, I32P, ctypes.c_int64, F32C, ctypes.c_int]
         + [F32C] * 8
         + [F32C, F32C, ctypes.POINTER(ctypes.c_float)])
+    lib.bio_fwd_parser_score.restype = ctypes.c_int
+    lib.bio_fwd_parser_score.argtypes = (
+        [I32P, ctypes.c_int64, F32C, ctypes.c_int]
+        + [F32C] * 8
+        + [F32C, F32C, ctypes.POINTER(ctypes.c_float)])
     lib.bio_msv_filter_batch.restype = None
     lib.bio_msv_filter_batch.argtypes = [
         I32P, np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -247,6 +252,49 @@ def bwd_dd_native(dc, tdd, M: int) -> bool:
         return False
     fns[2](dc.ctypes.data, tdd.ctypes.data, M)
     return True
+
+
+_FWD_VIEWS_CACHE: dict = {}
+
+
+def fwd_parser_score_native(dsq: np.ndarray, om):
+    """Bit-exact standard Forward parser score (F3/F4 gate path);
+    same contract as fs3_parser_score_native."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_filters_bound"):
+        _bind_filters(lib)
+        lib._filters_bound = True
+    from .. import constants as C
+    from ..ops.reference.fwdback import RangeError, _trans_views
+    key = id(om)
+    ent = _FWD_VIEWS_CACHE.get(key)
+    if ent is None or ent[0] is not om.tfv:
+        tv = tuple(np.ascontiguousarray(v, dtype=np.float32)
+                   for v in _trans_views(om))
+        rfv = np.ascontiguousarray(om.rfv, dtype=np.float32)
+        ent = (om.tfv, tv, rfv)
+        _FWD_VIEWS_CACHE[key] = ent
+    _, tv, rfv = ent
+    L = len(dsq)
+    xf = om.xf
+    xff = np.array([xf[C.X_N, C.LOOP], xf[C.X_N, C.MOVE],
+                    xf[C.X_J, C.LOOP], xf[C.X_J, C.MOVE],
+                    xf[C.X_C, C.LOOP], xf[C.X_C, C.MOVE],
+                    xf[C.X_E, C.LOOP], xf[C.X_E, C.MOVE]],
+                   dtype=np.float32)
+    scales = np.empty(L + 1, dtype=np.float32)
+    xctot = ctypes.c_float()
+    dsq = np.ascontiguousarray(dsq, dtype=np.int32)
+    st = lib.bio_fwd_parser_score(dsq, L, rfv, om.M, *tv, xff,
+                                  scales, ctypes.byref(xctot))
+    if st != 0:
+        raise RangeError("forward score over/underflow")
+    totscale = 0.0
+    for s in scales[scales != np.float32(1.0)]:
+        totscale += float(np.log(s))
+    return totscale + float(np.log(np.float32(xctot.value)))
 
 
 _FS3_VIEWS_CACHE: dict = {}

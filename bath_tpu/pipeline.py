@@ -392,13 +392,22 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
                         w.n = dnasq.start + orfsq.start + (w.n * 3) - 4
                     w.length *= 3
             try:
-                oxf, fwdsc = fb.forward(orfsq.dsq, om, full=False)
+                # bit-exact native score gates first; the parser
+                # matrix is only built for survivors
+                from .native import fwd_parser_score_native
+                fwdsc = fwd_parser_score_native(orfsq.dsq, om)
+                if fwdsc is None:
+                    _, fwdsc = fb.forward(orfsq.dsq, om, full=False)
             except RangeError:
                 continue
             seqsc = (fwdsc - filtersc) / C.CONST_LOG2
             P = float(stats.exp_surv(seqsc, om.evparam[C.EV_FTAU],
                                      om.evparam[C.EV_FLAMBDA]))
             if P > pli.F3:
+                continue
+            try:
+                oxf, _ = fb.forward(orfsq.dsq, om, full=False)
+            except RangeError:
                 continue
             if pli.spliced:
                 for w in hit_windows[old_window_cnt:]:
@@ -433,18 +442,29 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
                                 complementarity)
         else:
             # frameshift pipeline F4 gate: run Forward per ORF, save
-            # the parser matrix (ref: :1774-1789)
+            # the parser matrix only for gate survivors
+            # (ref: :1774-1789)
             try:
-                oxf, fwdsc = fb.forward(orfsq.dsq, om, full=False)
+                from .native import fwd_parser_score_native
+                fwdsc = fwd_parser_score_native(orfsq.dsq, om)
+                oxf = None
+                if fwdsc is None:
+                    oxf, fwdsc = fb.forward(orfsq.dsq, om, full=False)
             except RangeError:
                 continue
-            oxf_holder[idx] = oxf
             seqsc = (fwdsc - filtersc) / C.CONST_LOG2
             P_orf[idx] = float(stats.exp_surv(
                 seqsc, om.evparam[C.EV_FTAU], om.evparam[C.EV_FLAMBDA]))
             fwdsc_arr[idx] = fwdsc - nullsc
             if P_orf[idx] > pli.F4:
                 oxf_holder[idx] = None
+            else:
+                if oxf is None:
+                    try:
+                        oxf, _ = fb.forward(orfsq.dsq, om, full=False)
+                    except RangeError:
+                        continue
+                oxf_holder[idx] = oxf
 
     if pli.fs_pipe and fs_funcs is not None:
         fs_funcs(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,

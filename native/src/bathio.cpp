@@ -415,6 +415,78 @@ static float np_pairwise_f32(const float* a, int64_t n) {
     }
 }
 
+// Standard amino Forward parser, score path only — bit-exact
+// transcription of the numpy reference (fwdback.py forward :73):
+// same f32 op order (note the reference divides the specials by the
+// scale but multiplies the rows by its reciprocal), numpy-pairwise
+// reductions.  Finish semantics as in bio_fs3_parser_score.
+static float np_pairwise_f32(const float* a, int64_t n);
+int bio_fwd_parser_score(const int32_t* dsq, int64_t L,
+                         const float* rfv, int M,
+                         const float* tBM, const float* tMM,
+                         const float* tIM, const float* tDM,
+                         const float* tMD, const float* tDD,
+                         const float* tMI, const float* tII,
+                         const float* xff, float* out_scales,
+                         float* out_xctot) {
+    const int W = M + 1;
+    const float nloop = xff[0], nmove = xff[1], jloop = xff[2],
+        jmove = xff[3], cloop = xff[4], cmove = xff[5],
+        eloop = xff[6], emove = xff[7];
+    static thread_local float* fbuf = nullptr;
+    static thread_local int64_t fcap = 0;
+    if (fcap < 4 * (int64_t)W) {
+        delete[] fbuf;
+        fbuf = new float[4 * W];
+        fcap = 4 * W;
+    }
+    float* mc = fbuf;
+    float* ic = fbuf + W;
+    float* dc = fbuf + 2 * W;
+    float* sv = fbuf + 3 * W;
+    for (int k = 0; k <= M; k++) mc[k] = ic[k] = dc[k] = 0.f;
+    float xN = 1.0f, xB = nmove, xJ = 0.f, xC = 0.f;
+    for (int64_t i = 0; i <= L; i++) out_scales[i] = 1.0f;
+
+    for (int64_t i = 1; i <= L; i++) {
+        const float* row = rfv + (int64_t)dsq[i - 1] * W;
+        sv[0] = 0.f;
+        for (int k = 1; k <= M; k++)
+            sv[k] = (xB * tBM[k] + mc[k - 1] * tMM[k]
+                     + ic[k - 1] * tIM[k] + dc[k - 1] * tDM[k])
+                * row[k];
+        // new_i into ic AFTER sv has consumed old mc/ic shifts; the
+        // reference computes new_i from the UNSHIFTED old rows
+        for (int k = M; k >= 1; k--)
+            ic[k] = mc[k] * tMI[k] + ic[k] * tII[k];
+        ic[0] = 0.f;
+        dc[0] = dc[1] = 0.f;
+        for (int k = 2; k <= M; k++) dc[k] = sv[k - 1] * tMD[k];
+        for (int k = 2; k <= M; k++) dc[k] += dc[k - 1] * tDD[k];
+        for (int k = 0; k <= M; k++) mc[k] = sv[k];
+        float xE = np_pairwise_f32(mc + 1, M)
+            + np_pairwise_f32(dc + 1, M);
+        xN = xN * nloop;
+        xC = xC * cloop + xE * emove;
+        xJ = xJ * jloop + xE * eloop;
+        xB = xJ * jmove + xN * nmove;
+        if (xE > 1.0e4f) {
+            float scale = xE;
+            xN /= scale; xC /= scale; xJ /= scale; xB /= scale;
+            float inv = 1.0f / scale;
+            for (int k = 0; k <= M; k++) {
+                mc[k] *= inv; ic[k] *= inv; dc[k] *= inv;
+            }
+            out_scales[i] = scale;
+        }
+    }
+    if (xC != xC) return 1;
+    if (L > 0 && xC == 0.0f) return 1;
+    if (xC - xC != 0.0f) return 1;
+    *out_xctot = xC * cmove;
+    return 0;
+}
+
 // Frameshift 3-codon Forward parser, score path only — a bit-exact
 // transcription of the numpy reference (fwdback_fs.py
 // forward_parser_fs3 :204; ref: impl_sse/fwdback_fs.c :97): same
