@@ -141,7 +141,10 @@ def fs_tau(r: Randomness, om_fs, ct: CodonTable, bg: Background, L: int,
                 if fsc is None:
                     _, fsc = forward_parser_fs3(dna, om_fs, fast=True)
             else:
-                _, fsc = forward_fs5(dna, om_fs, fast=True)
+                from .native import fs5_forward_score_native
+                fsc = fs5_forward_score_native(dna, om_fs)
+                if fsc is None:
+                    _, fsc = forward_fs5(dna, om_fs, fast=True)
         except RangeError:
             continue                      # resample (ref: i--; continue)
         nullsc = bg.fs_null_one(L)

@@ -157,6 +157,12 @@ def _bind_filters(lib):
         [I32P, ctypes.c_int64, F32C, ctypes.c_int]
         + [F32C] * 8
         + [F32C, F32C, ctypes.POINTER(ctypes.c_float)])
+    lib.bio_fs5_forward_score.restype = ctypes.c_int
+    lib.bio_fs5_forward_score.argtypes = (
+        [I32P, I32P, I32P, I32P, I32P, ctypes.c_int64, F32C,
+         ctypes.c_int]
+        + [F32C] * 8
+        + [F32C, F32C, ctypes.POINTER(ctypes.c_float)])
     lib.bio_msv_filter_batch.restype = None
     lib.bio_msv_filter_batch.argtypes = [
         I32P, np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -344,6 +350,50 @@ def fs3_parser_score_native(dsq: np.ndarray, om_fs):
     if st != 0:
         raise RangeError("fs forward parser over/underflow")
     # numpy-log finish, same accumulation order as the reference
+    totscale = 0.0
+    for s in scales[scales != np.float32(1.0)]:
+        totscale += float(np.log(s))
+    return totscale + float(np.log(np.float32(xctot.value)))
+
+
+def fs5_forward_score_native(dsq: np.ndarray, om_fs):
+    """Bit-exact frameshift 5-codon full-Forward score (calibration
+    path); same contract as fs3_parser_score_native."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_filters_bound"):
+        _bind_filters(lib)
+        lib._filters_bound = True
+    from .. import constants as C
+    from ..ops.reference.fwdback import RangeError
+    from ..ops.reference.fwdback_fs import (_trans_views_fs,
+                                            codon_indices)
+    key = (id(om_fs), 5)
+    ent = _FS3_VIEWS_CACHE.get(key)
+    if ent is None or ent[0] is not om_fs.tfv:
+        tv = tuple(np.ascontiguousarray(v, dtype=np.float32)
+                   for v in _trans_views_fs(om_fs))
+        rfv = np.ascontiguousarray(om_fs.rfv, dtype=np.float32)
+        ent = (om_fs.tfv, tv, rfv)
+        _FS3_VIEWS_CACHE[key] = ent
+    _, tv, rfv = ent
+    ci = codon_indices(dsq, 5)
+    cis = [np.ascontiguousarray(ci[c], dtype=np.int32)
+           for c in (1, 2, 3, 4, 5)]
+    L = len(dsq)
+    xf = om_fs.xf
+    xff = np.array([xf[C.X_N, C.LOOP], xf[C.X_N, C.MOVE],
+                    xf[C.X_J, C.LOOP], xf[C.X_J, C.MOVE],
+                    xf[C.X_C, C.LOOP], xf[C.X_C, C.MOVE],
+                    xf[C.X_E, C.LOOP], xf[C.X_E, C.MOVE]],
+                   dtype=np.float32)
+    scales = np.empty(L + 1, dtype=np.float32)
+    xctot = ctypes.c_float()
+    st = lib.bio_fs5_forward_score(*cis, L, rfv, om_fs.M, *tv, xff,
+                                   scales, ctypes.byref(xctot))
+    if st != 0:
+        raise RangeError("fs forward over/underflow")
     totscale = 0.0
     for s in scales[scales != np.float32(1.0)]:
         totscale += float(np.log(s))

@@ -604,4 +604,138 @@ int bio_fs3_parser_score(const int32_t* ci2, const int32_t* ci3,
     return 0;
 }
 
+// Frameshift 5-codon full Forward, score path only — bit-exact
+// transcription of fwdback_fs.py forward_fs5 :472 (ref:
+// p7_Forward_Frameshift :2054): per-row sparse rescaling with
+// cross-row insert adjustment; committed rows keep their own scale.
+// Finish semantics as in bio_fs3_parser_score.
+int bio_fs5_forward_score(const int32_t* ci1, const int32_t* ci2,
+                          const int32_t* ci3, const int32_t* ci4,
+                          const int32_t* ci5, int64_t L,
+                          const float* rfv, int M,
+                          const float* tBM, const float* tMM,
+                          const float* tIM, const float* tDM,
+                          const float* tMD, const float* tDD,
+                          const float* tMI, const float* tII,
+                          const float* xff, float* out_scales,
+                          float* out_xctot) {
+    const int W = M + 1;
+    const float nloop = xff[0], nmove = xff[1], jloop = xff[2],
+        jmove = xff[3], cloop = xff[4], cmove = xff[5],
+        eloop = xff[6], emove = xff[7];
+    static thread_local float* b5 = nullptr;
+    static thread_local int64_t c5 = 0;
+    // 4 mc0 + 4 im + 4 dm + 5 ivx + 1 msv + 1 ni = 19 rows
+    if (c5 < 19 * (int64_t)W) {
+        delete[] b5;
+        b5 = new float[19 * W];
+        c5 = 19 * W;
+    }
+    float* mr[4]; float* ir[4]; float* dr[4]; float* ivx[5];
+    for (int r = 0; r < 4; r++) {
+        mr[r] = b5 + r * W;
+        ir[r] = b5 + (4 + r) * W;
+        dr[r] = b5 + (8 + r) * W;
+    }
+    for (int r = 0; r < 5; r++) ivx[r] = b5 + (12 + r) * W;
+    float* msv = b5 + 17 * W;
+    float* ni = b5 + 18 * W;
+    for (int64_t k = 0; k < 19 * W; k++) b5[k] = 0.f;
+    float xNb[4] = {1.f, 1.f, 1.f, 0.f};
+    float xBb[4] = {nmove, nmove, nmove, 0.f};
+    float xJb[4] = {0.f, 0.f, 0.f, 0.f};
+    float xCb[4] = {0.f, 0.f, 0.f, 0.f};
+    for (int64_t i = 0; i <= L; i++) out_scales[i] = 1.0f;
+
+    for (int64_t i = 1; i <= L; i++) {
+        int curr = (int)(i % 4);
+        int p1 = (int)((i + 3) % 4);          // (i-1) mod 4
+        int p3 = (int)((i + 1) % 4);          // (i-3) mod 4
+        int s1 = (int)(i % 5), s2 = (int)((i + 4) % 5),
+            s3 = (int)((i + 3) % 5), s4 = (int)((i + 2) % 5),
+            s5 = (int)((i + 1) % 5);
+        const float* mp = mr[p1];
+        const float* ip = ir[p1];
+        const float* dp = dr[p1];
+        float xB1 = xBb[p1];
+        float* sv = ivx[s1];
+        sv[0] = 0.f;
+        for (int k = 1; k <= M; k++)
+            sv[k] = xB1 * tBM[k] + mp[k - 1] * tMM[k]
+                + ip[k - 1] * tIM[k] + dp[k - 1] * tDM[k];
+        const float* e1 = rfv + (int64_t)ci1[i - 1] * W;
+        const float* e2 = (i >= 2) ? rfv + (int64_t)ci2[i - 1] * W : 0;
+        const float* e3 = (i >= 3) ? rfv + (int64_t)ci3[i - 1] * W : 0;
+        const float* e4 = (i >= 4) ? rfv + (int64_t)ci4[i - 1] * W : 0;
+        const float* e5 = (i >= 5) ? rfv + (int64_t)ci5[i - 1] * W : 0;
+        const float* v2 = ivx[s2];
+        const float* v3 = ivx[s3];
+        const float* v4 = ivx[s4];
+        const float* v5 = ivx[s5];
+        for (int k = 0; k <= M; k++) {
+            // msv = mcs1 + mcs2 + ... in the reference add order
+            float m1 = sv[k] * e1[k];
+            float m2 = (i >= 2) ? v2[k] * e2[k] : 0.f;
+            float m3 = (i >= 3) ? v3[k] * e3[k] : 0.f;
+            float m4 = (i >= 4) ? v4[k] * e4[k] : 0.f;
+            float m5 = (i >= 5) ? v5[k] * e5[k] : 0.f;
+            msv[k] = (((m1 + m2) + m3) + m4) + m5;
+        }
+        msv[0] = 0.f;
+        if (i >= 3) {
+            float adj = 1.0f
+                / (out_scales[i - 2] * out_scales[i - 1]);
+            const float* m3r = mr[p3];
+            const float* i3r = ir[p3];
+            for (int k = 0; k <= M; k++)
+                ni[k] = (m3r[k] * adj) * tMI[k]
+                    + (i3r[k] * adj) * tII[k];
+        } else {
+            for (int k = 0; k <= M; k++) ni[k] = 0.f;
+        }
+        ni[0] = 0.f;
+        float* dc = dr[curr];
+        dc[0] = dc[1] = 0.f;
+        for (int k = 2; k <= M; k++) dc[k] = msv[k - 1] * tMD[k];
+        for (int k = 2; k <= M; k++) dc[k] += dc[k - 1] * tDD[k];
+        float xE = np_pairwise_f32(msv + 1, M)
+            + np_pairwise_f32(dc + 1, M);
+        float xN, xJ, xC;
+        if (i >= 3) {
+            xN = xNb[p3] * nloop;
+            xJ = xJb[p3] * jloop + xE * eloop;
+            xC = xCb[p3] * cloop + xE * emove;
+        } else {
+            xN = 1.0f;
+            xJ = xE * eloop;
+            xC = xE * emove;
+        }
+        float xB = xN * nmove + xJ * jmove;
+        if (xE > 1.0e4f) {
+            float inv = 1.0f / xE;
+            for (int k = 0; k <= M; k++) {
+                msv[k] *= inv; ni[k] *= inv; dc[k] *= inv;
+            }
+            for (int r = 0; r < 5; r++)
+                for (int k = 0; k <= M; k++) ivx[r][k] *= inv;
+            xN *= inv; xJ *= inv; xC *= inv; xB *= inv;
+            for (int r = 0; r < 4; r++) {
+                xNb[r] *= inv; xBb[r] *= inv;
+                xJb[r] *= inv; xCb[r] *= inv;
+            }
+            out_scales[i] = xE;
+            xE = 1.0f;
+        }
+        for (int k = 0; k <= M; k++) mr[curr][k] = msv[k];
+        for (int k = 0; k <= M; k++) ir[curr][k] = ni[k];
+        xNb[curr] = xN; xBb[curr] = xB; xJb[curr] = xJ; xCb[curr] = xC;
+    }
+    float xctot = xCb[L % 4] + xCb[(L - 1) % 4] * cloop
+        + xCb[(L - 2) % 4] * cloop;
+    if (xctot != xctot || xctot - xctot != 0.0f) return 1;
+    if (L > 1 && xctot == 0.0f) return 1;
+    *out_xctot = xctot * cmove;
+    return 0;
+}
+
 }  // extern "C"
