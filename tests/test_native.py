@@ -99,3 +99,43 @@ def test_native_filters_bitexact(gcode):
             v = vit_filter_native(s, om)
             r = viterbi_filter(s, om)
             assert v == r or (np.isinf(v) and np.isinf(r))
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib absent")
+def test_native_forward_parsers_bitexact(gcode):
+    """Native C Forward parsers (standard, fs3, fs5) == the numpy
+    reference scores, bit for bit (numpy-pairwise reductions are
+    replicated in C; logs finish in numpy)."""
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.native import (fs3_parser_score_native,
+                                 fs5_forward_score_native,
+                                 fwd_parser_score_native)
+    from bath_tpu.ops.reference import fwdback as fb
+    from bath_tpu.ops.reference.fwdback_fs import (forward_fs5,
+                                                   forward_parser_fs3,
+                                                   fs_oprofile_convert)
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.profile import profile_config, profile_config_fs
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    bg = Background()
+    om = oprofile_convert(profile_config(hmm, bg, L=100))
+    om3 = fs_oprofile_convert(profile_config_fs(hmm, bg, gcode, 3, 100))
+    om5 = fs_oprofile_convert(profile_config_fs(hmm, bg, gcode, 5, 100))
+    rng = np.random.default_rng(17)
+    for L in (9, 60, 300):
+        for t in range(4):
+            aa = rng.integers(0, 20, L).astype(np.int32)
+            om.reconfig_length(L)
+            _, want = fb.forward(aa, om)
+            assert fwd_parser_score_native(aa, om) == want
+            dna = rng.integers(0, 4, L * 3).astype(np.int32)
+            if t == 3:
+                dna[rng.integers(0, L * 3, 5)] = 15
+            om3.reconfig_length(L)
+            _, w3 = forward_parser_fs3(dna, om3)
+            assert fs3_parser_score_native(dna, om3) == w3
+            om5.reconfig_length(L)
+            _, w5 = forward_fs5(dna, om5)
+            assert fs5_forward_score_native(dna, om5) == w5
