@@ -377,55 +377,80 @@ def msv_score_batch(dsq, lens, params: MSVParams) -> jnp.ndarray:
 # ---------------------------------------------------------------------
 @dataclass
 class FS3Params:
-    Mp: int
+    """Frameshift 3-codon Forward parameters in [model, batch] layout
+    (model positions on sublanes, batch on lanes)."""
+    Mt: int                  # M rounded up to the sublane multiple (8)
     M: int
-    rfv: jnp.ndarray     # [MAXCODONS3 + Kp, Mp]
-    tBM: jnp.ndarray
+    rfvT: jnp.ndarray        # [Mt, MAXCODONS3 + Kp] codon emission odds
+    tBM: jnp.ndarray         # [Mt]
     tMM: jnp.ndarray
     tIM: jnp.ndarray
     tDM: jnp.ndarray
-    tMD: jnp.ndarray
-    tDD: jnp.ndarray
+    tMDs: jnp.ndarray        # [Mt], slot k = M_k -> D_{k+1} (pre-shifted)
     tMI: jnp.ndarray
     tII: jnp.ndarray
-    U: jnp.ndarray = None
+    UT: jnp.ndarray = None   # [Mt, Mt] transposed DD-closure operator
 
 
-def fs3_params(om_fs, lane_multiple: int = 128) -> FS3Params:
+def fs3_params(om_fs, sub_multiple: int = 8) -> FS3Params:
     """From an FSOProfile (codon_lengths == 3)."""
     M = om_fs.M
-    Mp = round_up(M, lane_multiple)
+    Mt = round_up(M, sub_multiple)
     nrows = om_fs.rfv.shape[0]
-    rfv = np.zeros((nrows, Mp), np.float32)
-    rfv[:, :M] = om_fs.rfv[:, 1:M + 1]
+    rfvT = np.zeros((Mt, nrows), np.float32)
+    rfvT[:M] = om_fs.rfv[:, 1:M + 1].T
     tfv = om_fs.tfv
 
     def pad(v):
-        out = np.zeros(Mp, np.float32)
+        out = np.zeros(Mt, np.float32)
         out[:len(v)] = v
         return jnp.asarray(out)
 
+    tMD = np.zeros(Mt, np.float32)
+    tMD[1:M] = tfv[1:M, C.P_MD]          # slot k = M_k -> D_{k+1}
     return FS3Params(
-        Mp=Mp, M=M, rfv=jnp.asarray(rfv),
+        Mt=Mt, M=M, rfvT=jnp.asarray(rfvT),
         tBM=pad(tfv[:M, C.P_BM]), tMM=pad(tfv[:M, C.P_MM]),
         tIM=pad(tfv[:M, C.P_IM]), tDM=pad(tfv[:M, C.P_DM]),
-        tMD=pad(tfv[1:M, C.P_MD]), tDD=pad(tfv[1:M, C.P_DD]),
+        tMDs=jnp.asarray(tMD),
         tMI=pad(tfv[1:M + 1, C.P_MI]), tII=pad(tfv[1:M + 1, C.P_II]),
-        U=jnp.asarray(dd_closure_matrix(tfv[1:M, C.P_DD], Mp)))
+        UT=jnp.asarray(dd_closure_matrix(tfv[1:M, C.P_DD], Mt).T))
 
 
-@partial(jax.jit, static_argnames=("Mp", "nj"))
-def _fs3_score_impl(dsq, lens, rfv, tBM, tMM, tIM, tDM, tMD, tDD, tMI,
-                    tII, nj, Mp, U=None):
+def _shift_down(x):
+    """k-1 access in [model, batch] layout: sublane k reads k-1."""
+    return jnp.pad(x[:-1], ((1, 0), (0, 0)))
+
+
+@partial(jax.jit, static_argnames=("Mt", "nj"))
+def _fs3_score_impl(dsq, lens, rfvT, tBM, tMM, tIM, tDM, tMDs, tMI,
+                    tII, nj, Mt, UT=None):
     """Frameshift 3-codon Forward parser, batched.
 
-    TPU structure: codon emission-table indices are computed for the
-    whole batch up front (vectorized); a scan over blocks of 12
-    positions (lcm of the 4-row MDI and 3-slot IVX circularities)
-    keeps every circular-buffer index static; each block does ONE
-    combined one-hot matmul on the MXU to materialize all 36 emission
-    rows, and each position's DD closure is a single [B,Mp]x[Mp,Mp]
-    matmul (dd_closure_matrix).
+    TPU structure (all DP state in [model, batch] layout — model
+    positions on sublanes padded to a multiple of 8, batch on the
+    128-lane minor dim, so state size tracks the true M instead of a
+    128-padded one):
+
+    - codon emission-table indices for the whole batch are computed up
+      front (vectorized);
+    - a scan over blocks of 12 positions (lcm of the 4-row MDI and
+      3-slot IVX circular buffers) keeps every ring index static, so
+      the rings are plain rotated Python variables — no dynamic-slice
+      updates;
+    - each block does ONE bf16 one-hot matmul on the MXU to
+      materialize all 36 emission rows, consumed via static column
+      slices (bf16 is what the MXU uses for f32 operands at default
+      precision anyway; the gate tolerance is ~0.05 nats);
+    - per-position DD closure is one [Mt,Mt]x[Mt,B] matmul
+      (dd_closure_matrix);
+    - the reference's per-row sparse rescaling
+      (impl_sse/fwdback_fs.c) is NOT applied to stored rows; instead
+      each ring slot carries a pending-scale scalar [B] that
+      accumulates the rescales issued since the slot was written and
+      is folded in when the slot is read.  Rescales touch O(B)
+      scalars instead of the full [Mt,B] DP state, which removes the
+      dominant HBM traffic of the naive formulation (3.5x measured).
     """
     B, L = dsq.shape
     BL = 12
@@ -436,10 +461,9 @@ def _fs3_score_impl(dsq, lens, rfv, tBM, tMM, tIM, tDM, tMD, tDD, tMI,
     Lf = (lens // 3).astype(F32)
     pmove = (2.0 + nj) / (Lf + 2.0 + nj)
     ploop = 1.0 - pmove
-    emove = jnp.full(B, 0.5 if nj > 0 else 1.0, F32)
-    eloop = jnp.full(B, 0.5 if nj > 0 else 0.0, F32)
-    tMD_s = jnp.pad(tMD, (1, 0))[:-1]
-    nrows = rfv.shape[0]
+    emove = 0.5 if nj > 0 else 1.0
+    eloop = 0.5 if nj > 0 else 0.0
+    nrows = rfvT.shape[1]
 
     # --- codon indices for every position, vectorized -------------
     x = jnp.where(dsq < C.MAXNUC, dsq, PLACE).astype(jnp.int32)
@@ -452,15 +476,23 @@ def _fs3_score_impl(dsq, lens, rfv, tBM, tMM, tIM, tDM, tMD, tDD, tMI,
     ci4 = jnp.minimum(x * C.NUC1_FS3 + xm1 * C.NUC2_FS3
                       + xm2 * C.NUC3_FS3 + xm3 + C.C3, C.DEGEN3_QC1)
     ci = jnp.stack([ci2, ci3, ci4], axis=0)        # [3, B, Lpad]
+    # block rows: column index = j*3*B + channel*B + b
     ci_blocks = ci.transpose(2, 0, 1).reshape(Lpad // BL, BL * 3 * B)
 
+    tBMc, tMMc, tIMc, tDMc = (t[:, None] for t in (tBM, tMM, tIM, tDM))
+    tMDc = tMDs[:, None]
+    tMIc, tIIc = tMI[:, None], tII[:, None]
+    rfvTb = rfvT.astype(jnp.bfloat16)
+
     def block(carry, ci_blk):
-        (mrows, irows, drows, ivx, xNb, xBb, xJb, xCb, logacc, score,
-         base) = carry
-        # ONE one-hot matmul for the whole block's emission rows
-        oh = (ci_blk[:, None] == jnp.arange(nrows)[None, :]).astype(F32)
-        E = jnp.dot(oh, rfv, preferred_element_type=jnp.float32)
-        E = E.reshape(BL, 3, B, Mp)
+        (mr, ir, dr, pend, ivx, pivx, xNb, xBb, xJb, xCb, logacc,
+         score, base) = carry
+        mr, ir, dr, ivx = list(mr), list(ir), list(dr), list(ivx)
+        pend, pivx = list(pend), list(pivx)
+        xNb, xBb, xJb, xCb = list(xNb), list(xBb), list(xJb), list(xCb)
+        oh = (ci_blk[None, :] == jnp.arange(nrows)[:, None]
+              ).astype(jnp.bfloat16)
+        E = jnp.dot(rfvTb, oh, preferred_element_type=F32)  # [Mt, BL*3*B]
         for j in range(BL):
             i = base + j
             pos = i + 1
@@ -470,67 +502,79 @@ def _fs3_score_impl(dsq, lens, rfv, tBM, tMM, tIM, tDM, tMD, tDD, tMI,
             s2 = (j + 1) % 3
             s3 = j % 3
             s4 = (j - 1) % 3
-            E2, E3, E4 = E[j, 0], E[j, 1], E[j, 2]
+            off = j * 3 * B
+            E2 = jax.lax.slice(E, (0, off), (Mt, off + B))
+            E3 = jax.lax.slice(E, (0, off + B), (Mt, off + 2 * B))
+            E4 = jax.lax.slice(E, (0, off + 2 * B), (Mt, off + 3 * B))
 
-            mp = _shift_right(mrows[p2_m4])
-            ip = _shift_right(irows[p2_m4])
-            dp = _shift_right(drows[p2_m4])
-            sv = xBb[p2_m4][:, None] * tBM + mp * tMM + ip * tIM + dp * tDM
-            ivx = ivx.at[s2].set(sv)
+            sc2 = pend[p2_m4]
+            mp = _shift_down(mr[p2_m4])
+            ip = _shift_down(ir[p2_m4])
+            dp = _shift_down(dr[p2_m4])
+            sv = (xBb[p2_m4] * sc2)[None, :] * tBMc + \
+                 (mp * tMMc + ip * tIMc + dp * tDMc) * sc2[None, :]
             msv = sv * E2
-            msv = msv + jnp.where(pos >= 3, ivx[s3] * E3, 0.0)
-            msv = msv + jnp.where(pos >= 4, ivx[s4] * E4, 0.0)
-            new_i = mrows[p3_m4] * tMI + irows[p3_m4] * tII
+            msv = msv + jnp.where(pos >= 3,
+                                  (ivx[s3] * pivx[s3][None, :]) * E3, 0.0)
+            msv = msv + jnp.where(pos >= 4,
+                                  (ivx[s4] * pivx[s4][None, :]) * E4, 0.0)
+            new_i = (mr[p3_m4] * tMIc + ir[p3_m4] * tIIc) \
+                * pend[p3_m4][None, :]
             new_i = jnp.where(pos >= 3, new_i, 0.0)
-            part = _shift_right(msv) * tMD_s
-            new_d = jnp.dot(part, U, preferred_element_type=jnp.float32)
-            xE = msv.sum(axis=1) + new_d.sum(axis=1)
+            part = _shift_down(msv) * tMDc
+            new_d = jnp.dot(UT, part, preferred_element_type=F32)
+            xE = msv.sum(axis=0) + new_d.sum(axis=0)
             ge3 = pos >= 3
-            xN2 = jnp.where(ge3, xNb[p3_m4] * ploop, 1.0)
-            xJ2 = jnp.where(ge3, xJb[p3_m4] * ploop, 0.0) + xE * eloop
-            xC2 = jnp.where(ge3, xCb[p3_m4] * ploop, 0.0) + xE * emove
+            xN2 = jnp.where(ge3, xNb[p3_m4] * pend[p3_m4] * ploop, 1.0)
+            xJ2 = jnp.where(ge3, xJb[p3_m4] * pend[p3_m4] * ploop, 0.0) \
+                + xE * eloop
+            xC2 = jnp.where(ge3, xCb[p3_m4] * pend[p3_m4] * ploop, 0.0) \
+                + xE * emove
             xB2 = xN2 * pmove + xJ2 * pmove
 
             sc = jnp.maximum(xE, 1.0)
             sinv = 1.0 / sc
             active = (i < lens)
-            am = active[None, :, None]
-            asb = active[None, :]
 
-            # insert the new row/special into its circular slot, then
-            # rescale ALL live slots by 1/s (sparse-rescale semantics,
-            # ref: impl_sse/fwdback_fs.c per-row global rescaling)
-            mrows = jnp.where(am, mrows.at[pos_m4].set(msv)
-                              * sinv[None, :, None], mrows)
-            irows = jnp.where(am, irows.at[pos_m4].set(new_i)
-                              * sinv[None, :, None], irows)
-            drows = jnp.where(am, drows.at[pos_m4].set(new_d)
-                              * sinv[None, :, None], drows)
-            ivx = jnp.where(am, ivx * sinv[None, :, None], ivx)
-            xNb = jnp.where(asb, xNb.at[pos_m4].set(xN2) * sinv, xNb)
-            xJb = jnp.where(asb, xJb.at[pos_m4].set(xJ2) * sinv, xJb)
-            xCb = jnp.where(asb, xCb.at[pos_m4].set(xC2) * sinv, xCb)
-            xBb = jnp.where(asb, xBb.at[pos_m4].set(xB2) * sinv, xBb)
+            # ring writes are plain variable assignments (static slots);
+            # lanes whose sequence has ended keep evolving harmlessly —
+            # their score is already latched below and rows are never
+            # read across lanes.
+            mr[pos_m4], ir[pos_m4], dr[pos_m4] = msv, new_i, new_d
+            ivx[s2] = sv
+            xNb[pos_m4], xJb[pos_m4] = xN2, xJ2
+            xCb[pos_m4], xBb[pos_m4] = xC2, xB2
+            for r in range(4):
+                upd = sinv if r == pos_m4 else pend[r] * sinv
+                pend[r] = jnp.where(active, upd, pend[r])
+            for s in range(3):
+                upd = sinv if s == s2 else pivx[s] * sinv
+                pivx[s] = jnp.where(active, upd, pivx[s])
             logacc = jnp.where(active, logacc + jnp.log(sc), logacc)
-
             done = (i + 1 == lens)
-            cl = xCb[pos_m4] + (xCb[j % 4] + xCb[(j - 1) % 4]) * ploop
+            # xC ring: pos_m4 just written (scale sinv); j%4 one step
+            # old, (j-1)%4 two steps old — pend folds their scales
+            cl = xC2 * sinv + (xCb[j % 4] * pend[j % 4]
+                               + xCb[(j - 1) % 4] * pend[(j - 1) % 4]) \
+                * ploop
             score = jnp.where(done, logacc + jnp.log(cl * pmove), score)
-        return (mrows, irows, drows, ivx, xNb, xBb, xJb, xCb, logacc,
-                score, base + BL), None
+        return (tuple(mr), tuple(ir), tuple(dr), tuple(pend),
+                tuple(ivx), tuple(pivx), tuple(xNb), tuple(xBb),
+                tuple(xJb), tuple(xCb), logacc, score, base + BL), None
 
-    zrows = jnp.zeros((4, B, Mp), F32)
-    zivx = jnp.zeros((3, B, Mp), F32)
+    zrow = jnp.zeros((Mt, B), F32)
     zb = jnp.zeros(B, F32)
     ones = jnp.ones(B, F32)
-    xNb0 = jnp.stack([ones, ones, zb, zb])
-    xBb0 = jnp.stack([pmove.astype(F32), pmove.astype(F32), zb, zb])
-    zsp = jnp.zeros((4, B), F32)
-    carry0 = (zrows, zrows, zrows, zivx, xNb0, xBb0, zsp, zsp,
-              jnp.zeros(B, F32), jnp.full(B, -jnp.inf, F32),
-              jnp.int32(0))
+    # init (ref: fwdback_fs.c parser init): xN slots {0,1} = 1,
+    # xB slots {0,1} = pmove; all pending scales 1
+    xNb0 = (ones, ones, zb, zb)
+    xBb0 = (pmove.astype(F32), pmove.astype(F32), zb, zb)
+    carry0 = ((zrow,) * 4, (zrow,) * 4, (zrow,) * 4, (ones,) * 4,
+              (zrow,) * 3, (ones,) * 3, xNb0, xBb0, (zb,) * 4,
+              (zb,) * 4, jnp.zeros(B, F32),
+              jnp.full(B, -jnp.inf, F32), jnp.int32(0))
     carry, _ = jax.lax.scan(block, carry0, ci_blocks)
-    return carry[9]
+    return carry[11]
 
 
 def fs3_score_batch(dsq, lens, params: FS3Params,
@@ -538,7 +582,7 @@ def fs3_score_batch(dsq, lens, params: FS3Params,
     """Frameshift 3-codon Forward scores (nats) for a padded batch of
     DNA windows, with per-item amino-unit length models."""
     return _fs3_score_impl(jnp.asarray(dsq), jnp.asarray(lens),
-                           params.rfv, params.tBM, params.tMM,
-                           params.tIM, params.tDM, params.tMD,
-                           params.tDD, params.tMI, params.tII,
-                           float(nj), params.Mp, params.U)
+                           params.rfvT, params.tBM, params.tMM,
+                           params.tIM, params.tDM, params.tMDs,
+                           params.tMI, params.tII,
+                           float(nj), params.Mt, params.UT)

@@ -43,7 +43,7 @@ def main():
     om3 = fs_oprofile_convert(gm3)
     p3 = jk.fs3_params(om3)
 
-    B, L = 1024, 4092
+    B, L = 2048, 4092
     rng = np.random.default_rng(0)
     # distinct inputs per iteration so no layer can cache executions
     n_iter = 6
