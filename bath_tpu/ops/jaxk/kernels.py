@@ -378,10 +378,16 @@ def msv_score_batch(dsq, lens, params: MSVParams) -> jnp.ndarray:
 @dataclass
 class FS3Params:
     """Frameshift 3-codon Forward parameters in [model, batch] layout
-    (model positions on sublanes, batch on lanes)."""
+    (model positions on sublanes, batch on lanes).  The packed
+    338-entry codon index space (ref: hmmer.h:292-303) is split into
+    one compact emission table per codon length so each channel's
+    one-hot gather matmul contracts over 17/65/257 rows instead of
+    the full space."""
     Mt: int                  # M rounded up to the sublane multiple (8)
     M: int
-    rfvT: jnp.ndarray        # [Mt, MAXCODONS3 + Kp] codon emission odds
+    T2: jnp.ndarray          # [Mt, 17]  2-nt quasicodons + degen
+    T3: jnp.ndarray          # [Mt, 65]  3-nt codons + degen
+    T4: jnp.ndarray          # [Mt, 257] 4-nt quasicodons + degen
     tBM: jnp.ndarray         # [Mt]
     tMM: jnp.ndarray
     tIM: jnp.ndarray
@@ -396,10 +402,21 @@ def fs3_params(om_fs, sub_multiple: int = 8) -> FS3Params:
     """From an FSOProfile (codon_lengths == 3)."""
     M = om_fs.M
     Mt = round_up(M, sub_multiple)
-    nrows = om_fs.rfv.shape[0]
-    rfvT = np.zeros((Mt, nrows), np.float32)
-    rfvT[:M] = om_fs.rfv[:, 1:M + 1].T
+    rfvT = om_fs.rfv[:, 1:M + 1].T.astype(np.float32)   # [M, nrows]
     tfv = om_fs.tfv
+
+    def table(origs):
+        t = np.zeros((Mt, len(origs)), np.float32)
+        t[:M] = rfvT[:, origs]
+        return jnp.asarray(t)
+
+    dig = range(C.MAXNUC)
+    orig2 = [C.codon2_fs3(b, a) for a in dig for b in dig] \
+        + [C.DEGEN3_QC1]
+    orig3 = [C.codon3_fs3(c, b, a) for a in dig for b in dig
+             for c in dig] + [C.DEGEN3_C]
+    orig4 = [C.codon4_fs3(d, c, b, a) for a in dig for b in dig
+             for c in dig for d in dig] + [C.DEGEN3_QC1]
 
     def pad(v):
         out = np.zeros(Mt, np.float32)
@@ -409,7 +426,7 @@ def fs3_params(om_fs, sub_multiple: int = 8) -> FS3Params:
     tMD = np.zeros(Mt, np.float32)
     tMD[1:M] = tfv[1:M, C.P_MD]          # slot k = M_k -> D_{k+1}
     return FS3Params(
-        Mt=Mt, M=M, rfvT=jnp.asarray(rfvT),
+        Mt=Mt, M=M, T2=table(orig2), T3=table(orig3), T4=table(orig4),
         tBM=pad(tfv[:M, C.P_BM]), tMM=pad(tfv[:M, C.P_MM]),
         tIM=pad(tfv[:M, C.P_IM]), tDM=pad(tfv[:M, C.P_DM]),
         tMDs=jnp.asarray(tMD),
@@ -423,8 +440,8 @@ def _shift_down(x):
 
 
 @partial(jax.jit, static_argnames=("Mt", "nj"))
-def _fs3_score_impl(dsq, lens, rfvT, tBM, tMM, tIM, tDM, tMDs, tMI,
-                    tII, nj, Mt, UT=None):
+def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
+                    tMI, tII, nj, Mt, UT=None):
     """Frameshift 3-codon Forward parser, batched.
 
     TPU structure (all DP state in [model, batch] layout — model
@@ -438,10 +455,15 @@ def _fs3_score_impl(dsq, lens, rfvT, tBM, tMM, tIM, tDM, tMDs, tMI,
       3-slot IVX circular buffers) keeps every ring index static, so
       the rings are plain rotated Python variables — no dynamic-slice
       updates;
-    - each block does ONE bf16 one-hot matmul on the MXU to
-      materialize all 36 emission rows, consumed via static column
-      slices (bf16 is what the MXU uses for f32 operands at default
-      precision anyway; the gate tolerance is ~0.05 nats);
+    - each block does one bf16 one-hot matmul per codon-length
+      channel on the MXU to materialize the block's emission rows,
+      consumed via static column slices.  The per-channel compact
+      tables contract over 17/65/257 rows instead of the packed
+      338-entry index space (3.3x fewer MXU FLOPs), and E is stored
+      bf16 (bit-identical: a one-hot row selects a single
+      bf16-rounded table entry, which is what the MXU produces for
+      f32 operands at default precision anyway; the gate tolerance
+      is ~0.05 nats);
     - per-position DD closure is one [Mt,Mt]x[Mt,B] matmul
       (dd_closure_matrix);
     - the reference's per-row sparse rescaling
@@ -463,36 +485,47 @@ def _fs3_score_impl(dsq, lens, rfvT, tBM, tMM, tIM, tDM, tMDs, tMI,
     ploop = 1.0 - pmove
     emove = 0.5 if nj > 0 else 1.0
     eloop = 0.5 if nj > 0 else 0.0
-    nrows = rfvT.shape[1]
 
-    # --- codon indices for every position, vectorized -------------
-    x = jnp.where(dsq < C.MAXNUC, dsq, PLACE).astype(jnp.int32)
-    xm1 = jnp.pad(x, ((0, 0), (1, 0)), constant_values=PLACE)[:, :-1]
-    xm2 = jnp.pad(x, ((0, 0), (2, 0)), constant_values=PLACE)[:, :-2]
-    xm3 = jnp.pad(x, ((0, 0), (3, 0)), constant_values=PLACE)[:, :-3]
-    ci2 = jnp.minimum(x * C.NUC1_FS3 + xm1 * C.NUC2_FS3, C.DEGEN3_QC1)
-    ci3 = jnp.minimum(x * C.NUC1_FS3 + xm1 * C.NUC2_FS3
-                      + xm2 * C.NUC3_FS3 + C.C2, C.DEGEN3_C)
-    ci4 = jnp.minimum(x * C.NUC1_FS3 + xm1 * C.NUC2_FS3
-                      + xm2 * C.NUC3_FS3 + xm3 + C.C3, C.DEGEN3_QC1)
-    ci = jnp.stack([ci2, ci3, ci4], axis=0)        # [3, B, Lpad]
-    # block rows: column index = j*3*B + channel*B + b
-    ci_blocks = ci.transpose(2, 0, 1).reshape(Lpad // BL, BL * 3 * B)
+    # --- compact per-channel codon digits, vectorized -------------
+    xd = jnp.minimum(dsq, C.MAXNUC).astype(jnp.int32)   # 4 = degenerate
+    xm1 = jnp.pad(xd, ((0, 0), (1, 0)), constant_values=C.MAXNUC)[:, :-1]
+    xm2 = jnp.pad(xd, ((0, 0), (2, 0)), constant_values=C.MAXNUC)[:, :-2]
+    xm3 = jnp.pad(xd, ((0, 0), (3, 0)), constant_values=C.MAXNUC)[:, :-3]
+    dg2 = (xd > 3) | (xm1 > 3)
+    dg3 = dg2 | (xm2 > 3)
+    dg4 = dg3 | (xm3 > 3)
+    c2 = jnp.where(dg2, 16, xd * 4 + xm1)
+    c3 = jnp.where(dg3, 64, xd * 16 + xm1 * 4 + xm2)
+    c4 = jnp.where(dg4, 256, xd * 64 + xm1 * 16 + xm2 * 4 + xm3)
+    # block rows: column index = j*B + b
+    c2b = c2.T.reshape(Lpad // BL, BL * B)
+    c3b = c3.T.reshape(Lpad // BL, BL * B)
+    c4b = c4.T.reshape(Lpad // BL, BL * B)
 
     tBMc, tMMc, tIMc, tDMc = (t[:, None] for t in (tBM, tMM, tIM, tDM))
     tMDc = tMDs[:, None]
     tMIc, tIIc = tMI[:, None], tII[:, None]
-    rfvTb = rfvT.astype(jnp.bfloat16)
+    BF16 = jnp.bfloat16
+    T2b, T3b, T4b = T2.astype(BF16), T3.astype(BF16), T4.astype(BF16)
 
-    def block(carry, ci_blk):
+    def block(carry, blk, first=False):
+        # `first` statically specializes the initial block; steady-state
+        # blocks (pos > 12) drop the warm-up masks entirely
+        c2_blk, c3_blk, c4_blk = blk
         (mr, ir, dr, pend, ivx, pivx, xNb, xBb, xJb, xCb, logacc,
          score, base) = carry
         mr, ir, dr, ivx = list(mr), list(ir), list(dr), list(ivx)
         pend, pivx = list(pend), list(pivx)
         xNb, xBb, xJb, xCb = list(xNb), list(xBb), list(xJb), list(xCb)
-        oh = (ci_blk[None, :] == jnp.arange(nrows)[:, None]
-              ).astype(jnp.bfloat16)
-        E = jnp.dot(rfvTb, oh, preferred_element_type=F32)  # [Mt, BL*3*B]
+
+        def emis(tab, cblk):
+            n = tab.shape[1]
+            oh = (cblk[None, :] == jnp.arange(n)[:, None]).astype(BF16)
+            return jnp.dot(tab, oh, preferred_element_type=BF16)
+
+        E2a = emis(T2b, c2_blk)          # [Mt, BL*B] bf16
+        E3a = emis(T3b, c3_blk)
+        E4a = emis(T4b, c4_blk)
         for j in range(BL):
             i = base + j
             pos = i + 1
@@ -502,10 +535,10 @@ def _fs3_score_impl(dsq, lens, rfvT, tBM, tMM, tIM, tDM, tMDs, tMI,
             s2 = (j + 1) % 3
             s3 = j % 3
             s4 = (j - 1) % 3
-            off = j * 3 * B
-            E2 = jax.lax.slice(E, (0, off), (Mt, off + B))
-            E3 = jax.lax.slice(E, (0, off + B), (Mt, off + 2 * B))
-            E4 = jax.lax.slice(E, (0, off + 2 * B), (Mt, off + 3 * B))
+            off = j * B
+            E2 = jax.lax.slice(E2a, (0, off), (Mt, off + B)).astype(F32)
+            E3 = jax.lax.slice(E3a, (0, off), (Mt, off + B)).astype(F32)
+            E4 = jax.lax.slice(E4a, (0, off), (Mt, off + B)).astype(F32)
 
             sc2 = pend[p2_m4]
             mp = _shift_down(mr[p2_m4])
@@ -514,22 +547,26 @@ def _fs3_score_impl(dsq, lens, rfvT, tBM, tMM, tIM, tDM, tMDs, tMI,
             sv = (xBb[p2_m4] * sc2)[None, :] * tBMc + \
                  (mp * tMMc + ip * tIMc + dp * tDMc) * sc2[None, :]
             msv = sv * E2
-            msv = msv + jnp.where(pos >= 3,
-                                  (ivx[s3] * pivx[s3][None, :]) * E3, 0.0)
-            msv = msv + jnp.where(pos >= 4,
-                                  (ivx[s4] * pivx[s4][None, :]) * E4, 0.0)
+            t3 = (ivx[s3] * pivx[s3][None, :]) * E3
+            t4 = (ivx[s4] * pivx[s4][None, :]) * E4
             new_i = (mr[p3_m4] * tMIc + ir[p3_m4] * tIIc) \
                 * pend[p3_m4][None, :]
-            new_i = jnp.where(pos >= 3, new_i, 0.0)
+            if first:
+                t3 = jnp.where(pos >= 3, t3, 0.0)
+                t4 = jnp.where(pos >= 4, t4, 0.0)
+                new_i = jnp.where(pos >= 3, new_i, 0.0)
+            msv = msv + t3 + t4
             part = _shift_down(msv) * tMDc
             new_d = jnp.dot(UT, part, preferred_element_type=F32)
             xE = msv.sum(axis=0) + new_d.sum(axis=0)
-            ge3 = pos >= 3
-            xN2 = jnp.where(ge3, xNb[p3_m4] * pend[p3_m4] * ploop, 1.0)
-            xJ2 = jnp.where(ge3, xJb[p3_m4] * pend[p3_m4] * ploop, 0.0) \
-                + xE * eloop
-            xC2 = jnp.where(ge3, xCb[p3_m4] * pend[p3_m4] * ploop, 0.0) \
-                + xE * emove
+            xN2 = xNb[p3_m4] * pend[p3_m4] * ploop
+            xJ2 = xJb[p3_m4] * pend[p3_m4] * ploop + xE * eloop
+            xC2 = xCb[p3_m4] * pend[p3_m4] * ploop + xE * emove
+            if first:
+                ge3 = pos >= 3
+                xN2 = jnp.where(ge3, xN2, 1.0)
+                xJ2 = jnp.where(ge3, xJ2, xE * eloop)
+                xC2 = jnp.where(ge3, xC2, xE * emove)
             xB2 = xN2 * pmove + xJ2 * pmove
 
             sc = jnp.maximum(xE, 1.0)
@@ -573,7 +610,9 @@ def _fs3_score_impl(dsq, lens, rfvT, tBM, tMM, tIM, tDM, tMDs, tMI,
               (zrow,) * 3, (ones,) * 3, xNb0, xBb0, (zb,) * 4,
               (zb,) * 4, jnp.zeros(B, F32),
               jnp.full(B, -jnp.inf, F32), jnp.int32(0))
-    carry, _ = jax.lax.scan(block, carry0, ci_blocks)
+    carry, _ = block(carry0, (c2b[0], c3b[0], c4b[0]), first=True)
+    carry, _ = jax.lax.scan(block, carry,
+                            (c2b[1:], c3b[1:], c4b[1:]))
     return carry[11]
 
 
@@ -582,7 +621,7 @@ def fs3_score_batch(dsq, lens, params: FS3Params,
     """Frameshift 3-codon Forward scores (nats) for a padded batch of
     DNA windows, with per-item amino-unit length models."""
     return _fs3_score_impl(jnp.asarray(dsq), jnp.asarray(lens),
-                           params.rfvT, params.tBM, params.tMM,
-                           params.tIM, params.tDM, params.tMDs,
-                           params.tMI, params.tII,
-                           float(nj), params.Mt, params.UT)
+                           params.T2, params.T3, params.T4,
+                           params.tBM, params.tMM, params.tIM,
+                           params.tDM, params.tMDs, params.tMI,
+                           params.tII, float(nj), params.Mt, params.UT)

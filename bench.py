@@ -43,15 +43,16 @@ def main():
     om3 = fs_oprofile_convert(gm3)
     p3 = jk.fs3_params(om3)
 
-    B, L = 2048, 4092
+    use_pallas = "--pallas" in sys.argv
+    # the Mosaic variant keeps its original shape (host-side codon
+    # index prep at the jnp path's larger shape dominates its timing)
+    B, L = (1024, 4092) if use_pallas else (4096, 8184)
     rng = np.random.default_rng(0)
     # distinct inputs per iteration so no layer can cache executions
     n_iter = 6
     batches = [jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int32))
                for _ in range(n_iter)]
     lens = jnp.asarray(np.full(B, L, np.int32))
-
-    use_pallas = "--pallas" in sys.argv
     if use_pallas:
         from bath_tpu.ops.pallas.fs3 import (codon_indices_fs3,
                                              fs3_params_pallas,
