@@ -88,20 +88,29 @@ class Background:
         L = len(dsq)
         if L == 0:
             return 0.0
+        from .native import bg_hmm_forward_native
+        sc = bg_hmm_forward_native(dsq, self._eo, self._pi, self._t)
+        if sc is not None:
+            return sc
         eo = self._eo
         t = self._t
         logsc = np.float32(0.0)
-        dp = eo[dsq[0]] * self._pi
-        mx = dp.max()
-        dp = dp / mx
+        d0 = np.float32(eo[dsq[0], 0] * self._pi[0])
+        d1 = np.float32(eo[dsq[0], 1] * self._pi[1])
+        mx = max(d0, d1)
+        d0, d1 = d0 / mx, d1 / mx
         logsc += np.float32(np.log(mx))
-        t2 = t[:, :2]   # [from, to]
+        # explicit mul/mul/add order (the canonical IEEE-f32 order the
+        # native path uses; numpy's tiny `@` routes through BLAS whose
+        # FMA differs by 1 ulp)
         for i in range(1, L):
-            dp = (dp @ t2) * eo[dsq[i]]
-            mx = dp.max()
-            dp = dp / mx
+            e0, e1 = eo[dsq[i], 0], eo[dsq[i], 1]
+            n0 = np.float32(d0 * t[0, 0] + d1 * t[1, 0]) * e0
+            n1 = np.float32(d0 * t[0, 1] + d1 * t[1, 1]) * e1
+            mx = max(n0, n1)
+            d0, d1 = n0 / mx, n1 / mx
             logsc += np.float32(np.log(mx))
-        end = np.float32((dp * t[:, 2]).sum())
+        end = np.float32(d0 * t[0, 2] + d1 * t[1, 2])
         return float(logsc + np.float32(np.log(end)))
 
     # ref: p7_bg_FilterScore (p7_bg.c:491)

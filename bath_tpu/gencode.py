@@ -178,7 +178,7 @@ class GeneticCode:
         return out
 
 
-@dataclass
+@dataclass(slots=True)
 class Orf:
     """One open reading frame extracted from a DNA window."""
     dsq: np.ndarray     # digital amino sequence
@@ -190,6 +190,15 @@ class Orf:
     @property
     def n(self) -> int:
         return len(self.dsq)
+
+
+class OrfList(list):
+    """List of Orfs that may carry the flat concatenated layout the
+    native extractor produced (flat/offs/lens), so batch filter calls
+    skip re-concatenating thousands of small arrays."""
+    flat = None
+    offs = None
+    lens = None
 
 
 def extract_orfs(gcode: GeneticCode, dsq: np.ndarray, *,

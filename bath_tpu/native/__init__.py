@@ -32,9 +32,13 @@ def _build() -> bool:
     if not os.path.exists(_SRC):
         return False
     try:
-        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
-                        _SRC], check=True, capture_output=True,
-                       timeout=120)
+        # -ffp-contract=off: the float parsers are bit-exactness
+        # contracts (FMA contraction under -march=native would change
+        # results); integer filters are unaffected either way
+        subprocess.run(["g++", "-O3", "-march=native",
+                        "-ffp-contract=off", "-fopenmp", "-shared",
+                        "-fPIC", "-o", _SO, _SRC], check=True,
+                       capture_output=True, timeout=120)
         return True
     except Exception:
         return False
@@ -117,17 +121,28 @@ def extract_orfs_native(gcode, dsq: np.ndarray, *, minlen: int = 20,
     n = lib.bio_extract_orfs(dsq, L, basic, masks, is_init, stop,
                              anyaa, minlen, int(require_initiator),
                              int(is_revcomp), aa_out, meta)
-    orfs = []
-    off = 0
-    for i in range(n):
-        s, e, f, ln = meta[4 * i:4 * i + 4]
-        orfs.append(Orf(aa_out[off:off + ln].copy(), int(s), int(e),
-                        int(f)))
-        off += ln
+    from ..gencode import OrfList
+    mv = meta[:4 * n].reshape(n, 4)
+    lens = mv[:, 3].astype(np.int64)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:]) if n else None
+    flat = aa_out[:int(lens.sum())].copy()
+    orfs = OrfList(
+        Orf(flat[offs[i]:offs[i] + lens[i]], int(mv[i, 0]),
+            int(mv[i, 1]), int(mv[i, 2])) for i in range(n))
+    # flat layout kept for batch filter calls (no re-concatenation)
+    orfs.flat, orfs.offs, orfs.lens = flat, offs, lens.astype(np.int32)
     return orfs
 
 
 def _bind_filters(lib):
+    F32P = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.bio_bg_hmm_forward.restype = None
+    lib.bio_bg_hmm_forward.argtypes = [
+        I32P, ctypes.c_int64, F32P, F32P, F32P, F32P,
+        ctypes.POINTER(ctypes.c_float)]
+    lib.bio_f32_seq_sum.restype = ctypes.c_float
+    lib.bio_f32_seq_sum.argtypes = [F32P, ctypes.c_int64]
     lib.bio_msv_filter.restype = ctypes.c_int
     lib.bio_msv_filter.argtypes = [
         I32P, ctypes.c_int64,
@@ -404,20 +419,27 @@ def msv_filter_native_batch(orf_dsqs: list, om) -> np.ndarray | None:
     """One native call scoring every ORF of a window batch
     (bit-identical to per-ORF msv_filter_native); None if the library
     is absent.  tjb is recomputed per ORF length exactly as
-    reconfig_msv_length does."""
+    reconfig_msv_length does.  An OrfList (native extractor output)
+    supplies the flat concatenated layout directly."""
     lib = get_lib()
-    if lib is None or not orf_dsqs:
+    if lib is None or not len(orf_dsqs):
         return None
     if not hasattr(lib, "_filters_bound"):
         _bind_filters(lib)
         lib._filters_bound = True
     sbv, rbv, _, _ = _packed_filters(om)
     n = len(orf_dsqs)
-    lens = np.array([len(d) for d in orf_dsqs], dtype=np.int32)
-    offs = np.zeros(n, dtype=np.int64)
-    np.cumsum(lens[:-1], out=offs[1:])
-    cat = np.concatenate([np.ascontiguousarray(d, dtype=np.int32)
-                          for d in orf_dsqs])
+    flat = getattr(orf_dsqs, "flat", None)
+    if flat is not None:
+        cat, offs, lens = flat, orf_dsqs.offs, orf_dsqs.lens
+    else:
+        if hasattr(orf_dsqs[0], "dsq"):
+            orf_dsqs = [o.dsq for o in orf_dsqs]
+        lens = np.array([len(d) for d in orf_dsqs], dtype=np.int32)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        cat = np.concatenate([np.ascontiguousarray(d, dtype=np.int32)
+                              for d in orf_dsqs])
     tcache = om.__dict__.setdefault("_tjb_cache", {})
 
     def tjb_of(L):
@@ -434,6 +456,32 @@ def msv_filter_native_batch(orf_dsqs: list, om) -> np.ndarray | None:
                              int(om.tec_b), int(om.tbm_b),
                              int(om.bias_b), float(om.scale_b), out)
     return out
+
+
+def bg_hmm_forward_native(dsq: np.ndarray, eo, pi, t) -> float | None:
+    """Bit-exact native 2-state bias-filter forward (ref: bg.py
+    _hmm_forward): the f32 recurrence runs in C, the per-step max
+    rescales come back for numpy's own f32 log (1-ulp different from
+    libm), and the log sum is a strict sequential f32 accumulation."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_filters_bound"):
+        _bind_filters(lib)
+        lib._filters_bound = True
+    L = len(dsq)
+    if L == 0:
+        return 0.0
+    dsq = np.ascontiguousarray(dsq, dtype=np.int32)
+    scales = np.empty(L, dtype=np.float32)
+    end = ctypes.c_float()
+    lib.bio_bg_hmm_forward(dsq, L, np.ascontiguousarray(eo),
+                           np.ascontiguousarray(pi),
+                           np.ascontiguousarray(t), scales,
+                           ctypes.byref(end))
+    ls = np.log(scales)
+    logsc = np.float32(lib.bio_f32_seq_sum(ls, L))
+    return float(logsc + np.float32(np.log(np.float32(end.value))))
 
 
 def vit_filter_native(dsq: np.ndarray, om) -> float | None:

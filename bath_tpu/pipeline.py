@@ -116,12 +116,15 @@ def compute_local_compo(data: ScoreData, om: OProfile, bg: Background,
         k_end += (20 - k_len) // 2
     k_start = max(1, k_start)
     k_end = min(om.M, k_end)
+    # vector over x per k; accumulation order over k matches the
+    # scalar loop bit-for-bit (compo[x] summed in ascending k)
     compo = np.zeros(K, dtype=F32)
+    ssv = np.asarray(data.ssv_scores, dtype=np.float64)
+    base = float(om.base_b)
     for k in range(k_start, k_end + 1):
-        for x in range(K):
-            log_odds = (float(om.base_b)
-                        - float(data.ssv_scores[k * Kp + x])) / om.scale_b
-            compo[x] += bg.f[x] * np.exp(np.float32(log_odds))
+        log_odds = ((base - ssv[k * Kp:k * Kp + K])
+                    / om.scale_b).astype(F32)
+        compo += (bg.f[:K] * np.exp(log_odds)).astype(F32)
     compo /= compo.sum()
     return compo
 
@@ -242,7 +245,7 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
         # one native call for the whole window's ORFs (bit-identical
         # to the per-ORF scalar path; ref: msvfilter.c p7_MSVFilter)
         from .native import msv_filter_native_batch
-        usc_pre = msv_filter_native_batch([o.dsq for o in orfs], om)
+        usc_pre = msv_filter_native_batch(orfs, om)
 
     P1_pre = null_pre = None
     if usc_pre is not None:

@@ -184,26 +184,37 @@ int bio_msv_filter(const int32_t* dsq, int64_t L, const int16_t* sbv,
     // ---- SSV fast path ----
     bool ssv_ok = (tjb + tbm + tec + bias) < 127;
     if (ssv_ok) {
-        static thread_local int16_t* d = nullptr;
+        // two alternating rows so the diagonal recurrence
+        // d_new[k] = d_old[k-1] - row[k] is a straight out-of-place
+        // loop the compiler can vectorize (the in-place descending
+        // form defeats autovectorization)
+        static thread_local int16_t* dbuf = nullptr;
         static thread_local int64_t dcap = 0;
         if (dcap < stride) {
-            delete[] d;
-            d = new int16_t[stride];
+            delete[] dbuf;
+            dbuf = new int16_t[2 * stride];
             dcap = stride;
         }
-        for (int k = 0; k <= M; k++) d[k] = -128;
+        int16_t* d0 = dbuf;
+        int16_t* d1 = dbuf + stride;
+        for (int k = 0; k <= M; k++) d0[k] = d1[k] = -128;
         int xE_u = 0;
         for (int64_t i = 0; i < L; i++) {
             const int16_t* row = sbv + dsq[i] * stride;
-            for (int k = M; k >= 1; k--) {
-                int v = (int)d[k - 1] - (int)row[k];
+            const int16_t* dp_ = (i & 1) ? d1 : d0;
+            int16_t* dn = (i & 1) ? d0 : d1;
+            for (int k = 1; k <= M; k++) {
+                int v = (int)dp_[k - 1] - (int)row[k];
                 if (v < -128) v = -128;
                 if (v > 127) v = 127;
-                d[k] = (int16_t)v;
-                int u = v & 0xFF;
-                if (u > xE_u) xE_u = u;
+                dn[k] = (int16_t)v;
             }
-            d[0] = -128;
+            int rmax = 0;
+            for (int k = 1; k <= M; k++) {
+                int u = (int)dn[k] & 0xFF;
+                if (u > rmax) rmax = u;
+            }
+            if (rmax > xE_u) xE_u = rmax;
         }
         // post-processing with uint16 wraparound (ref: filters.py)
         unsigned xE = (unsigned)xE_u & 0xFFFF;
@@ -359,6 +370,10 @@ void bio_msv_filter_batch(const int32_t* dsq_cat, const int64_t* offs,
                           const int32_t* rbv, int Kp, int M, int base,
                           int tec, int tbm, int bias, double scale,
                           float* out) {
+    // host analogue of the reference's pthread worker pool over
+    // sequence blocks (ref: bathsearch.c thread_loop): ORFs are
+    // independent, scores deterministic regardless of schedule
+#pragma omp parallel for schedule(dynamic, 64)
     for (int64_t i = 0; i < n; i++) {
         float sc = 0.0f;
         int st = bio_msv_filter(dsq_cat + offs[i], lens[i], sbv, rbv,
@@ -736,6 +751,43 @@ int bio_fs5_forward_score(const int32_t* ci1, const int32_t* ci2,
     if (L > 1 && xctot == 0.0f) return 1;
     *out_xctot = xctot * cmove;
     return 0;
+}
+
+
+// 2-state bias-filter HMM forward recurrence (ref: p7_bg_FilterScore
+// via esl_hmm_Forward; numpy reference bath_tpu/bg.py _hmm_forward).
+// Exact f32 op order of the numpy loop; the per-step max rescales are
+// returned so the caller can take numpy's own f32 logs (numpy's
+// vectorized f32 log differs from libm logf by 1 ulp on ~12% of
+// inputs, so logs stay on the Python side).
+void bio_bg_hmm_forward(const int32_t* dsq, int64_t L,
+                        const float* eo /*[Kp][2]*/,
+                        const float* pi /*[2]*/,
+                        const float* t /*[2][3]*/,
+                        float* scales /*[L]*/, float* end_out) {
+    if (L == 0) { *end_out = 1.0f; return; }
+    float d0 = eo[dsq[0] * 2 + 0] * pi[0];
+    float d1 = eo[dsq[0] * 2 + 1] * pi[1];
+    float mx = d0 > d1 ? d0 : d1;
+    d0 /= mx; d1 /= mx;
+    scales[0] = mx;
+    for (int64_t i = 1; i < L; i++) {
+        const float* e = eo + dsq[i] * 2;
+        float n0 = (d0 * t[0] + d1 * t[3]) * e[0];
+        float n1 = (d0 * t[1] + d1 * t[4]) * e[1];
+        mx = n0 > n1 ? n0 : n1;
+        d0 = n0 / mx; d1 = n1 / mx;
+        scales[i] = mx;
+    }
+    *end_out = d0 * t[2] + d1 * t[5];
+}
+
+// strict sequential f32 accumulation (bit-equal to the numpy loop's
+// `acc += np.float32(x)`; numpy's own reductions are pairwise)
+float bio_f32_seq_sum(const float* x, int64_t n) {
+    float acc = 0.0f;
+    for (int64_t i = 0; i < n; i++) acc += x[i];
+    return acc;
 }
 
 }  // extern "C"
