@@ -191,6 +191,33 @@ def _bind_filters(lib):
         I32P, ctypes.c_int64, I32P, I32P, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+    F64C = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.bio_fs5_forward_fill.restype = ctypes.c_int
+    lib.bio_fs5_forward_fill.argtypes = (
+        [I32P] * 5 + [ctypes.c_int64, F32C, ctypes.c_int]
+        + [F32C] * 8 + [F32C]          # tBM..tII, xff
+        + [F32C] * 3                   # mc, im, dm
+        + [F32C] * 5 + [F32C]          # xE..xC, scale
+        + [ctypes.POINTER(ctypes.c_float)])
+    lib.bio_fs5_backward_fill.restype = None
+    lib.bio_fs5_backward_fill.argtypes = (
+        [I32P] * 5 + [ctypes.c_int64, F32C, ctypes.c_int]
+        + [F32C] * 8 + [F32C]          # tBM,tMI,tII,t*k views, xff
+        + [F32C] * 3                   # mm, im, dm
+        + [F32C] * 5 + [F32C])         # xE..xC, scale
+    lib.bio_fs5_decoding_rows.restype = ctypes.c_int
+    lib.bio_fs5_decoding_rows.argtypes = (
+        [ctypes.c_int64, ctypes.c_int]
+        + [F32C] * 4                   # fmc, fim, bmm, bim
+        + [F64C] * 4                   # factor_mdi, npp, jpp, cpp
+        + [F32C] * 2 + [F32C] * 3)     # pmc, pim, xN, xJ, xC
+    lib.bio_fs5_optacc_fill.restype = None
+    lib.bio_fs5_optacc_fill.argtypes = (
+        [ctypes.c_int64, ctypes.c_int]
+        + [F32C] * 5                   # pmc, pim, pxN, pxJ, pxC
+        + [F32C] * 8 + [F32C]          # tBM..tII, xff
+        + [F32C] * 3 + [F32C] * 5      # mm, im, dm, xE..xC
+        + [ctypes.POINTER(ctypes.c_float)])
 
 
 _FILTER_CACHE: dict = {}
@@ -504,3 +531,228 @@ def vit_filter_native(dsq: np.ndarray, om) -> float | None:
                             int(om.xw[C.X_E, C.LOOP]),
                             ctypes.byref(out))
     return float("inf") if st == 1 else float(out.value)
+
+
+# --- full-matrix fs5 envelope stages ---------------------------------
+# Bit-exact C fills of the numpy references in
+# ops/reference/fwdback_fs.py (forward_fs5/backward_fs5/decoding_fs/
+# optimal_accuracy_fs; ref: p7_Forward_Frameshift fwdback_fs.c:2054,
+# p7_Backward_Frameshift :2634, p7_Decoding_Frameshift decoding_fs.c
+# :55, p7_OptimalAccuracy_Frameshift optacc_fs.c:53).  np.log/np.exp
+# stay in numpy (1-ulp vs libm); the C replicates numpy's pairwise
+# reductions and f32 op order.
+
+_FS5_FULL_CACHE: dict = {}
+
+
+def _fs5_full_views(om_fs):
+    """Cached contiguous transition views for the fs5 full-matrix
+    kernels: the standard 8 (tBM..tII) plus the k-shifted backward
+    variants (slot k = transition out of node k)."""
+    key = id(om_fs)
+    ent = _FS5_FULL_CACHE.get(key)
+    if ent is None or ent[0] is not om_fs.tfv:
+        from ..ops.reference.fwdback_fs import _trans_views_fs
+        tv = tuple(np.ascontiguousarray(v, dtype=np.float32)
+                   for v in _trans_views_fs(om_fs))
+        tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = tv
+        M = om_fs.M
+
+        def kshift(t):
+            o = np.zeros(M + 1, dtype=np.float32)
+            o[:M] = t[1:]
+            return o
+
+        tvk = (kshift(tMM), kshift(tIM), kshift(tDM), kshift(tMD),
+               kshift(tDD))
+        rfv = np.ascontiguousarray(om_fs.rfv, dtype=np.float32)
+        ent = (om_fs.tfv, tv, tvk, rfv)
+        _FS5_FULL_CACHE[key] = ent
+    return ent[1], ent[2], ent[3]
+
+
+def _xff_of(om_fs):
+    from .. import constants as C
+    xf = om_fs.xf
+    return np.array([xf[C.X_N, C.LOOP], xf[C.X_N, C.MOVE],
+                     xf[C.X_J, C.LOOP], xf[C.X_J, C.MOVE],
+                     xf[C.X_C, C.LOOP], xf[C.X_C, C.MOVE],
+                     xf[C.X_E, C.LOOP], xf[C.X_E, C.MOVE]],
+                    dtype=np.float32)
+
+
+def _fs5_lib():
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_filters_bound"):
+        _bind_filters(lib)
+        lib._filters_bound = True
+    return lib
+
+
+def _ci5_arrays(dsq):
+    from ..ops.reference.fwdback_fs import codon_indices
+    ci = codon_indices(dsq, 5)
+    return [np.ascontiguousarray(ci[c], dtype=np.int32)
+            for c in (1, 2, 3, 4, 5)]
+
+
+def fs5_forward_fill_native(dsq, om_fs):
+    """Full fs5 Forward matrix + score; bit-identical to
+    forward_fs5(..., fast=False).  None if the library is absent or
+    the sequence is too short for the C edge handling."""
+    lib = _fs5_lib()
+    L = len(dsq)
+    if lib is None or L < 5:
+        return None
+    from ..ops.reference.fwdback import RangeError
+    from ..ops.reference.fwdback_fs import FSMatrix
+    tv, _, rfv = _fs5_full_views(om_fs)
+    M = om_fs.M
+    F32 = np.float32
+    fx = FSMatrix(L=L, M=M,
+                  mc=np.zeros((6, L + 1, M + 1), F32),
+                  im=np.zeros((L + 1, M + 1), F32),
+                  dm=np.zeros((L + 1, M + 1), F32),
+                  xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
+                  xJ=np.zeros(L + 1, F32), xB=np.zeros(L + 1, F32),
+                  xC=np.zeros(L + 1, F32), scale=np.ones(L + 1, F32))
+    out = ctypes.c_float()
+    st = lib.bio_fs5_forward_fill(
+        *_ci5_arrays(dsq), L, rfv, M, *tv, _xff_of(om_fs),
+        fx.mc, fx.im, fx.dm, fx.xE, fx.xN, fx.xJ, fx.xB, fx.xC,
+        fx.scale, ctypes.byref(out))
+    if st != 0:
+        raise RangeError("fs forward over/underflow")
+    totscale = 0.0
+    for s in fx.scale[fx.scale != F32(1.0)]:
+        totscale += float(np.log(s))
+    fx.totscale = totscale
+    return fx, totscale + float(np.log(np.float32(out.value)))
+
+
+def fs5_backward_fill_native(dsq, om_fs):
+    """Full fs5 Backward matrix; bit-identical to backward_fs5."""
+    lib = _fs5_lib()
+    L = len(dsq)
+    if lib is None or L < 5:
+        return None
+    from ..ops.reference.fwdback import PMatrix
+    tv, tvk, rfv = _fs5_full_views(om_fs)
+    tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = tv
+    tMMk, tIMk, tDMk, tMDk, tDDk = tvk
+    M = om_fs.M
+    F32 = np.float32
+    bx = PMatrix(L=L, M=M,
+                 xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
+                 xJ=np.zeros(L + 1, F32), xB=np.zeros(L + 1, F32),
+                 xC=np.zeros(L + 1, F32), scale=np.ones(L + 1, F32),
+                 mm=np.zeros((L + 1, M + 1), F32),
+                 im=np.zeros((L + 1, M + 1), F32),
+                 dm=np.zeros((L + 1, M + 1), F32),
+                 has_own_scales=True)
+    lib.bio_fs5_backward_fill(
+        *_ci5_arrays(dsq), L, rfv, M, tBM, tMI, tII,
+        tMMk, tIMk, tDMk, tMDk, tDDk, _xff_of(om_fs),
+        bx.mm, bx.im, bx.dm, bx.xE, bx.xN, bx.xJ, bx.xB, bx.xC,
+        bx.scale)
+    # reference accumulation order: descending rows L..1
+    totscale = 0.0
+    for s in bx.scale[1:][::-1]:
+        if s != F32(1.0):
+            totscale += float(np.log(s))
+    bx.totscale = totscale
+    return bx, totscale
+
+
+def fs5_decoding_native(om_fs, fwd, bck):
+    """fs5 posterior decoding; bit-identical to decoding_fs."""
+    lib = _fs5_lib()
+    if lib is None:
+        return None
+    L, M = fwd.L, fwd.M
+    if L < 3:
+        return None
+    return _fs5_decoding_impl(lib, om_fs, fwd, bck, L, M)
+
+
+def _fs5_decoding_impl(lib, om_fs, fwd, bck, L, M):
+    from .. import constants as C
+    from ..logsum import flogsum
+    from ..ops.reference.fwdback import RangeError
+    from ..ops.reference.fwdback_fs import FSMatrix
+    F32 = np.float32
+    with np.errstate(divide="ignore"):
+        log_sfwd = np.cumsum(np.log(fwd.scale.astype(np.float64)))
+        lsb = np.log(bck.scale.astype(np.float64))
+    log_sbck = np.zeros(L + 2)
+    log_sbck[:L + 1] = np.cumsum(lsb[::-1])[::-1]
+    with np.errstate(divide="ignore"):
+        log_inv_Z = -float(flogsum(
+            np.log(bck.xN[0]) + log_sbck[0],
+            flogsum(np.log(bck.xN[1]) + log_sbck[1],
+                    np.log(bck.xN[2]) + log_sbck[2])))
+    factor_mdi = np.exp(log_sfwd[:L + 1] + log_sbck[:L + 1]
+                        + log_inv_Z)
+    if np.isinf(factor_mdi[1:]).any():
+        raise RangeError("fs decoding overflow")
+    npp = np.zeros(L + 1, np.float64)
+    jpp = np.zeros(L + 1, np.float64)
+    cpp = np.zeros(L + 1, np.float64)
+    for i in (1, 2):
+        if i <= L:
+            f0 = np.exp(log_sbck[i] + log_inv_Z)
+            npp[i] = bck.xN[i] * f0
+    if L >= 3:
+        factor_njc = np.exp(log_sfwd[:L - 2] + log_sbck[3:L + 1]
+                            + log_inv_Z)
+        npp[3:] = (fwd.xN[:L - 2] * bck.xN[3:]
+                   * om_fs.xf[C.X_N, C.LOOP]) * factor_njc
+        jpp[3:] = (fwd.xJ[:L - 2] * bck.xJ[3:]
+                   * om_fs.xf[C.X_J, C.LOOP]) * factor_njc
+        cpp[3:] = (fwd.xC[:L - 2] * bck.xC[3:]
+                   * om_fs.xf[C.X_C, C.LOOP]) * factor_njc
+    pp = FSMatrix(L=L, M=M,
+                  mc=np.zeros((6, L + 1, M + 1), F32),
+                  im=np.zeros((L + 1, M + 1), F32),
+                  dm=np.zeros((L + 1, M + 1), F32),
+                  xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
+                  xJ=np.zeros(L + 1, F32), xB=np.zeros(L + 1, F32),
+                  xC=np.zeros(L + 1, F32), scale=np.ones(L + 1, F32))
+    st = lib.bio_fs5_decoding_rows(
+        L, M, np.ascontiguousarray(fwd.mc),
+        np.ascontiguousarray(fwd.im), np.ascontiguousarray(bck.mm),
+        np.ascontiguousarray(bck.im), factor_mdi, npp, jpp, cpp,
+        pp.mc, pp.im, pp.xN, pp.xJ, pp.xC)
+    if st != 0:
+        raise RangeError("fs decoding denom overflow")
+    return pp
+
+
+def fs5_optacc_native(om_fs, pp):
+    """fs5 optimal accuracy fill; bit-identical to
+    optimal_accuracy_fs."""
+    lib = _fs5_lib()
+    if lib is None:
+        return None
+    L, M = pp.L, pp.M
+    if L < 3:
+        return None
+    from ..ops.reference.fwdback import PMatrix
+    tv, _, _ = _fs5_full_views(om_fs)
+    F32 = np.float32
+    ox = PMatrix(L=L, M=M,
+                 xE=np.empty(L + 1, F32), xN=np.empty(L + 1, F32),
+                 xJ=np.empty(L + 1, F32), xB=np.empty(L + 1, F32),
+                 xC=np.empty(L + 1, F32), scale=np.ones(L + 1, F32),
+                 mm=np.empty((L + 1, M + 1), F32),
+                 im=np.empty((L + 1, M + 1), F32),
+                 dm=np.empty((L + 1, M + 1), F32))
+    out = ctypes.c_float()
+    lib.bio_fs5_optacc_fill(
+        L, M, np.ascontiguousarray(pp.mc), np.ascontiguousarray(pp.im),
+        pp.xN, pp.xJ, pp.xC, *tv, _xff_of(om_fs),
+        ox.mm, ox.im, ox.dm, ox.xE, ox.xN, ox.xJ, ox.xB, ox.xC,
+        ctypes.byref(out))
+    return ox, float(out.value)

@@ -33,6 +33,11 @@ from .fwdback import PMatrix, RangeError, Trace
 F32 = np.float32
 NEG_INF = F32(-np.inf)
 
+# Native C fast paths for the full-matrix fs5 stages (bit-identical;
+# see native.fs5_*_native).  Tests flip this off to exercise the pure
+# numpy reference.
+_use_native_fs5 = True
+
 
 @dataclass
 class FSOProfile:
@@ -473,6 +478,11 @@ def forward_fs5(dsq: np.ndarray, om: FSOProfile,
                 fast: bool = False) -> tuple[FSMatrix, float]:
     """Full 5-codon frameshift Forward with per-row sparse rescaling and
     cross-row scale adjustment (ref: p7_Forward_Frameshift :2054)."""
+    if not fast and _use_native_fs5:
+        from ...native import fs5_forward_fill_native
+        r = fs5_forward_fill_native(dsq, om)
+        if r is not None:
+            return r
     L, M = len(dsq), om.M
     xf = om.xf
     rfv = om.rfv
@@ -586,6 +596,11 @@ def backward_fs5(dsq: np.ndarray, om: FSOProfile, fwd: FSMatrix
     p7_Backward_Frameshift :2634; our scale schedule may differ from
     the C's but the decoding uses the recorded factors, so posterior
     values agree)."""
+    if _use_native_fs5:
+        from ...native import fs5_backward_fill_native
+        r = fs5_backward_fill_native(dsq, om)
+        if r is not None:
+            return r
     L, M = len(dsq), om.M
     xf = om.xf
     rfv = om.rfv
@@ -698,6 +713,11 @@ def decoding_fs(om: FSOProfile, fwd: FSMatrix, bck: PMatrix) -> FSMatrix:
     (ref: decoding_fs.c p7_Decoding_Frameshift :55).  Returns a new
     FSMatrix whose mc sublanes/im hold posteriors, and whose xN/xJ/xC
     hold the special posteriors."""
+    if _use_native_fs5:
+        from ...native import fs5_decoding_native
+        r = fs5_decoding_native(om, fwd, bck)
+        if r is not None:
+            return r
     L, M = fwd.L, fwd.M
     with np.errstate(divide="ignore"):
         log_sfwd = np.cumsum(np.log(fwd.scale.astype(np.float64)))
@@ -765,6 +785,11 @@ def decoding_fs(om: FSOProfile, fwd: FSMatrix, bck: PMatrix) -> FSMatrix:
 def optimal_accuracy_fs(om: FSOProfile, pp: FSMatrix
                         ) -> tuple[PMatrix, float]:
     """OA fill over the FS pp matrix (ref: optacc_fs.c :53)."""
+    if _use_native_fs5:
+        from ...native import fs5_optacc_native
+        r = fs5_optacc_native(om, pp)
+        if r is not None:
+            return r
     L, M = pp.L, pp.M
     xf = om.xf
     tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = _trans_views_fs(om)

@@ -790,4 +790,532 @@ float bio_f32_seq_sum(const float* x, int64_t n) {
     return acc;
 }
 
+
+// ===================================================================
+// Full-matrix fs5 envelope stages (ref: p7_Forward_Frameshift :2054,
+// p7_Backward_Frameshift :2634, p7_Decoding_Frameshift :55,
+// p7_OptimalAccuracy_Frameshift optacc_fs.c:53).  Bit-exact C fills
+// of the numpy reference row loops in
+// bath_tpu/ops/reference/fwdback_fs.py (forward_fs5 :472,
+// backward_fs5 :582, decoding_fs :696, optimal_accuracy_fs :765):
+// identical f32 op order, numpy pairwise reductions; all np.log /
+// np.exp stay on the Python side (numpy's transcendentals differ
+// from libm by 1 ulp).
+// ===================================================================
+
+static double np_pairwise_f64(const double* a, int64_t n) {
+    if (n < 8) {
+        double res = 0.0;
+        for (int64_t i = 0; i < n; i++) res += a[i];
+        return res;
+    } else if (n <= 128) {
+        double r[8];
+        for (int j = 0; j < 8; j++) r[j] = a[j];
+        int64_t i = 8;
+        for (; i < n - (n % 8); i += 8)
+            for (int j = 0; j < 8; j++) r[j] += a[i + j];
+        double res = ((r[0] + r[1]) + (r[2] + r[3]))
+            + ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; i++) res += a[i];
+        return res;
+    } else {
+        int64_t n2 = n / 2;
+        n2 -= n2 % 8;
+        return np_pairwise_f64(a, n2) + np_pairwise_f64(a + n2, n - n2);
+    }
+}
+
+// mc is the 6-channel matrix [6][L+1][W]; im/dm [L+1][W]; the
+// specials and scale are [L+1].  Returns 1 on over/underflow (the
+// caller raises RangeError), else 0 and *out_xctot = xCtot * cmove.
+int bio_fs5_forward_fill(const int32_t* ci1, const int32_t* ci2,
+                         const int32_t* ci3, const int32_t* ci4,
+                         const int32_t* ci5, int64_t L,
+                         const float* rfv, int M,
+                         const float* tBM, const float* tMM,
+                         const float* tIM, const float* tDM,
+                         const float* tMD, const float* tDD,
+                         const float* tMI, const float* tII,
+                         const float* xff,
+                         float* mc, float* im, float* dm,
+                         float* xEv, float* xNv, float* xJv,
+                         float* xBv, float* xCv, float* scale,
+                         float* out_xctot) {
+    const int64_t W = M + 1;
+    const int64_t RS = (L + 1) * W;          // channel stride in mc
+    const float nloop = xff[0], nmove = xff[1], jloop = xff[2],
+        jmove = xff[3], cloop = xff[4], cmove = xff[5],
+        eloop = xff[6], emove = xff[7];
+    static thread_local float* buf = nullptr;
+    static thread_local int64_t cap = 0;
+    if (cap < 6 * W) {
+        delete[] buf;
+        buf = new float[6 * W];
+        cap = 6 * W;
+    }
+    float* ivx[5];
+    for (int r = 0; r < 5; r++) ivx[r] = buf + r * W;
+    float* ni = buf + 5 * W;
+    for (int64_t k = 0; k < 6 * W; k++) buf[k] = 0.f;
+    // row 0 of every stored matrix is zero
+    for (int c = 0; c < 6; c++)
+        for (int64_t k = 0; k < W; k++) mc[c * RS + k] = 0.f;
+    for (int64_t k = 0; k < W; k++) im[k] = dm[k] = 0.f;
+    float xNb[4] = {1.f, 1.f, 1.f, 0.f};
+    float xBb[4] = {nmove, nmove, nmove, 0.f};
+    float xJb[4] = {0.f, 0.f, 0.f, 0.f};
+    float xCb[4] = {0.f, 0.f, 0.f, 0.f};
+    for (int64_t i = 0; i <= L; i++) {
+        scale[i] = 1.0f;
+        xEv[i] = xNv[i] = xJv[i] = xBv[i] = xCv[i] = 0.f;
+    }
+    for (int64_t r = 0; r <= (L < 2 ? L : 2); r++) {
+        xNv[r] = 1.0f;
+        xBv[r] = nmove;
+    }
+
+    for (int64_t i = 1; i <= L; i++) {
+        int b3 = (int)((i + 1) % 4);          // (i-3) mod 4
+        int s1 = (int)(i % 5), s2 = (int)((i + 4) % 5),
+            s3 = (int)((i + 3) % 5), s4 = (int)((i + 2) % 5),
+            s5 = (int)((i + 1) % 5);
+        const float* mp = mc + (i - 1) * W;    // mc0[i-1]
+        const float* ip = im + (i - 1) * W;
+        const float* dp = dm + (i - 1) * W;
+        float xB1 = xBv[i - 1];
+        float* sv = ivx[s1];
+        sv[0] = 0.f;
+        for (int k = 1; k <= M; k++)
+            sv[k] = xB1 * tBM[k] + mp[k - 1] * tMM[k]
+                + ip[k - 1] * tIM[k] + dp[k - 1] * tDM[k];
+        const float* e1 = rfv + (int64_t)ci1[i - 1] * W;
+        const float* e2 = (i >= 2) ? rfv + (int64_t)ci2[i - 1] * W : 0;
+        const float* e3 = (i >= 3) ? rfv + (int64_t)ci3[i - 1] * W : 0;
+        const float* e4 = (i >= 4) ? rfv + (int64_t)ci4[i - 1] * W : 0;
+        const float* e5 = (i >= 5) ? rfv + (int64_t)ci5[i - 1] * W : 0;
+        float* m0 = mc + i * W;                // channel rows for row i
+        float* m1 = mc + RS + i * W;
+        float* m2 = mc + 2 * RS + i * W;
+        float* m3 = mc + 3 * RS + i * W;
+        float* m4 = mc + 4 * RS + i * W;
+        float* m5 = mc + 5 * RS + i * W;
+        const float* v2 = ivx[s2];
+        const float* v3 = ivx[s3];
+        const float* v4 = ivx[s4];
+        const float* v5 = ivx[s5];
+        for (int k = 0; k <= M; k++) {
+            float c1v = sv[k] * e1[k];
+            float c2v = (i >= 2) ? v2[k] * e2[k] : 0.f;
+            float c3v = (i >= 3) ? v3[k] * e3[k] : 0.f;
+            float c4v = (i >= 4) ? v4[k] * e4[k] : 0.f;
+            float c5v = (i >= 5) ? v5[k] * e5[k] : 0.f;
+            m1[k] = c1v; m2[k] = c2v; m3[k] = c3v;
+            m4[k] = c4v; m5[k] = c5v;
+            m0[k] = (((c1v + c2v) + c3v) + c4v) + c5v;
+        }
+        m0[0] = 0.f;
+        if (i >= 3) {
+            float adj = 1.0f / (scale[i - 2] * scale[i - 1]);
+            const float* m3r = mc + (i - 3) * W;
+            const float* i3r = im + (i - 3) * W;
+            for (int k = 0; k <= M; k++)
+                ni[k] = (m3r[k] * adj) * tMI[k]
+                    + (i3r[k] * adj) * tII[k];
+        } else {
+            for (int k = 0; k <= M; k++) ni[k] = 0.f;
+        }
+        ni[0] = 0.f;
+        float* dc = dm + i * W;
+        dc[0] = dc[1] = 0.f;
+        for (int k = 2; k <= M; k++) dc[k] = m0[k - 1] * tMD[k];
+        for (int k = 2; k <= M; k++) dc[k] += dc[k - 1] * tDD[k];
+        float xE = np_pairwise_f32(m0 + 1, M)
+            + np_pairwise_f32(dc + 1, M);
+        float xN, xJ, xC;
+        if (i >= 3) {
+            xN = xNb[b3] * nloop;
+            xJ = xJb[b3] * jloop + xE * eloop;
+            xC = xCb[b3] * cloop + xE * emove;
+        } else {
+            xN = 1.0f;
+            xJ = xE * eloop;
+            xC = xE * emove;
+        }
+        float xB = xN * nmove + xJ * jmove;
+        if (xE > 1.0e4f) {
+            float inv = 1.0f / xE;
+            for (int k = 0; k <= M; k++) {
+                m1[k] *= inv; m2[k] *= inv; m3[k] *= inv;
+                m4[k] *= inv; m5[k] *= inv;
+                m0[k] *= inv; ni[k] *= inv; dc[k] *= inv;
+            }
+            for (int r = 0; r < 5; r++)
+                for (int k = 0; k <= M; k++) ivx[r][k] *= inv;
+            xN *= inv; xJ *= inv; xC *= inv; xB *= inv;
+            for (int r = 0; r < 4; r++) {
+                xNb[r] *= inv; xBb[r] *= inv;
+                xJb[r] *= inv; xCb[r] *= inv;
+            }
+            scale[i] = xE;
+            xE = 1.0f;
+        }
+        float* imr = im + i * W;
+        for (int k = 0; k <= M; k++) imr[k] = ni[k];
+        int curr = (int)(i % 4);
+        xNb[curr] = xN; xBb[curr] = xB; xJb[curr] = xJ; xCb[curr] = xC;
+        xEv[i] = xE; xNv[i] = xN; xJv[i] = xJ;
+        xBv[i] = xB; xCv[i] = xC;
+    }
+    float xctot = xCb[L % 4] + xCb[(L - 1) % 4] * cloop
+        + xCb[(L - 2) % 4] * cloop;
+    if (xctot != xctot || xctot - xctot != 0.0f) return 1;
+    if (L > 1 && xctot == 0.0f) return 1;
+    *out_xctot = xctot * cmove;
+    return 0;
+}
+
+// Shifted transition vectors tMMk/tIMk/tDMk/tMDk/tDDk ([M+1], slot k
+// = transition out of node k into k+1) are prepared by the caller.
+void bio_fs5_backward_fill(const int32_t* ci1, const int32_t* ci2,
+                           const int32_t* ci3, const int32_t* ci4,
+                           const int32_t* ci5, int64_t L,
+                           const float* rfv, int M,
+                           const float* tBM, const float* tMI,
+                           const float* tII, const float* tMMk,
+                           const float* tIMk, const float* tDMk,
+                           const float* tMDk, const float* tDDk,
+                           const float* xff,
+                           float* mm, float* im, float* dm,
+                           float* xEv, float* xNv, float* xJv,
+                           float* xBv, float* xCv, float* scale) {
+    const int64_t W = M + 1;
+    const float nloop = xff[0], nmove = xff[1], jloop = xff[2],
+        jmove = xff[3], cloop = xff[4], cmove = xff[5],
+        eloop = xff[6], emove = xff[7];
+    static thread_local float* buf = nullptr;
+    static thread_local int64_t cap = 0;
+    if (cap < 4 * W) {
+        delete[] buf;
+        buf = new float[4 * W];
+        cap = 4 * W;
+    }
+    float* ivxb = buf;
+    float* iv1 = buf + W;
+    float* prod = buf + 2 * W;
+    float* bI3 = buf + 3 * W;
+    for (int64_t i = 0; i <= L; i++) {
+        scale[i] = 1.0f;
+        xEv[i] = xNv[i] = xJv[i] = xBv[i] = xCv[i] = 0.f;
+    }
+    for (int64_t k = 0; k < (L + 1) * W; k++) mm[k] = im[k] = dm[k] = 0.f;
+    const int32_t* cis[6] = {0, ci1, ci2, ci3, ci4, ci5};
+
+    for (int64_t i = L; i >= 1; i--) {
+        for (int k = 0; k <= M; k++) ivxb[k] = 0.f;
+        for (int c = 1; c <= 5; c++) {
+            int64_t j = i + c;
+            if (j <= L) {
+                float adj = 1.0f;
+                for (int64_t r = i + 1; r < j; r++) adj /= scale[r];
+                const float* e = rfv + (int64_t)cis[c][j - 1] * W;
+                const float* bM = mm + j * W;
+                for (int k = 0; k <= M; k++)
+                    ivxb[k] += (e[k] * bM[k]) * adj;
+            }
+        }
+        float xC;
+        if (i >= L - 2) {
+            xC = (i == L) ? cmove : cloop * cmove;
+        } else {
+            float adj = 1.0f;
+            for (int64_t r = i + 1; r < i + 3; r++) adj /= scale[r];
+            xC = cloop * xCv[i + 3] * adj;
+        }
+        for (int k = 1; k <= M; k++) prod[k - 1] = ivxb[k] * tBM[k];
+        float xB = np_pairwise_f32(prod, M);
+        float adj3 = 1.0f;
+        if (i + 3 <= L)
+            for (int64_t r = i + 1; r < i + 3; r++) adj3 /= scale[r];
+        float xJ = ((i + 3 <= L) ? xJv[i + 3] * adj3 * jloop : 0.f)
+            + xB * jmove;
+        float xN = ((i + 3 <= L) ? xNv[i + 3] * adj3 * nloop : 0.f)
+            + xB * nmove;
+        float xE = xC * emove + xJ * eloop;
+
+        for (int k = 0; k < M; k++) iv1[k] = ivxb[k + 1];
+        iv1[M] = 0.f;
+        if (i + 3 <= L) {
+            const float* bi = im + (i + 3) * W;
+            for (int k = 0; k <= M; k++) bI3[k] = bi[k] * adj3;
+        } else {
+            for (int k = 0; k <= M; k++) bI3[k] = 0.f;
+        }
+        float* new_i = im + i * W;
+        float* new_m = mm + i * W;
+        float* new_d = dm + i * W;
+        for (int k = 0; k <= M; k++)
+            new_i[k] = tIMk[k] * iv1[k] + tII[k] * bI3[k];
+        for (int k = 0; k <= M; k++)
+            new_m[k] = tMMk[k] * iv1[k] + tMI[k] * bI3[k] + xE;
+        new_d[M] = xE;
+        for (int k = M - 1; k >= 1; k--)
+            new_d[k] = tDMk[k] * iv1[k] + tDDk[k] * new_d[k + 1] + xE;
+        new_d[0] = 0.f;
+        for (int k = 0; k < M; k++)
+            new_m[k] = new_m[k] + tMDk[k] * new_d[k + 1];
+        // k = M: dshift[M] = 0 -> new_m unchanged
+        new_m[0] = new_i[0] = 0.f;
+
+        float mmax = new_m[0];
+        for (int k = 1; k <= M; k++)
+            if (new_m[k] > mmax) mmax = new_m[k];
+        float mx = mmax > xB ? mmax : xB;
+        if (mx > 1.0e4f) {
+            float sc = mx;
+            float inv = 1.0f / sc;
+            for (int k = 0; k <= M; k++) {
+                new_m[k] *= inv; new_i[k] *= inv; new_d[k] *= inv;
+            }
+            xN *= inv; xB *= inv; xJ *= inv; xC *= inv; xE *= inv;
+            scale[i] = sc;
+        }
+        xEv[i] = xE; xNv[i] = xN; xJv[i] = xJ;
+        xBv[i] = xB; xCv[i] = xC;
+    }
+    // rows 2,1,0 (N-side)
+    for (int64_t i = 2; i >= 0; i--) {
+        for (int k = 0; k <= M; k++) ivxb[k] = 0.f;
+        for (int c = 1; c <= 5; c++) {
+            int64_t j = i + c;
+            if (j >= 1 && j <= L) {
+                float adj = 1.0f;
+                for (int64_t r = i + 1; r < j; r++) adj /= scale[r];
+                const float* e = rfv + (int64_t)cis[c][j - 1] * W;
+                const float* bM = mm + j * W;
+                for (int k = 0; k <= M; k++)
+                    ivxb[k] += (e[k] * bM[k]) * adj;
+            }
+        }
+        for (int k = 1; k <= M; k++) prod[k - 1] = ivxb[k] * tBM[k];
+        float xB = np_pairwise_f32(prod, M);
+        float adj3 = 1.0f;
+        if (i + 3 <= L)
+            for (int64_t r = i + 1; r < i + 3; r++) adj3 /= scale[r];
+        float xN = ((i + 3 <= L) ? xNv[i + 3] * adj3 * nloop : 0.f)
+            + xB * nmove;
+        xBv[i] = xB; xNv[i] = xN;
+        scale[i] = 1.0f;
+    }
+}
+
+// Posterior decoding rows (the f64 factor/N/J/C arrays are prepared
+// by the caller with numpy's exp/log semantics).
+int bio_fs5_decoding_rows(int64_t L, int M,
+                          const float* fmc, const float* fim,
+                          const float* bmm, const float* bim,
+                          const double* factor_mdi,
+                          const double* npp, const double* jpp,
+                          const double* cpp,
+                          float* pmc, float* pim,
+                          float* xNv, float* xJv, float* xCv) {
+    const int64_t W = M + 1;
+    const int64_t RS = (L + 1) * W;
+    static thread_local double* dbuf = nullptr;
+    static thread_local int64_t dcap = 0;
+    static thread_local float* fbuf = nullptr;
+    static thread_local int64_t fcap = 0;
+    if (dcap < W) { delete[] dbuf; dbuf = new double[W]; dcap = W; }
+    if (fcap < 7 * W) {
+        delete[] fbuf;
+        fbuf = new float[7 * W];
+        fcap = 7 * W;
+    }
+    float* ppi = fbuf + 6 * W;
+    for (int64_t i = 1; i <= L; i++) {
+        const float* bM = bmm + i * W;
+        const float* bI = bim + i * W;
+        const float* fI = fim + i * W;
+        for (int k = 0; k <= M; k++) ppi[k] = fI[k] * bI[k];
+        for (int c = 0; c < 6; c++) {
+            const float* f = fmc + c * RS + i * W;
+            float* o = fbuf + c * W;
+            for (int k = 0; k <= M; k++) o[k] = f[k] * bM[k];
+        }
+        for (int k = 1; k <= M; k++) dbuf[k - 1] = (double)fbuf[k];
+        double raw = np_pairwise_f64(dbuf, M);
+        for (int k = 1; k <= M; k++) dbuf[k - 1] = (double)ppi[k];
+        raw += np_pairwise_f64(dbuf, M);
+        double denom = raw * factor_mdi[i] + npp[i] + jpp[i] + cpp[i];
+        if (!(denom > 0.0)) return 1;
+        double dinv = 1.0 / denom;
+        if (dinv == dinv + dinv && dinv != 0.0) return 1;  // inf check
+        if (dinv * 0.0 != 0.0) return 1;
+        float scv = (float)(factor_mdi[i] / denom);
+        for (int c = 0; c < 6; c++) {
+            const float* o = fbuf + c * W;
+            float* p = pmc + c * RS + i * W;
+            for (int k = 0; k <= M; k++) p[k] = o[k] * scv;
+        }
+        float* pI = pim + i * W;
+        for (int k = 0; k <= M; k++) pI[k] = ppi[k] * scv;
+        xNv[i] = (float)(npp[i] / denom);
+        xJv[i] = (float)(jpp[i] / denom);
+        xCv[i] = (float)(cpp[i] / denom);
+    }
+    return 0;
+}
+
+// Optimal-accuracy fill over the fs posterior matrix.
+void bio_fs5_optacc_fill(int64_t L, int M,
+                         const float* pmc, const float* pim,
+                         const float* pxN, const float* pxJ,
+                         const float* pxC,
+                         const float* tBM, const float* tMM,
+                         const float* tIM, const float* tDM,
+                         const float* tMD, const float* tDD,
+                         const float* tMI, const float* tII,
+                         const float* xff,
+                         float* mm, float* im, float* dm,
+                         float* xEv, float* xNv, float* xJv,
+                         float* xBv, float* xCv, float* out_ret) {
+    const int64_t W = M + 1;
+    const int64_t RS = (L + 1) * W;
+    const float NEG = -1.0f / 0.0f;
+    const float nloop = xff[0], nmove = xff[1], jloop = xff[2],
+        jmove = xff[3], cloop = xff[4], cmove = xff[5],
+        eloop = xff[6], emove = xff[7];
+    (void)jmove; (void)cmove;
+    static thread_local float* buf = nullptr;
+    static thread_local int64_t cap = 0;
+    static thread_local unsigned char* mk = nullptr;
+    static thread_local int64_t mkcap = 0;
+    if (cap < 2 * W) {
+        delete[] buf;
+        buf = new float[2 * W];
+        cap = 2 * W;
+    }
+    if (mkcap < 8 * W) {
+        delete[] mk;
+        mk = new unsigned char[8 * W];
+        mkcap = 8 * W;
+    }
+    float* sv = buf;
+    float* acc = buf + W;
+    unsigned char* mBM = mk;
+    unsigned char* mMM = mk + W;
+    unsigned char* mIM = mk + 2 * W;
+    unsigned char* mDM = mk + 3 * W;
+    unsigned char* mMD = mk + 4 * W;
+    unsigned char* mDD = mk + 5 * W;
+    unsigned char* mMI = mk + 6 * W;
+    unsigned char* mII = mk + 7 * W;
+    int allBM = 1, allMM = 1, allIM = 1, allDM = 1, allMD = 1,
+        allDD2 = 1, allMI = 1, allII = 1;
+    for (int k = 0; k <= M; k++) {
+        mBM[k] = tBM[k] > 0.f; allBM &= mBM[k];
+        mMM[k] = tMM[k] > 0.f; allMM &= mMM[k];
+        mIM[k] = tIM[k] > 0.f; allIM &= mIM[k];
+        mDM[k] = tDM[k] > 0.f; allDM &= mDM[k];
+        mMD[k] = tMD[k] > 0.f; allMD &= mMD[k];
+        mDD[k] = tDD[k] > 0.f;
+        if (k >= 2) allDD2 &= mDD[k];
+        mMI[k] = tMI[k] > 0.f; allMI &= mMI[k];
+        mII[k] = tII[k] > 0.f; allII &= mII[k];
+    }
+    for (int64_t i = 0; i <= L; i++) {
+        xEv[i] = NEG; xJv[i] = NEG; xCv[i] = NEG;
+        xNv[i] = 0.f; xBv[i] = 0.f;
+    }
+    for (int64_t k = 0; k < (L + 1) * W; k++) mm[k] = im[k] = dm[k] = NEG;
+    xNv[0] = 0.f;
+    xBv[0] = 0.f;
+
+    for (int64_t i = 1; i <= L; i++) {
+        float* out_m = mm + i * W;
+        for (int c = 1; c <= 5; c++) {
+            int64_t j = i - c;
+            const float* pc = pmc + c * RS + i * W;
+            const float *mp = 0, *ipr = 0, *dp = 0;
+            float xBj = NEG;
+            if (j >= 0) {
+                mp = mm + j * W;
+                ipr = im + j * W;
+                dp = dm + j * W;
+                xBj = xBv[j];
+            }
+            for (int k = 0; k <= M; k++) {
+                float mpk = (j >= 0) ? (k >= 1 ? mp[k - 1] : NEG) : NEG;
+                float ipk = (j >= 0) ? (k >= 1 ? ipr[k - 1] : NEG) : NEG;
+                float dpk = (j >= 0) ? (k >= 1 ? dp[k - 1] : NEG) : NEG;
+                float s = allBM ? xBj : (mBM[k] ? xBj : 0.f);
+                float v = allMM ? mpk : (mMM[k] ? mpk : 0.f);
+                if (v > s) s = v;
+                v = allIM ? ipk : (mIM[k] ? ipk : 0.f);
+                if (v > s) s = v;
+                v = allDM ? dpk : (mDM[k] ? dpk : 0.f);
+                if (v > s) s = v;
+                s = s + pc[k];
+                if (c == 1) sv[k] = s;
+                else if (s > sv[k]) sv[k] = s;
+            }
+        }
+        sv[0] = NEG;
+        for (int k = 0; k <= M; k++) out_m[k] = sv[k];
+        int64_t j3 = (i >= 3) ? i - 3 : 0;
+        const float* mj3 = mm + j3 * W;
+        const float* ij3 = im + j3 * W;
+        const float* pI = pim + i * W;
+        float* out_i = im + i * W;
+        for (int k = 0; k <= M; k++) {
+            float a = allMI ? mj3[k] : (mMI[k] ? mj3[k] : 0.f);
+            float b = allII ? ij3[k] : (mII[k] ? ij3[k] : 0.f);
+            float v = a > b ? a : b;
+            out_i[k] = v + pI[k];
+        }
+        out_i[0] = NEG;
+        out_i[M] = NEG;
+        float* dv = dm + i * W;
+        dv[0] = dv[1] = NEG;
+        for (int k = 2; k <= M; k++) {
+            float s = sv[k - 1];
+            dv[k] = allMD ? s : (mMD[k] ? s : 0.f);
+        }
+        if (allDD2) {
+            for (int k = 3; k <= M; k++)
+                if (dv[k - 1] > dv[k]) dv[k] = dv[k - 1];
+        } else {
+            for (int k = 2; k <= M; k++) {
+                float g = mDD[k] ? dv[k - 1] : 0.f;
+                if (g > dv[k]) dv[k] = g;
+            }
+        }
+        float smax = NEG, dmax = NEG;
+        for (int k = 1; k <= M; k++) {
+            if (sv[k] > smax) smax = sv[k];
+            if (dv[k] > dmax) dmax = dv[k];
+        }
+        float xE = smax > dmax ? smax : dmax;
+        xEv[i] = xE;
+        float xN, xJ, xC;
+        if (i > 2) {
+            xN = (nloop == 0.f) ? 0.f : xNv[i - 3] + pxN[i];
+            float t1 = (jloop == 0.f) ? 0.f : xJv[i - 3] + pxJ[i];
+            float t2 = (eloop == 0.f) ? 0.f : xE;
+            xJ = t1 > t2 ? t1 : t2;
+            t1 = (cloop == 0.f) ? 0.f : xCv[i - 3] + pxC[i];
+            t2 = (emove == 0.f) ? 0.f : xE;
+            xC = t1 > t2 ? t1 : t2;
+        } else {
+            xN = (nloop == 0.f) ? 0.f : pxN[i];
+            xJ = (eloop == 0.f) ? 0.f : xE;
+            xC = (emove == 0.f) ? 0.f : xE;
+        }
+        xNv[i] = xN; xJv[i] = xJ; xCv[i] = xC;
+        float t1 = (nmove == 0.f) ? 0.f : xN;
+        float t2 = (xff[3] == 0.f) ? 0.f : xJ;
+        xBv[i] = t1 > t2 ? t1 : t2;
+    }
+    *out_ret = (xCv[L] + xCv[L - 1]) + xCv[L - 2];
+}
+
 }  // extern "C"

@@ -139,3 +139,70 @@ def test_native_forward_parsers_bitexact(gcode):
             om5.reconfig_length(L)
             _, w5 = forward_fs5(dna, om5)
             assert fs5_forward_score_native(dna, om5) == w5
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib absent")
+def test_native_fs5_envelope_stages_bitexact(gcode):
+    """Native C fills of the fs5 full-matrix envelope stack
+    (Forward/Backward/decoding/OptAcc) == the numpy reference,
+    bit for bit, on every matrix, special row, and scale factor."""
+    import bath_tpu.ops.reference.fwdback_fs as ffs
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.profile import profile_config_fs
+    from bath_tpu.ops.reference.fwdback_fs import fs_oprofile_convert
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    om5 = fs_oprofile_convert(
+        profile_config_fs(hmm, Background(), gcode, 5, 100))
+
+    # high-scoring DNA (forces the rescale branches): tile codons of
+    # the model's max-likelihood aminos
+    basic = gcode.basic
+    inv = {}
+    for c in range(64):
+        inv.setdefault(int(basic[c]), c)
+    aas = np.argmax(hmm.mat[1:], axis=1)
+    hot = []
+    for a in aas:
+        c = inv.get(int(a), 0)
+        hot.extend([c >> 4 & 3, c >> 2 & 3, c & 3])
+    hot = np.array(hot * 2, dtype=np.int32)
+
+    rng = np.random.default_rng(31)
+    cases = [rng.integers(0, 4, L).astype(np.int32)
+             for L in (17, 83, 412)]
+    cases[1][rng.integers(0, 83, 4)] = 15   # degenerate routing
+    cases.append(hot)
+
+    def run(dna, use_native):
+        old = ffs._use_native_fs5
+        ffs._use_native_fs5 = use_native
+        try:
+            om5.reconfig_length(max(len(dna) // 3, 1))
+            fx, fsc = ffs.forward_fs5(dna, om5)
+            bx, bts = ffs.backward_fs5(dna, om5, fx)
+            pp = ffs.decoding_fs(om5, fx, bx)
+            ox, oret = ffs.optimal_accuracy_fs(om5, pp)
+            return fx, fsc, bx, bts, pp, ox, oret
+        finally:
+            ffs._use_native_fs5 = old
+
+    saw_rescale = False
+    for dna in cases:
+        fx1, s1, bx1, t1, pp1, ox1, r1 = run(dna, True)
+        fx2, s2, bx2, t2, pp2, ox2, r2 = run(dna, False)
+        assert s1 == s2 and t1 == t2 and r1 == r2
+        for nm in ("mc", "im", "dm", "xE", "xN", "xJ", "xB", "xC",
+                   "scale"):
+            assert np.array_equal(getattr(fx1, nm), getattr(fx2, nm))
+        for nm in ("mm", "im", "dm", "xE", "xN", "xJ", "xB", "xC",
+                   "scale"):
+            assert np.array_equal(getattr(bx1, nm), getattr(bx2, nm))
+        for nm in ("mc", "im", "xN", "xJ", "xC"):
+            assert np.array_equal(getattr(pp1, nm), getattr(pp2, nm))
+        for nm in ("mm", "im", "dm", "xE", "xN", "xJ", "xB", "xC"):
+            assert np.array_equal(getattr(ox1, nm), getattr(ox2, nm),
+                                  equal_nan=True)
+        saw_rescale |= bool((fx1.scale != 1.0).any())
+    assert saw_rescale, "no case exercised the rescale branches"
