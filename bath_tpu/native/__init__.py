@@ -192,6 +192,18 @@ def _bind_filters(lib):
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
     F64C = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.bio_fs3_parser_fwd_fill.restype = ctypes.c_int
+    lib.bio_fs3_parser_fwd_fill.argtypes = (
+        [I32P] * 3 + [ctypes.c_int64, F32C, ctypes.c_int]
+        + [F32C] * 8 + [F32C]          # tBM..tII, xff
+        + [F32C] * 5 + [F32C]          # xE..xC, scale
+        + [ctypes.POINTER(ctypes.c_float)])
+    lib.bio_fs3_parser_bwd_fill.restype = None
+    lib.bio_fs3_parser_bwd_fill.argtypes = (
+        [I32P] * 3 + [ctypes.c_int64, F32C, ctypes.c_int]
+        + [F32C] * 8 + [F32C, F32C]    # tBM,tMI,tII,t*k, xff, fscale
+        + [F32C] * 5 + [F32C]          # xE..xC, scale
+        + [ctypes.POINTER(ctypes.c_int32)])
     lib.bio_fs5_forward_fill.restype = ctypes.c_int
     lib.bio_fs5_forward_fill.argtypes = (
         [I32P] * 5 + [ctypes.c_int64, F32C, ctypes.c_int]
@@ -596,6 +608,79 @@ def _ci5_arrays(dsq):
     ci = codon_indices(dsq, 5)
     return [np.ascontiguousarray(ci[c], dtype=np.int32)
             for c in (1, 2, 3, 4, 5)]
+
+
+def _ci3_arrays(dsq):
+    from ..ops.reference.fwdback_fs import codon_indices
+    ci = codon_indices(dsq, 3)
+    return [np.ascontiguousarray(ci[c], dtype=np.int32)
+            for c in (2, 3, 4)]
+
+
+def fs3_parser_fwd_fill_native(dsq, om_fs):
+    """fs3 Forward parser with stored specials; bit-identical to
+    forward_parser_fs3(..., fast=False)."""
+    lib = _fs5_lib()
+    L = len(dsq)
+    if lib is None or L < 5:
+        return None
+    from ..ops.reference.fwdback import PMatrix, RangeError
+    tv, _, rfv = _fs5_full_views(om_fs)
+    M = om_fs.M
+    F32 = np.float32
+    ox = PMatrix(L=L, M=M,
+                 xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
+                 xJ=np.zeros(L + 1, F32), xB=np.zeros(L + 1, F32),
+                 xC=np.zeros(L + 1, F32), scale=np.ones(L + 1, F32))
+    out = ctypes.c_float()
+    st = lib.bio_fs3_parser_fwd_fill(
+        *_ci3_arrays(dsq), L, rfv, M, *tv, _xff_of(om_fs),
+        ox.xE, ox.xN, ox.xJ, ox.xB, ox.xC, ox.scale,
+        ctypes.byref(out))
+    if st != 0:
+        raise RangeError("fs forward parser over/underflow")
+    totscale = 0.0
+    for s in ox.scale[ox.scale != F32(1.0)]:
+        totscale += float(np.log(s))
+    ox.totscale = totscale
+    return ox, totscale + float(np.log(np.float32(out.value)))
+
+
+def fs3_parser_bwd_fill_native(dsq, om_fs, fwd):
+    """fs3 Backward parser with stored specials; bit-identical to
+    backward_parser_fs3."""
+    lib = _fs5_lib()
+    L = len(dsq)
+    if lib is None or L < 5:
+        return None
+    from ..ops.reference.fwdback import PMatrix
+    tv, tvk, rfv = _fs5_full_views(om_fs)
+    tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = tv
+    tMMk, tIMk, tDMk, tMDk, tDDk = tvk
+    M = om_fs.M
+    F32 = np.float32
+    bx = PMatrix(L=L, M=M,
+                 xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
+                 xJ=np.zeros(L + 1, F32), xB=np.zeros(L + 1, F32),
+                 xC=np.zeros(L + 1, F32), scale=np.ones(L + 1, F32),
+                 has_own_scales=False)
+    own = ctypes.c_int32()
+    fscale = fwd.scale
+    if fscale.dtype != np.float32 or not fscale.flags.c_contiguous:
+        fscale = np.ascontiguousarray(fscale, dtype=np.float32)
+    lib.bio_fs3_parser_bwd_fill(
+        *_ci3_arrays(dsq), L, rfv, M, tBM, tMI, tII,
+        tMMk, tIMk, tDMk, tMDk, tDDk, _xff_of(om_fs), fscale,
+        bx.xE, bx.xN, bx.xJ, bx.xB, bx.xC, bx.scale, ctypes.byref(own))
+    bx.has_own_scales = bool(own.value)
+    # reference accumulation order: descending rows L..1; the
+    # reference logs a Python float (f64), not the f32 element
+    totscale = 0.0
+    for s in bx.scale[1:][::-1]:
+        if s != F32(1.0):
+            totscale += float(np.log(float(s)))
+    bx.totscale = totscale
+    return bx, totscale
 
 
 def fs5_forward_fill_native(dsq, om_fs):

@@ -211,6 +211,11 @@ def forward_parser_fs3(dsq: np.ndarray, om: FSOProfile,
     """3-codon frameshift Forward parser with the reference's global
     live-row rescaling (ref: fwdback_fs.c :97-560).  Stores specials +
     per-row scales only."""
+    if not fast and _use_native_fs5:
+        from ...native import fs3_parser_fwd_fill_native
+        r = fs3_parser_fwd_fill_native(dsq, om)
+        if r is not None:
+            return r
     L, M = len(dsq), om.M
     xf = om.xf
     rfv = om.rfv
@@ -308,6 +313,11 @@ def backward_parser_fs3(dsq: np.ndarray, om: FSOProfile, fwd: PMatrix
     ref: fwdback_fs.c p7_BackwardParser_Frameshift_3Codons :565).
     Stores specials + scales; borrows the forward's scale factors with
     an overflow fallback to its own (has_own_scales)."""
+    if _use_native_fs5:
+        from ...native import fs3_parser_bwd_fill_native
+        r = fs3_parser_bwd_fill_native(dsq, om, fwd)
+        if r is not None:
+            return r
     L, M = len(dsq), om.M
     xf = om.xf
     rfv = om.rfv

@@ -619,6 +619,269 @@ int bio_fs3_parser_score(const int32_t* ci2, const int32_t* ci3,
     return 0;
 }
 
+// Frameshift 3-codon Forward parser, full-specials path — the score
+// kernel above plus per-row specials stores (the parser PMatrix keeps
+// only xE/xN/xJ/xB/xC + scale; ref: fwdback_fs.py forward_parser_fs3
+// :204, impl_sse/fwdback_fs.c :97).  Same DP, same rescale schedule.
+int bio_fs3_parser_fwd_fill(const int32_t* ci2, const int32_t* ci3,
+                            const int32_t* ci4, int64_t L,
+                            const float* rfv, int M,
+                            const float* tBM, const float* tMM,
+                            const float* tIM, const float* tDM,
+                            const float* tMD, const float* tDD,
+                            const float* tMI, const float* tII,
+                            const float* xff,
+                            float* xEv, float* xNv, float* xJv,
+                            float* xBv, float* xCv,
+                            float* out_scales, float* out_xctot) {
+    const int W = M + 1;
+    const float nloop = xff[0], nmove = xff[1], jloop = xff[2],
+        jmove = xff[3], cloop = xff[4], cmove = xff[5],
+        eloop = xff[6], emove = xff[7];
+    static thread_local float* buf = nullptr;
+    static thread_local int64_t cap = 0;
+    if (cap < 16 * (int64_t)W) {
+        delete[] buf;
+        buf = new float[16 * W];
+        cap = 16 * W;
+    }
+    float* mrow[4]; float* irow[4]; float* drow[4]; float* ivx[3];
+    for (int r = 0; r < 4; r++) {
+        mrow[r] = buf + r * W;
+        irow[r] = buf + (4 + r) * W;
+        drow[r] = buf + (8 + r) * W;
+    }
+    for (int r = 0; r < 3; r++) ivx[r] = buf + (12 + r) * W;
+    for (int64_t k = 0; k < 15 * W; k++) buf[k] = 0.f;
+    float xNb[4] = {1.f, 1.f, 0.f, 0.f};
+    float xBb[4] = {nmove, nmove, 0.f, 0.f};
+    float xJb[4] = {0.f, 0.f, 0.f, 0.f};
+    float xCb[4] = {0.f, 0.f, 0.f, 0.f};
+    if (L < 2) return 1;
+    for (int64_t i = 0; i <= L; i++) {
+        out_scales[i] = 1.0f;
+        xEv[i] = xNv[i] = xJv[i] = xBv[i] = xCv[i] = 0.f;
+    }
+    xNv[0] = xNv[1] = 1.0f;
+    xBv[0] = xBv[1] = nmove;
+
+    for (int64_t i = 2; i <= L; i++) {
+        int curr = (int)(i % 4), prev2 = (int)((i - 2) % 4),
+            prev3 = (int)((i + 1) % 4);
+        int s2 = (int)(i % 3), s3 = (int)((i - 1) % 3),
+            s4 = (int)((i - 2) % 3);
+        float* sv = ivx[s2];
+        const float* mp = mrow[prev2];
+        const float* ip = irow[prev2];
+        const float* dp = drow[prev2];
+        const float xB2 = xBb[prev2];
+        sv[0] = 0.f;
+        for (int k = 1; k <= M; k++)
+            sv[k] = xB2 * tBM[k] + mp[k - 1] * tMM[k]
+                + ip[k - 1] * tIM[k] + dp[k - 1] * tDM[k];
+        const float* e2 = rfv + (int64_t)ci2[i - 1] * W;
+        float* msv = mrow[curr];
+        if (i >= 3) {
+            const float* e3 = rfv + (int64_t)ci3[i - 1] * W;
+            const float* e4 = rfv + (int64_t)ci4[i - 1] * W;
+            const float* i3 = ivx[s3];
+            const float* i4 = ivx[s4];
+            for (int k = 0; k <= M; k++)
+                msv[k] = sv[k] * e2[k] + i3[k] * e3[k] + i4[k] * e4[k];
+        } else {
+            for (int k = 0; k <= M; k++) msv[k] = sv[k] * e2[k];
+        }
+        msv[0] = 0.f;
+        float* ni = irow[curr];
+        const float* m3 = mrow[prev3];
+        const float* i3r = irow[prev3];
+        for (int k = 0; k <= M; k++)
+            ni[k] = m3[k] * tMI[k] + i3r[k] * tII[k];
+        ni[0] = 0.f;
+        float* dc = drow[curr];
+        dc[0] = dc[1] = 0.f;
+        for (int k = 2; k <= M; k++) dc[k] = msv[k - 1] * tMD[k];
+        for (int k = 2; k <= M; k++) dc[k] += dc[k - 1] * tDD[k];
+        float xE = np_pairwise_f32(msv + 1, M)
+            + np_pairwise_f32(dc + 1, M);
+        float xN, xJ, xC;
+        if (i >= 3) {
+            xN = xNb[prev3] * nloop;
+            xJ = xJb[prev3] * jloop + xE * eloop;
+            xC = xCb[prev3] * cloop + xE * emove;
+        } else {
+            xN = 1.0f;
+            xJ = xE * eloop;
+            xC = xE * emove;
+        }
+        float xB = xN * nmove + xJ * jmove;
+        if (xE > 1.0e4f) {
+            float inv = 1.0f / xE;
+            xN *= inv; xJ *= inv; xC *= inv; xB *= inv;
+            for (int64_t k = 0; k < 15 * W; k++) buf[k] *= inv;
+            for (int r = 0; r < 4; r++) {
+                xNb[r] *= inv; xBb[r] *= inv;
+                xJb[r] *= inv; xCb[r] *= inv;
+            }
+            out_scales[i] = xE;
+            xE = 1.0f;
+        }
+        xNb[curr] = xN; xBb[curr] = xB; xJb[curr] = xJ; xCb[curr] = xC;
+        xEv[i] = xE; xNv[i] = xN; xJv[i] = xJ;
+        xBv[i] = xB; xCv[i] = xC;
+    }
+    float xctot = xCb[L % 4] + xCb[(L - 1) % 4] * cloop
+        + xCb[(L - 2) % 4] * cloop;
+    if (xctot != xctot || xctot - xctot != 0.0f) return 1;
+    if (L > 2 && xctot == 0.0f) return 1;
+    *out_xctot = xctot * cmove;
+    return 0;
+}
+
+// Frameshift 3-codon Backward parser, full-specials path (ref:
+// fwdback_fs.py backward_parser_fs3 :300, impl_sse/fwdback_fs.c
+// p7_BackwardParser_Frameshift_3Codons :565).  Borrows the Forward's
+// per-row scale factors, switching permanently to its own once
+// xB > 1e16 (has_own_scales); *out_own reports the final flag.
+void bio_fs3_parser_bwd_fill(const int32_t* ci2, const int32_t* ci3,
+                             const int32_t* ci4, int64_t L,
+                             const float* rfv, int M,
+                             const float* tBM, const float* tMI,
+                             const float* tII, const float* tMMk,
+                             const float* tIMk, const float* tDMk,
+                             const float* tMDk, const float* tDDk,
+                             const float* xff, const float* fwd_scale,
+                             float* xEv, float* xNv, float* xJv,
+                             float* xBv, float* xCv,
+                             float* out_scales, int32_t* out_own) {
+    const int W = M + 1;
+    const float nloop = xff[0], nmove = xff[1], jloop = xff[2],
+        jmove = xff[3], cloop = xff[4], cmove = xff[5],
+        eloop = xff[6], emove = xff[7];
+    static thread_local float* buf = nullptr;
+    static thread_local int64_t cap = 0;
+    // 6 M rows + 6 I rows ring, plus ivxb/iv1/prod scratch
+    if (cap < 15 * (int64_t)W) {
+        delete[] buf;
+        buf = new float[15 * W];
+        cap = 15 * W;
+    }
+    float* mrow[6]; float* irow[6];
+    for (int r = 0; r < 6; r++) {
+        mrow[r] = buf + r * W;
+        irow[r] = buf + (6 + r) * W;
+    }
+    float* ivxb = buf + 12 * W;
+    float* iv1 = buf + 13 * W;
+    float* nd = buf + 14 * W;
+    for (int64_t k = 0; k < 14 * W; k++) buf[k] = 0.f;
+    float xNb[6] = {0, 0, 0, 0, 0, 0};
+    float xBb[6] = {0, 0, 0, 0, 0, 0};
+    float xJb[6] = {0, 0, 0, 0, 0, 0};
+    float xCb[6] = {0, 0, 0, 0, 0, 0};
+    int own = 0;
+    for (int64_t i = 0; i <= L; i++) {
+        out_scales[i] = 1.0f;
+        xEv[i] = xNv[i] = xJv[i] = xBv[i] = xCv[i] = 0.f;
+    }
+    const int32_t* cis[5] = {0, 0, ci2, ci3, ci4};
+    static thread_local float* nm_buf = nullptr;
+    static thread_local int64_t nm_cap = 0;
+    if (nm_cap < 2 * (int64_t)W) {
+        delete[] nm_buf;
+        nm_buf = new float[2 * W];
+        nm_cap = 2 * W;
+    }
+    float* new_m = nm_buf;
+    float* new_i = nm_buf + W;
+
+    for (int64_t i = L; i >= 1; i--) {
+        int curr = (int)(i % 6);
+        for (int k = 0; k <= M; k++) ivxb[k] = 0.f;
+        for (int c = 2; c <= 4; c++) {
+            int64_t j = i + c;
+            if (j <= L) {
+                const float* e = rfv + (int64_t)cis[c][j - 1] * W;
+                const float* bM = mrow[j % 6];
+                for (int k = 0; k <= M; k++) ivxb[k] += e[k] * bM[k];
+            }
+        }
+        float xC;
+        if (i == L) xC = cmove;
+        else if (i >= L - 2) xC = cloop * cmove;
+        else xC = cloop * xCb[(i + 3) % 6];
+        for (int k = 1; k <= M; k++) iv1[k - 1] = ivxb[k] * tBM[k];
+        float xB = np_pairwise_f32(iv1, M);
+        float xJ = ((i + 3 <= L) ? xJb[(i + 3) % 6] * jloop : 0.f)
+            + xB * jmove;
+        float xN = ((i + 3 <= L) ? xNb[(i + 3) % 6] * nloop : 0.f)
+            + xB * nmove;
+        float xE = xC * emove + xJ * eloop;
+
+        for (int k = 0; k < M; k++) iv1[k] = ivxb[k + 1];
+        iv1[M] = 0.f;
+        const float* bI3 = (i + 3 <= L) ? irow[(i + 3) % 6] : 0;
+        for (int k = 0; k <= M; k++) {
+            float b3 = bI3 ? bI3[k] : 0.f;
+            new_i[k] = tIMk[k] * iv1[k] + tII[k] * b3;
+            new_m[k] = tMMk[k] * iv1[k] + tMI[k] * b3 + xE;
+        }
+        nd[M] = xE;
+        for (int k = M - 1; k >= 1; k--)
+            nd[k] = tDMk[k] * iv1[k] + tDDk[k] * nd[k + 1] + xE;
+        nd[0] = 0.f;
+        for (int k = 0; k < M; k++)
+            new_m[k] = new_m[k] + tMDk[k] * nd[k + 1];
+        new_m[0] = new_i[0] = 0.f;
+
+        double sc = (double)fwd_scale[i];
+        if (xB > 1.0e16f) own = 1;
+        if (own) sc = (xB > 1.0e4f) ? (double)xB : 1.0;
+        if (sc != 1.0) {
+            float inv = (float)(1.0 / sc);
+            for (int k = 0; k <= M; k++) {
+                new_m[k] *= inv; new_i[k] *= inv; nd[k] *= inv;
+            }
+            for (int r = 0; r < 6; r++)
+                for (int k = 0; k <= M; k++) {
+                    mrow[r][k] *= inv; irow[r][k] *= inv;
+                }
+            for (int r = 0; r < 6; r++) {
+                xNb[r] *= inv; xBb[r] *= inv;
+                xJb[r] *= inv; xCb[r] *= inv;
+            }
+            xN *= inv; xB *= inv; xJ *= inv;
+            xC *= inv; xE *= inv;
+        }
+        out_scales[i] = (float)sc;
+        for (int k = 0; k <= M; k++) {
+            mrow[curr][k] = new_m[k];
+            irow[curr][k] = new_i[k];
+        }
+        xNb[curr] = xN; xBb[curr] = xB; xJb[curr] = xJ; xCb[curr] = xC;
+        xEv[i] = xE; xNv[i] = xN; xJv[i] = xJ;
+        xBv[i] = xB; xCv[i] = xC;
+    }
+    for (int64_t i = 0; i <= 2; i++) {
+        for (int k = 0; k <= M; k++) ivxb[k] = 0.f;
+        for (int c = 2; c <= 4; c++) {
+            int64_t j = i + c;
+            if (j >= 1 && j <= L) {
+                const float* e = rfv + (int64_t)cis[c][j - 1] * W;
+                const float* bM = mrow[j % 6];
+                for (int k = 0; k <= M; k++) ivxb[k] += e[k] * bM[k];
+            }
+        }
+        for (int k = 1; k <= M; k++) iv1[k - 1] = ivxb[k] * tBM[k];
+        float xB = np_pairwise_f32(iv1, M);
+        float xN = ((i + 3 <= L) ? xNb[(i + 3) % 6] : 0.f) * nloop
+            + xB * nmove;
+        xBv[i] = xB; xNv[i] = xN;
+        out_scales[i] = 1.0f;
+    }
+    *out_own = own;
+}
+
 // Frameshift 5-codon full Forward, score path only — bit-exact
 // transcription of fwdback_fs.py forward_fs5 :472 (ref:
 // p7_Forward_Frameshift :2054): per-row sparse rescaling with

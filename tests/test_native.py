@@ -206,3 +206,63 @@ def test_native_fs5_envelope_stages_bitexact(gcode):
                                   equal_nan=True)
         saw_rescale |= bool((fx1.scale != 1.0).any())
     assert saw_rescale, "no case exercised the rescale branches"
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib absent")
+def test_native_fs3_parser_fills_bitexact(gcode):
+    """Native C fs3 parser fills (Forward + Backward specials) == the
+    numpy reference bit for bit, including the has_own_scales borrow
+    logic and domain decoding downstream."""
+    import bath_tpu.ops.reference.fwdback_fs as ffs
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.profile import profile_config_fs
+    from bath_tpu.ops.reference.fwdback_fs import fs_oprofile_convert
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    om3 = fs_oprofile_convert(
+        profile_config_fs(hmm, Background(), gcode, 3, 100))
+
+    basic = gcode.basic
+    inv = {}
+    for c in range(64):
+        inv.setdefault(int(basic[c]), c)
+    aas = np.argmax(hmm.mat[1:], axis=1)
+    hot = []
+    for a in aas:
+        c = inv.get(int(a), 0)
+        hot.extend([c >> 4 & 3, c >> 2 & 3, c & 3])
+    hot = np.array(hot * 2, dtype=np.int32)
+
+    rng = np.random.default_rng(7)
+    cases = [rng.integers(0, 4, L).astype(np.int32)
+             for L in (11, 71, 509)]
+    cases[1][rng.integers(0, 71, 4)] = 15
+    cases.append(hot)
+
+    def run(dna, use_native):
+        old = ffs._use_native_fs5
+        ffs._use_native_fs5 = use_native
+        try:
+            om3.reconfig_length(max(len(dna) // 3, 1))
+            fx, fsc = ffs.forward_parser_fs3(dna, om3)
+            bx, bts = ffs.backward_parser_fs3(dna, om3, fx)
+            bt, et, mo = ffs.domain_decoding_fs(om3, fx, bx)
+            return fx, fsc, bx, bts, bt, et, mo
+        finally:
+            ffs._use_native_fs5 = old
+
+    saw_rescale = False
+    for dna in cases:
+        fx1, s1, bx1, t1, bt1, et1, mo1 = run(dna, True)
+        fx2, s2, bx2, t2, bt2, et2, mo2 = run(dna, False)
+        assert s1 == s2 and t1 == t2
+        assert bx1.has_own_scales == bx2.has_own_scales
+        for nm in ("xE", "xN", "xJ", "xB", "xC", "scale"):
+            assert np.array_equal(getattr(fx1, nm), getattr(fx2, nm))
+            assert np.array_equal(getattr(bx1, nm), getattr(bx2, nm))
+        assert np.array_equal(bt1, bt2)
+        assert np.array_equal(et1, et2)
+        assert np.array_equal(mo1, mo2)
+        saw_rescale |= bool((fx1.scale != 1.0).any())
+    assert saw_rescale, "no case exercised the rescale branches"
