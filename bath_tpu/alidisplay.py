@@ -321,94 +321,127 @@ def _frame(nuc_from: int, nuc_to: int) -> int:
 
 def print_splice(res, hmmname: str, sqname: str, linewidth: int = 120
                  ) -> str:
-    """Render the spliced per-exon alignment blocks
-    (ref: p7_alidisplay.c splice display as in tutorial/PTHR37536.out).
+    """Render the spliced per-exon alignment blocks — a port of the
+    reference's splice path through p7_alidisplay_Print_BATH
+    (p7_alidisplay.c:3758): display lines break at '$' (P) columns,
+    the donor signal prints at the broken line's end, the acceptor
+    signal at the next line's start, and coords include the signals.
 
-    <res> is a splice.align.SplicedHitResult with display segments.
+    <res> is a splice.align.SplicedHitResult with a flat SpliceAli.
     """
+    ad = res.ali
     out = []
-    namewidth = max(8, len(hmmname), len(sqname), 10)
-    coordwidth = max(_int_width(res.ihmm), _int_width(res.jhmm),
-                     _int_width(res.iali), _int_width(res.jali), 4)
-    cells = max(10, (linewidth - namewidth - 2 * coordwidth - 10) // 5)
+    show_hmmname = hmmname
+    show_seqname = sqname
+    max_namewidth = 30
+    namewidth = max(len(show_hmmname), len(show_seqname))
+    while namewidth > max_namewidth + 3:
+        if len(show_hmmname) > len(show_seqname):
+            show_hmmname = show_hmmname[:max_namewidth] + "..."
+        else:
+            show_seqname = show_seqname[:max_namewidth] + "..."
+        namewidth = max(len(show_hmmname), len(show_seqname))
+    namewidth = max(namewidth, 8)
+    coordwidth = max(_int_width(ad.hmmfrom), _int_width(ad.hmmto),
+                     _int_width(ad.sqfrom), _int_width(ad.sqto))
+    max_aliwidth = (linewidth - namewidth - 2 * coordwidth - 5) \
+        if linewidth > 0 else ad.N
+    if max_aliwidth < ad.N and max_aliwidth < 40:
+        max_aliwidth = 40
+    max_aliwidth -= 4
+    max_aliwidth //= 5
 
-    for e, seg in enumerate(res.segments):
-        n = len(seg.model)
-        k1 = seg.kfrom
-        g1 = seg.gfrom
-        step = 1 if seg.gfrom <= seg.gto else -1
-        pos = 0
-        first_chunk = True
-        while pos < n:
-            cur = min(cells, n - pos)
-            nk = sum(1 for c in seg.model[pos:pos + cur]
-                     if c not in (".", " "))
-            k2 = k1 + nk - 1
-            blank = " " * (namewidth + coordwidth + 1)
+    fwd = ad.sqfrom < ad.sqto
+    i1 = ad.sqfrom
+    i2 = i1 - 1 if fwd else i1 + 1
+    k1 = ad.hmmfrom
+    exon_cnt = 1
+    pos = 0
+    was_splice = False
+    blank = " " * (namewidth + coordwidth + 1)
+    while pos < ad.N:
+        if pos > 0:
             out.append("\n")
-            out.append("  %*s %*d " % (namewidth, hmmname, coordwidth, k1)
-                       + "  "
-                       + "".join("  %c  " % c
-                                 for c in seg.model[pos:pos + cur])
-                       + "   %-*d\n" % (coordwidth, k2))
-            out.append("  %s " % blank + "  "
-                       + "".join("  %c  " % c
-                                 for c in seg.mline[pos:pos + cur])
-                       + "\n")
-            exlabel = "exon %d" % (e + 1)
-            out.append("  %*s %*s " % (namewidth, exlabel, coordwidth, "")
-                       + "  "
-                       + "".join("  %c  " % c
-                                 for c in seg.aseq[pos:pos + cur])
-                       + "\n")
-            # nucleotide row with acc/don markers on first/last chunks
-            nts = []
-            g2 = g1
-            for z in range(pos, pos + cur):
-                cell = seg.ntseq[z]
-                nts.append(cell)
-                nres = sum(1 for ch in cell if ch.isalpha())
-                g2 += step * nres
-            prefix = ""
-            marks_pre = ""
-            if first_chunk and e > 0:
-                prev_sig = getattr(res.segments[e - 1],
-                                   "_pending_signal", "----")
-                acc2 = prev_sig[2:] if len(prev_sig) == 4 else "--"
-                if seg.acc_prefix:
-                    prefix = "%s  %-3s" % (acc2, seg.acc_prefix)
-                else:
-                    prefix = "%s " % acc2
-                marks_pre = "||" + " " * (len(prefix) - 2)
-            suffix = ""
-            marks_suf = ""
-            last_chunk = (pos + cur >= n)
-            if last_chunk and e < len(res.segments) - 1:
-                sig = getattr(seg, "_pending_signal", "----")
-                don2 = sig[:2] if len(sig) == 4 else "--"
-                if seg.don_suffix:
-                    suffix = "%-3s %s" % (seg.don_suffix, don2)
-                else:
-                    suffix = " %s" % don2
-                marks_suf = " " * (len(suffix) - 2) + "||"
-            out.append("  %*s %*d" % (namewidth, sqname, coordwidth, g1)
-                       + (" " + prefix if prefix else "  ")
-                       + "".join(nts)
-                       + (suffix if suffix else "")
-                       + " %-*d\n" % (coordwidth,
-                                      g2 - step if not (last_chunk
-                                                        and e < len(res.segments) - 1
-                                                        and seg.don_suffix)
-                                      else seg.gto))
-            # PP row
-            out.append("  %s " % blank
-                       + (" " + marks_pre if marks_pre else "  ")
-                       + "".join("  %c  " % c
-                                 for c in seg.ppline[pos:pos + cur])
-                       + (marks_suf if marks_suf else "")
-                       + " PP\n")
-            g1 = g2
-            k1 = k2 + 1
-            pos += cur
-            first_chunk = False
+        cur = max_aliwidth
+        is_splice = False
+        for z in range(pos, min(pos + max_aliwidth + 1, ad.N)):
+            if ad.ntseq[z * 5 + 2] == "$":
+                is_splice = True
+                cur = z - pos
+                break
+        ni = nk = 0
+        for z in range(pos, min(pos + cur, ad.N)):
+            if ad.model[z] not in (".", " "):
+                nk += 1
+            if ad.aseq[z] != "-":
+                ni += 1
+        k2 = k1 + nk - 1
+        # model line
+        out.append("  %*s %*d " % (namewidth, show_hmmname,
+                                   coordwidth, k1)
+                   + "  "
+                   + "".join("  %c  " % c
+                             for c in ad.model[pos:pos + cur])
+                   + "  " + " %-*d\n" % (coordwidth, k2))
+        # match line
+        out.append("  %s " % blank + "  "
+                   + "".join("  %c  " % c
+                             for c in ad.mline[pos:pos + cur])
+                   + "  \n")
+        # translation line with exon label
+        exlabel = "exon %d" % exon_cnt
+        out.append("  %*s %*s " % (namewidth, exlabel, coordwidth, "")
+                   + "  "
+                   + "".join("  %c  " % c
+                             for c in ad.aseq[pos:pos + cur])
+                   + "  \n")
+        # target nt line
+        if ni > 0:
+            out.append("  %*s %*d " % (namewidth, show_seqname,
+                                       coordwidth, i1))
+        else:
+            out.append("  %*s %*s " % (namewidth, show_seqname,
+                                       coordwidth, "-"))
+        if was_splice:
+            out.append(ad.ntseq[pos * 5 - 2:pos * 5])
+            i2 = i2 + 2 if fwd else i2 - 2
+        else:
+            out.append("  ")
+        for j in range(pos, min(pos + cur, ad.N)):
+            out.append(ad.ntseq[5 * j:5 * j + 5])
+            cl = ad.codon[j]
+            if fwd:
+                i2 += 3 if cl == 6 else cl
+            else:
+                i2 -= 3 if cl == 6 else cl
+        if is_splice:
+            out.append(ad.ntseq[5 * (pos + cur):5 * (pos + cur) + 2])
+            i2 = i2 + 2 if fwd else i2 - 2
+        else:
+            out.append("  ")
+        if ni > 0:
+            out.append(" %-*d\n" % (coordwidth, i2))
+        else:
+            out.append(" %*s\n" % (coordwidth, "-"))
+        # PP line
+        out.append("  %s " % blank)
+        out.append("||" if was_splice else "  ")
+        out.append("".join("  %c  " % c
+                           for c in ad.ppline[pos:pos + cur]))
+        out.append("||" if is_splice else "  ")
+        out.append(" PP\n")
+        k1 += nk
+        i1 = i2 + 1 if fwd else i2 - 1
+        pos += cur
+        if is_splice:
+            pos += 1                    # pass over the '$' column
+            if fwd:
+                i1 = ad.exon_seq_starts[exon_cnt] - 2
+                i2 = i1 - 1
+            else:
+                i1 = ad.exon_seq_starts[exon_cnt] + 2
+                i2 = i1 + 1
+            exon_cnt += 1
+            out.append("\n")
+        was_splice = is_splice
     return "".join(out)

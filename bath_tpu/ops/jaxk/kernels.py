@@ -439,6 +439,14 @@ def _shift_down(x):
     return jnp.pad(x[:-1], ((1, 0), (0, 0)))
 
 
+# fs3 scan block length: must be a multiple of 12 (lcm of the 4-row
+# MDI ring and 3-slot IVX ring) so ring phases align across blocks;
+# larger blocks amortize the scan-carry HBM round trip over more
+# positions at the cost of a bigger unrolled body.
+_FS3_BL = 12
+_ABLATE = "full"
+
+
 @partial(jax.jit, static_argnames=("Mt", "nj"))
 def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
                     tMI, tII, nj, Mt, UT=None):
@@ -475,7 +483,7 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
       dominant HBM traffic of the naive formulation (3.5x measured).
     """
     B, L = dsq.shape
-    BL = 12
+    BL = _FS3_BL
     Lpad = ((L + BL - 1) // BL) * BL
     PLACE = C.MAXCODONS3
     if Lpad != L:
@@ -523,9 +531,12 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
             oh = (cblk[None, :] == jnp.arange(n)[:, None]).astype(BF16)
             return jnp.dot(tab, oh, preferred_element_type=BF16)
 
-        E2a = emis(T2b, c2_blk)          # [Mt, BL*B] bf16
-        E3a = emis(T3b, c3_blk)
-        E4a = emis(T4b, c4_blk)
+        if _ABLATE == "noemis":
+            E2a = E3a = E4a = jnp.ones((Mt, c2_blk.shape[0]), BF16)
+        else:
+            E2a = emis(T2b, c2_blk)          # [Mt, BL*B] bf16
+            E3a = emis(T3b, c3_blk)
+            E4a = emis(T4b, c4_blk)
         for j in range(BL):
             i = base + j
             pos = i + 1
@@ -557,7 +568,10 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
                 new_i = jnp.where(pos >= 3, new_i, 0.0)
             msv = msv + t3 + t4
             part = _shift_down(msv) * tMDc
-            new_d = jnp.dot(UT, part, preferred_element_type=F32)
+            if _ABLATE == "nodd":
+                new_d = part
+            else:
+                new_d = jnp.dot(UT, part, preferred_element_type=F32)
             xE = msv.sum(axis=0) + new_d.sum(axis=0)
             xN2 = xNb[p3_m4] * pend[p3_m4] * ploop
             xJ2 = xJb[p3_m4] * pend[p3_m4] * ploop + xE * eloop

@@ -38,19 +38,27 @@ class ExonInfo:
 
 
 @dataclass
-class SpliceAliSegment:
-    """One exon's alignment display block."""
+class SpliceAli:
+    """Flat column-stream display of a spliced alignment, mirroring
+    the reference's P7_ALIDISPLAY splice layout (5-char nt cells; R =
+    donor partial column, P = 'dd$aa' signal column where display
+    lines break, A = acceptor partial column)."""
     model: str = ""
     mline: str = ""
     aseq: str = ""
-    ntseq: list = field(default_factory=list)   # per amino: codon str
     ppline: str = ""
-    kfrom: int = 0
-    kto: int = 0
-    gfrom: int = 0          # genomic nt coords of block
-    gto: int = 0
-    acc_prefix: str = ""    # e.g. "ag  TA" partial codon after intron
-    don_suffix: str = ""    # e.g. "G   gt"
+    ntseq: str = ""                 # 5 chars per column
+    codon: list = field(default_factory=list)   # nts consumed per col
+    N: int = 0
+    hmmfrom: int = 0
+    hmmto: int = 0
+    sqfrom: int = 0                 # genomic display coords
+    sqto: int = 0
+    L: int = 0
+    exon_seq_starts: list = field(default_factory=list)
+    exon_seq_ends: list = field(default_factory=list)
+    exon_hmm_starts: list = field(default_factory=list)
+    exon_hmm_ends: list = field(default_factory=list)
 
 
 @dataclass
@@ -65,7 +73,16 @@ class SplicedHitResult:
     ienv: int = 0
     jenv: int = 0
     exons: list = field(default_factory=list)       # ExonInfo
-    segments: list = field(default_factory=list)    # SpliceAliSegment
+    ali: SpliceAli | None = None
+    # tabular-output fields (ref: P7_ALIDISPLAY members used by
+    # p7_tophits_TabularTargets for spliced hits)
+    M: int = 0
+    hmmfrom: int = 0
+    hmmto: int = 0
+    L: int = 0
+    exon_cnt: int = 0
+    pid: float = 0.0
+    cigar: str = ""
     amino_n: int = 0
     orf_from: int = 0
     orf_to: int = 0
@@ -73,9 +90,13 @@ class SplicedHitResult:
 
 def create_spliced_sequence(spliced_path: SplicePath, path_seq: PathSeq,
                             gcode):
-    """Concatenate exon spans into one nucleotide sequence; return
-    (nuc_sub_idx [n], amino_dsq [n/3]) or None if not mod 3
-    (ref: p7_splice_CreateSplicedSequnce)."""
+    """Concatenate exon spans into one nucleotide sequence, extended
+    up to ALIGNMENT_EXT nt beyond each path end in codon steps
+    (stopping at the first stop codon), so the final alignment may
+    begin/end outside the path; return (nuc_sub_idx [n],
+    amino_dsq [n/3]) or None if not mod 3
+    (ref: p7_splice_CreateSplicedSequnce, ALIGNMENT_EXT
+    p7_splice.h:211)."""
     subs = []
     for s in range(spliced_path.path_len):
         a = path_seq.to_sub(spliced_path.iali[s])
@@ -86,6 +107,39 @@ def create_spliced_sequence(spliced_path: SplicePath, path_seq: PathSeq,
     if len(subs) % 3 != 0:
         spliced_path.frameshift = True
         return None
+
+    # --- up/downstream extensions, in path_seq sub coords (both
+    # strands reduce to the same arithmetic; the reference's revcomp
+    # branch is to_sub applied to genomic steps of 3) ----------------
+    EXT = 30
+    dsq = path_seq.dsq
+    n_sub = path_seq.n
+    stop_aa = gcode.aa_abc.Kp - 2
+
+    def _is_stop(s):
+        return gcode.translate_codon(int(dsq[s - 1]), int(dsq[s]),
+                                     int(dsq[s + 1])) == stop_aa
+
+    p0 = subs[0]
+    ext_start = p0 - EXT
+    for s in range(p0 - 3, p0 - EXT - 1, -3):
+        if s < 1:
+            ext_start = s + 3
+            break
+        if _is_stop(s):
+            ext_start = s + 3
+            break
+    p1 = subs[-1]
+    ext_end = p1 + EXT
+    for s in range(p1 + 1, p1 + EXT + 1, 3):
+        if s > n_sub - 2:
+            ext_end = s - 1
+            break
+        if _is_stop(s):
+            ext_end = s - 1
+            break
+    subs = list(range(ext_start, p0)) + subs \
+        + list(range(p1 + 1, ext_end + 1))
     nuc_idx = np.array(subs, dtype=np.int64)           # 1-based sub pos
     nts = path_seq.dsq[nuc_idx - 1]
     n_amino = len(subs) // 3
@@ -153,40 +207,62 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
     res.ienv = path_seq.to_global(int(nuc_idx[0]))
     res.jenv = path_seq.to_global(int(nuc_idx[-1]))
 
-    # --- segment into exons at nucleotide discontinuities ------------
+    # --- flat display columns with R/P/A splice columns --------------
+    # (ref: p7_alidisplay_splice_Create p7_alidisplay.c:1357-1780;
+    #  split codons: R column carries the amino + donor partial at
+    #  model position k in the upstream exon, P column holds the
+    #  splice signals "dd$aa", A column the acceptor partial with the
+    #  downstream exon starting at k+1)
     from ..alidisplay import encode_postprob
     amino_sym = gm.abc.sym
     dna_sym = "ACGT-RYMKSWHBVDN*~"
 
-    segs: list[SpliceAliSegment] = []
-    exons: list[ExonInfo] = []
-    seg = None
-    prev_nt_sub = None          # sub position of last consumed nt
-
     def nt_char(subpos):
         return dna_sym[int(path_seq.dsq[subpos - 1])].upper()
 
-    def open_seg(k, gfrom):
-        s = SpliceAliSegment(kfrom=k, gfrom=gfrom)
-        segs.append(s)
-        return s
+    model = []
+    mline = []
+    aseq = []
+    ppl = []
+    ntcells = []
+    codon = []
+    exon_seq_starts = []        # global coords
+    exon_seq_ends = []
+    exon_hmm_starts = []
+    exon_hmm_ends = []
+    exon_sigs = []              # signal of the intron FOLLOWING exon x
+    pid_num = [0]
+    pid_den = [0]
+    prev_nt_sub = None
+
+    def match_col(kk, aa):
+        """(model, mline, aseq) chars for an M column."""
+        cons = gm.consensus[kk - 1]
+        ach = amino_sym[aa].upper()
+        cons_digit = gm.abc.inmap.get(cons, -1)
+        if aa == cons_digit:
+            ml = cons
+            pid_num[-1] += 1
+        elif om.rfv[aa, kk] > 1.0:
+            ml = "+"
+        else:
+            ml = " "
+        return cons, ml, ach
 
     for z in range(z1, z2 + 1):
         k, i, s = tr.k[z], tr.i[z], tr.st[z]
         if s == C.T_D:
-            if seg is None:
-                seg = open_seg(k, 0)
-            seg.model += gm.consensus[k - 1]
-            seg.mline += " "
-            seg.aseq += "-"
-            seg.ntseq.append(" --- ")
-            seg.ppline += "."
-            seg.kto = k
+            model.append(gm.consensus[k - 1])
+            mline.append(" ")
+            aseq.append("-")
+            ppl.append(".")
+            ntcells.append(" --- ")
+            codon.append(0)
+            pid_den[-1] += 1
             continue
-        # M or I: consumes amino i -> nts 3i-2..3i of the spliced seq
+        # M or I consumes amino i -> nts 3i-2..3i of the spliced seq
         nt_subs = [int(nuc_idx[3 * (i - 1)]), int(nuc_idx[3 * i - 2]),
                    int(nuc_idx[3 * i - 1])]
-        # detect junction before this codon or inside it
         splits = []
         if prev_nt_sub is not None and nt_subs[0] != prev_nt_sub + 1:
             splits.append(0)
@@ -194,62 +270,94 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
             splits.append(1)
         if nt_subs[2] != nt_subs[1] + 1:
             splits.append(2)
-        if splits and seg is not None:
-            sp = splits[0]
-            # end current segment; partial codon nts split sp
-            if sp > 0:
-                seg.don_suffix = "".join(nt_char(p)
-                                         for p in nt_subs[:sp])
-                seg.gto = path_seq.to_global(nt_subs[sp - 1])
-            else:
-                seg.gto = path_seq.to_global(prev_nt_sub)
-            # intron genomic span for signal
-            intr_a = nt_subs[sp - 1] + 1 if sp > 0 else prev_nt_sub + 1
-            intr_b = nt_subs[sp] - 1
-            sig = "----"
-            if intr_b - intr_a >= 3:
-                d = (nt_char(intr_a) + nt_char(intr_a + 1)).lower()
-                a_ = (nt_char(intr_b - 1) + nt_char(intr_b)).lower()
-                sig = d + a_
-            seg._pending_signal = sig
-            newseg = open_seg(k, path_seq.to_global(nt_subs[sp]))
-            if sp > 0:
-                newseg.acc_prefix = "".join(nt_char(p)
-                                            for p in nt_subs[sp:])
-            seg = newseg
-        if seg is None:
-            seg = open_seg(k, path_seq.to_global(nt_subs[0]))
-        if seg.gfrom == 0:
-            seg.gfrom = path_seq.to_global(nt_subs[0])
         a = int(amino_dsq[i - 1])
-        codon_str = " %c%c%c " % tuple(nt_char(p) for p in nt_subs)
-        seg.ppline += encode_postprob(tr.pp[z])
-        seg.kto = k
-        if s == C.T_M:
-            cons = gm.consensus[k - 1]
-            seg.model += cons
-            seg.aseq += amino_sym[a].upper()
-            seg.ntseq.append(codon_str)
-            cons_digit = gm.abc.inmap.get(cons, -1)
-            if a == cons_digit:
-                seg.mline += cons
-            elif om.rfv[a, k] > 1.0:
-                seg.mline += "+"
-            else:
-                seg.mline += " "
-        else:   # I
-            seg.model += "."
-            seg.aseq += amino_sym[a].upper()
-            seg.ntseq.append(codon_str)
-            seg.mline += " "
-        prev_nt_sub = nt_subs[2]
-    if seg is not None and seg.gto == 0:
-        seg.gto = path_seq.to_global(prev_nt_sub)
+        sp = splits[0] if (splits and prev_nt_sub is not None) else None
 
-    if len(segs) == 0:
+        def p_column(don_sub, acc_sub):
+            """Splice-signal column 'dd$aa' + exon bookkeeping."""
+            d1, d2 = (nt_char(don_sub + 1).lower(),
+                      nt_char(don_sub + 2).lower())
+            a1_, a2_ = (nt_char(acc_sub - 2).lower(),
+                        nt_char(acc_sub - 1).lower())
+            model.append(" ")
+            mline.append(" ")
+            aseq.append(" ")
+            ppl.append(" ")
+            ntcells.append("%s%s$%s%s" % (d1, d2, a1_, a2_))
+            codon.append(0)
+            exon_seq_ends.append(path_seq.to_global(don_sub))
+            exon_seq_starts.append(path_seq.to_global(acc_sub))
+            exon_sigs.append(d1 + d2 + a1_ + a2_)
+            pid_num.append(0)
+            pid_den.append(0)
+
+        if sp is not None and sp > 0:
+            # R column: amino + donor-side partial, model position k
+            if s == C.T_M:
+                mc, ml, ac = match_col(k, a)
+            else:
+                mc, ml, ac = ".", " ", amino_sym[a].lower()
+            model.append(mc)
+            mline.append(ml)
+            aseq.append(ac)
+            ppl.append(encode_postprob(tr.pp[z]))
+            part = "".join(nt_char(p) for p in nt_subs[:sp])
+            ntcells.append(" %-4s" % part)
+            codon.append(sp)
+            pid_den[-1] += 1
+            exon_hmm_ends.append(k)
+            exon_hmm_starts.append(k + 1)
+            p_column(nt_subs[sp - 1], nt_subs[sp])
+            # A column: acceptor partial, blank rows
+            model.append(" ")
+            mline.append(" ")
+            aseq.append(" ")
+            ppl.append(" ")
+            rest = "".join(nt_char(p) for p in nt_subs[sp:])
+            ntcells.append("%4s " % rest)
+            codon.append(3 - sp)
+            prev_nt_sub = nt_subs[2]
+            continue
+        if sp == 0:
+            # intron falls between codons: P column only
+            exon_hmm_ends.append(k - 1)
+            exon_hmm_starts.append(k)
+            p_column(prev_nt_sub, nt_subs[0])
+        if s == C.T_M:
+            mc, ml, ac = match_col(k, a)
+        else:
+            mc, ml, ac = ".", " ", amino_sym[a].lower()
+        model.append(mc)
+        mline.append(ml)
+        aseq.append(ac)
+        ppl.append(encode_postprob(tr.pp[z]))
+        ntcells.append(" %c%c%c " % tuple(nt_char(p) for p in nt_subs))
+        codon.append(3)
+        pid_den[-1] += 1
+        prev_nt_sub = nt_subs[2]
+
+    if not model:
         return None
+    # terminal exon bounds
+    first_nt = int(nuc_idx[3 * (tr.i[z1] - 1)])
+    exon_seq_starts.insert(0, res.iali)
+    exon_seq_ends.append(res.jali)
+    exon_hmm_starts.insert(0, res.ihmm)
+    exon_hmm_ends.append(res.jhmm)
+    exon_sigs.append("----")
+
+    ali = SpliceAli(
+        model="".join(model), mline="".join(mline),
+        aseq="".join(aseq), ppline="".join(ppl),
+        ntseq="".join(ntcells), codon=codon, N=len(model),
+        hmmfrom=res.ihmm, hmmto=res.jhmm,
+        sqfrom=res.iali, sqto=res.jali,
+        exon_seq_starts=exon_seq_starts, exon_seq_ends=exon_seq_ends,
+        exon_hmm_starts=exon_hmm_starts, exon_hmm_ends=exon_hmm_ends)
+    res.ali = ali
 
     # --- per-exon info + scores (ref: p7_splice_ScoreExons) ----------
+    exons: list[ExonInfo] = []
     start_i = tr.i[z1] - 1
     scale = float(np.log(np.maximum(oxf.scale[:start_i + 1],
                                     1e-300)).sum()) \
@@ -261,8 +369,10 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
     remainder = 0
     end_i = start_i
     end_score = start_score
-    for e, seg in enumerate(segs):
-        exon_nuc_len = abs(seg.gto - seg.gfrom) + 1
+    n_exons = len(exon_seq_starts)
+    for e in range(n_exons):
+        gfrom, gto = exon_seq_starts[e], exon_seq_ends[e]
+        exon_nuc_len = abs(gto - gfrom) + 1
         if e > 0:
             if remainder == 1:
                 exon_nuc_len += 1
@@ -287,14 +397,12 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
         score_bits = (exon_score - nullsc) / LOG2
         lnP = exp_logsurv(score_bits, om.evparam[C.EV_FTAU],
                           om.evparam[C.EV_FLAMBDA])
-        npos = sum(1 for cch, ach in zip(seg.model, seg.aseq)
-                   if cch.upper() == ach and cch != ".")
-        nali = max(1, len(seg.aseq.replace("-", "")))
-        info = ExonInfo(hmm_from=seg.kfrom, hmm_to=seg.kto,
-                        seq_from=seg.gfrom, seq_to=seg.gto,
+        info = ExonInfo(hmm_from=exon_hmm_starts[e],
+                        hmm_to=exon_hmm_ends[e],
+                        seq_from=gfrom, seq_to=gto,
                         score=score_bits, lnP=lnP,
-                        pid=100.0 * npos / nali,
-                        signal=getattr(seg, "_pending_signal", "----"))
+                        pid=100.0 * pid_num[e] / max(1, pid_den[e]),
+                        signal=exon_sigs[e])
         # mean posterior over the exon's aminos
         pps = [tr.pp[z] for z in range(z1, z2 + 1)
                if tr.st[z] in (C.T_M, C.T_I)
@@ -303,5 +411,8 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
         exons.append(info)
 
     res.exons = exons
-    res.segments = segs
+    res.M = om.M
+    res.hmmfrom, res.hmmto = res.ihmm, res.jhmm
+    res.exon_cnt = len(exons)
+    res.pid = 100.0 * sum(pid_num) / max(1, sum(pid_den))
     return res

@@ -256,6 +256,9 @@ def align_spliced_path(graph: SpliceGraph, tophits, om, gm, bg, gcode,
     d.ad = res               # carries exons + display segments
 
     replace_hit = tophits.hit[graph.orig_hit_idx[host]]
+    res.L = replace_hit.target_len
+    if res.ali is not None:
+        res.ali.L = res.L
     replace_hit.dcl = [d]
     replace_hit.frameshift = False
     replace_hit.flags = IS_REPORTED | IS_INCLUDED

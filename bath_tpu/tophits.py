@@ -247,13 +247,14 @@ class TopHits:
             else:
                 out.append(">> %s  %s\n" % (showname, desc))
             d = h.dcl[0]
-            if hasattr(d.ad, "segments"):       # spliced hit
+            if getattr(d.ad, "ali", None) is not None:  # spliced hit
                 from .alidisplay import print_splice
                 res = d.ad
-                out.append("    %6s %5s %9s   %8s %9s    %9s %9s    %5s  %9s   %4s\n" % (
-                    "score", "bias", "Evalue", "hmm-from", "hmm-to",
-                    "ali-from", "ali-to", "exons", "sq-len", "acc"))
-                out.append("   %6s %5s %9s   %8s   %7s    %9s %9s    %5s  %9s   %4s\n" % (
+                out.append("   %6s %5s %9s %10s %9s    %9s %9s    %5s  %9s   %4s\n" % (
+                    "score", "bias", "   Evalue", "hmm-from",
+                    " hmm-to", " ali-from", "   ali-to", "exons",
+                    "   sq-len", "acc"))
+                out.append("   %6s %5s %9s %10s %9s    %9s %9s    %5s  %9s   %4s\n" % (
                     "------", "-----", "---------", "--------",
                     "-------", "---------", "---------", "-----",
                     "---------", "----"))
@@ -263,7 +264,9 @@ class TopHits:
                     res.ihmm, res.jhmm,
                     "[" if res.ihmm == 1 else ".",
                     "]" if res.jhmm == pli.nnodes else ".",
-                    res.iali, res.jali, ".", ".",
+                    res.iali, res.jali,
+                    "[" if res.iali == 1 else ".",
+                    "]" if res.jali == h.target_len else ".",
                     len(res.exons), h.target_len,
                     d.oasc / (1.0 + abs(float(d.jenv - d.ienv) / 3))))
                 if pli.show_alignments:
@@ -397,30 +400,38 @@ class TopHits:
         out = []
         tnamew = max(20, self._max_name_len())
         qnamew = max(20, len(qname))
+        qaccw = max(10, len(qacc)) if qacc else 10
+        taccw = 10
+        posw = max(9, self._max_pos_len())
         if show_header:
-            f1 = "#{:>7s} {:<{tw}s} {:<10s} {:<{qw}s} {:<10s} {:>9s} {:>9s} {:>9s} {:>6s} {:>5s} {:>3s} {:>3s} {:>9s} {:>9s} {:>9s} {:>9s} {:>9s} {:>5s} {:>7s}\n"
-            lead = len(f1.format("hit ID", "target name", "accession",
-                                 "query name", "accession", "", "", "",
-                                 "", "", "", "", "", "", "", "", "", "",
-                                 "", tw=tnamew, qw=qnamew))
-            h1 = f1.format(" hit ID", "target name", "accession",
-                           "query name", "accession", "hmm len",
-                           "seq len", "E-value", "score", "bias",
-                           "#", "of", "hmm from", "hmm to",
-                           "ali from", "ali to", "P-value", "PID",
-                           "splice", tw=tnamew, qw=qnamew)
-            h2 = f1.format("-" * 7, "-" * tnamew, "-" * 10,
-                           "-" * qnamew, "-" * 10, "-" * 9,
-                           "-" * 9, "-" * 9, "-" * 6, "-" * 5,
-                           "-" * 3, "-" * 3, "-" * 9, "-" * 9,
-                           "-" * 9, "-" * 9, "-" * 9, "-" * 5,
-                           "-" * 7, tw=tnamew, qw=qnamew)
+            out.append("#%*s %22s %47s \n" % (
+                tnamew + qnamew + 31 + taccw + qaccw, "",
+                "------ full hit ------ ",
+                "----------------------------- this exon "
+                "------------------------------"))
+            h1 = ("#%7s %-*s %-*s %-*s %-*s %9s %9s %9s %6s %5s %3s"
+                  " %3s %9s %9s %9s %9s %9s %5s %7s" % (
+                      " hit ID", tnamew, " target name",
+                      taccw, " accession", qnamew, " query name",
+                      qaccw, " accession", "  hmm len", "  seq len",
+                      "  E-value", " score", " bias", "  #", " of",
+                      " hmm from", "   hmm to", " ali from",
+                      "   ali to", "  P-value", "  PID", " splice"))
+            h2 = ("#%7s %-*s %-*s %-*s %-*s %9s %9s %9s %6s %5s %3s"
+                  " %3s %9s %9s %9s %9s %9s %5s %7s" % (
+                      "-------", tnamew, "-------------------",
+                      taccw, "----------", qnamew,
+                      "--------------------", qaccw, "----------",
+                      "---------", "---------", "---------",
+                      "------", "-----", "---", "---", "---------",
+                      "---------", "---------", "---------",
+                      "---------", "-----", "-------"))
             if node_info:
                 # ref: p7_tophits_TabularExons :1757 (--nodeinfo)
-                h1 = h1[:-1] + " %7s %7s\n" % ("anchor", "extend")
-                h2 = h2[:-1] + " %7s %7s\n" % ("-" * 7, "-" * 7)
-            out.append(h1)
-            out.append(h2)
+                h1 += " %7s %7s" % (" anchor", " extend")
+                h2 += " %7s %7s" % ("-------", "-------")
+            out.append(h1 + "\n")
+            out.append(h2 + "\n")
         hitid = 0
         for h in self.hit:
             if not (h.flags & IS_REPORTED):
@@ -432,19 +443,20 @@ class TopHits:
             res = d.ad
             nex = len(res.exons)
             for e, x in enumerate(res.exons, 1):
-                ln = ("%8d %-*s %-10s %-*s %-10s %9d %9d %9.2g"
-                      " %6.1f %5.1f %3d %3d %9d %9d %9d %9d %9.2g"
-                      " %5.2f %7s" % (
-                          hitid, tnamew, h.name, h.acc or "-",
-                          qnamew, qname, qacc or "-", pli.nnodes,
+                ln = ("%8d %-*s %-*s %-*s %-*s %9d %*d %9.2g"
+                      " %6.1f %5.1f %3d %3d %9d %9d %*d %*d %9.2g"
+                      " %5.2f %7s " % (
+                          hitid, tnamew, h.name, taccw, h.acc or "-",
+                          qnamew, qname, qaccw, qacc or "-",
+                          pli.nnodes, posw,
                           h.target_len, math.exp(h.lnP), h.score,
                           d.dombias / C.CONST_LOG2, e, nex,
-                          x.hmm_from, x.hmm_to, x.seq_from,
-                          x.seq_to, math.exp(x.lnP), x.pid,
+                          x.hmm_from, x.hmm_to, posw, x.seq_from,
+                          posw, x.seq_to, math.exp(x.lnP), x.pid,
                           x.signal if e < nex else "----"))
                 if node_info:
                     # ref: p7_tophits_TabularExons :1828
-                    ln += " %7s %7s" % (
+                    ln = ln[:-1] + " %7s %7s " % (
                         "True" if (nex == 1 or x.anchor) else "False",
                         "True" if (nex > 1 and x.extend) else "False")
                 out.append(ln + "\n")

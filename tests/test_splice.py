@@ -54,10 +54,12 @@ def test_spliced_viterbi_junction_recovery(gm1):
     assert tr.vitsc > 50
 
 
-def _run_splice(hmmfile, fafile, extbl=None):
+def _run_splice(hmmfile, fafile, extbl=None, tbl=None):
     cmd = [sys.executable, "-m", "bath_tpu.cli.bathsearch", "--splice"]
     if extbl:
         cmd += ["--exontblout", extbl]
+    if tbl:
+        cmd += ["--tblout", tbl]
     cmd += [hmmfile, fafile]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
                        cwd="/root/repo")
@@ -65,26 +67,34 @@ def _run_splice(hmmfile, fafile, extbl=None):
     return r.stdout
 
 
+def _strip_run_meta(text):
+    """Drop run-specific lines (banner, paths, timing) before
+    byte-comparison against a committed golden."""
+    drop = ("# BATH", "# bath_tpu", "# Freely", "# - - -", "# query",
+            "# target", "# output", "# per-seq", "# enable",
+            "# Program:", "# Version:", "# Pipeline", "# Date:",
+            "# Current", "# Option", "# Query file", "# Target file",
+            "# CPU time", "# Mc/sec", "# bathsearch")
+    return [ln for ln in text.splitlines()
+            if not any(ln.startswith(p) for p in drop)]
+
+
 def test_splice_pthr37536_vs_golden(tmp_path):
-    """The tutorial's 4-exon case: exon count and all three intron
-    junction coordinates must match the golden extbl exactly; scores
-    within numeric-path tolerance."""
+    """The tutorial's 4-exon case is byte-exact vs the committed
+    goldens: the .out alignment display (exon blocks, split-codon
+    R/P/A columns, signal coords), the per-exon table, and the
+    per-seq table (PTHR37536.out/.extbl/.tbl)."""
     extbl = str(tmp_path / "our.extbl")
+    tbl = str(tmp_path / "our.tbl")
     out = _run_splice(f"{TUT}/PTHR37536.bhmm",
-                      f"{TUT}/target-PTHR37536.fa", extbl)
-    rows = [ln.split() for ln in open(extbl)
-            if ln.strip() and not ln.startswith("#")]
-    assert len(rows) == 4, out
-    # columns: ... # of hmm_from hmm_to ali_from ali_to P pid splice
-    ali = [(int(r[14]), int(r[15])) for r in rows]
-    # junctions (intron boundaries) exact vs golden PTHR37536.extbl
-    assert ali[0][1] == 491 and ali[1][0] == 577
-    assert ali[1][1] == 600 and ali[2][0] == 687
-    assert ali[2][1] == 798 and ali[3][0] == 952
-    score = float(rows[0][8])
-    assert abs(score - 87.9) < 4.0
-    sigs = [r[18] for r in rows]
-    assert sigs == ["gtag", "gtag", "gtag", "----"]
+                      f"{TUT}/target-PTHR37536.fa", extbl, tbl)
+    want = _strip_run_meta(open(f"{TUT}/PTHR37536.out").read())
+    got = _strip_run_meta(out)
+    assert got == want
+    assert _strip_run_meta(open(extbl).read()) == \
+        _strip_run_meta(open(f"{TUT}/PTHR37536.extbl").read())
+    assert _strip_run_meta(open(tbl).read()) == \
+        _strip_run_meta(open(f"{TUT}/PTHR37536.tbl").read())
 
 
 def test_splice_tmem258_merges_exons():
