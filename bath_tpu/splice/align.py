@@ -233,6 +233,7 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
     exon_sigs = []              # signal of the intron FOLLOWING exon x
     pid_num = [0]
     pid_den = [0]
+    kinds = []                  # per-column state: M I D R RI P A
     prev_nt_sub = None
 
     def match_col(kk, aa):
@@ -258,6 +259,7 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
             ppl.append(".")
             ntcells.append(" --- ")
             codon.append(0)
+            kinds.append("D")
             pid_den[-1] += 1
             continue
         # M or I consumes amino i -> nts 3i-2..3i of the spliced seq
@@ -285,6 +287,7 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
             ppl.append(" ")
             ntcells.append("%s%s$%s%s" % (d1, d2, a1_, a2_))
             codon.append(0)
+            kinds.append("P")
             exon_seq_ends.append(path_seq.to_global(don_sub))
             exon_seq_starts.append(path_seq.to_global(acc_sub))
             exon_sigs.append(d1 + d2 + a1_ + a2_)
@@ -304,6 +307,7 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
             part = "".join(nt_char(p) for p in nt_subs[:sp])
             ntcells.append(" %-4s" % part)
             codon.append(sp)
+            kinds.append("R" if s == C.T_M else "RI")
             pid_den[-1] += 1
             exon_hmm_ends.append(k)
             exon_hmm_starts.append(k + 1)
@@ -316,6 +320,7 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
             rest = "".join(nt_char(p) for p in nt_subs[sp:])
             ntcells.append("%4s " % rest)
             codon.append(3 - sp)
+            kinds.append("A")
             prev_nt_sub = nt_subs[2]
             continue
         if sp == 0:
@@ -333,6 +338,7 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
         ppl.append(encode_postprob(tr.pp[z]))
         ntcells.append(" %c%c%c " % tuple(nt_char(p) for p in nt_subs))
         codon.append(3)
+        kinds.append("M" if s == C.T_M else "I")
         pid_den[-1] += 1
         prev_nt_sub = nt_subs[2]
 
@@ -355,6 +361,42 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
         exon_seq_starts=exon_seq_starts, exon_seq_ends=exon_seq_ends,
         exon_hmm_starts=exon_hmm_starts, exon_hmm_ends=exon_hmm_ends)
     res.ali = ali
+
+    # --- spliced CIGAR in nt units: split codons flush M/I runs at
+    # the R column, introns are N records, the acceptor partial joins
+    # the next run (ref: show_cigar blocks of alidisplay_splice_Create)
+    cg = []
+    run = 0
+    nc = len(kinds)
+    px = 0                      # intron index for P columns
+    for j, kd in enumerate(kinds):
+        nxt = kinds[j + 1] if j + 1 < nc else None
+        if kd in ("M", "I", "D"):
+            run += 3
+            ends = {"M": ("M", "R"), "I": ("I", "RI"),
+                    "D": ("D",)}[kd]
+            if nxt not in ends:
+                cg.append("%d%s" % (run, kd))
+                run = 0
+        elif kd in ("R", "RI"):
+            run += codon[j]
+            cg.append("%d%s" % (run, "M" if kd == "R" else "I"))
+            run = 0
+        elif kd == "P":
+            intron = abs(exon_seq_starts[px + 1] -
+                         exon_seq_ends[px]) - 1
+            cg.append("%dN" % intron)
+            px += 1
+        else:                   # A
+            run += codon[j]
+            if j >= 2 and kinds[j - 2] == "R" and nxt != "M":
+                cg.append("%dM" % run)
+                run = 0
+            elif j >= 2 and kinds[j - 2] == "RI" and nxt != "I":
+                cg.append("%dI" % run)
+                run = 0
+    res.cigar = "".join(cg)
+    ali.cigar = res.cigar
 
     # --- per-exon info + scores (ref: p7_splice_ScoreExons) ----------
     exons: list[ExonInfo] = []

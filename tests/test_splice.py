@@ -145,3 +145,64 @@ def test_splice_end_extension_recovers_small_exon(tmp_path):
     # spliced hit covers both exons (starts at the tiny exon0) with 2 exons
     assert int(cols[4]) == 61 and int(cols[5]) == 546
     assert cols[6] == "2"
+
+
+def test_splice_revcomp_strand_symmetry(tmp_path):
+    """Splicing the reverse-complemented tmem-258 target yields the
+    same 2-exon hit with the same score/E-value and mirrored genomic
+    coordinates (minus-strand graph, PathSeq revcomp conventions)."""
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    lines = open(f"{TS}/tmem-258.fa").read().splitlines()
+    seq = "".join(l for l in lines if not l.startswith(">"))
+    rc = "".join(comp.get(c.upper(), "N") for c in reversed(seq))
+    fa = tmp_path / "rc.fa"
+    with open(fa, "w") as f:
+        f.write(">tmem_rc\n")
+        for i in range(0, len(rc), 60):
+            f.write(rc[i:i + 60] + "\n")
+    fwd = _run_splice(f"{TS}/tmem-258.bhmm", f"{TS}/tmem-258.fa")
+    rev = _run_splice(f"{TS}/tmem-258.bhmm", str(fa))
+
+    def hitline(out, name):
+        for ln in out.splitlines():
+            if name in ln and ln.strip() and ln.strip()[0].isdigit():
+                return ln.split()
+        raise AssertionError(out)
+
+    hf = hitline(fwd, "test_splice")
+    hr = hitline(rev, "tmem_rc")
+    assert hf[0:3] == hr[0:3]          # E-value, score, bias identical
+    L = len(seq)
+    assert int(hr[4]) == L - int(hf[4]) + 1
+    assert int(hr[5]) == L - int(hf[5]) + 1
+    assert hf[6] == hr[6] == "2"
+
+
+def test_splice_cigar(tmp_path):
+    """--cigar with --splice: nt-unit CIGAR with N records for introns;
+    M/I consumption per exon must reconcile with the exon table, and
+    split codons contribute their partial lengths across the intron."""
+    tbl = str(tmp_path / "c.tbl")
+    cmd = [sys.executable, "-m", "bath_tpu.cli.bathsearch", "--splice",
+           "--cigar", "--tblout", tbl, "-o", "/dev/null",
+           f"{TUT}/PTHR37536.bhmm", f"{TUT}/target-PTHR37536.fa"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    row = [ln for ln in open(tbl) if not ln.startswith("#")][0].split()
+    cigar = row[-1]
+    assert cigar == ("210M3D66M3I94M85N24M86N38M3I60M3D11M153N"
+                     "28M6D21M3D129M3I27M")
+    # target-nt consumption (M+I, not D/N) per exon segment matches
+    # the golden exon spans 373/24/112/208
+    import re
+    spans = []
+    cons = 0
+    for n, op in re.findall(r"(\d+)([MIDN])", cigar):
+        if op == "N":
+            spans.append(cons)
+            cons = 0
+        elif op in ("M", "I"):
+            cons += int(n)
+    spans.append(cons)
+    assert spans == [373, 24, 112, 208]
