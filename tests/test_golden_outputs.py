@@ -170,3 +170,21 @@ def test_pthr37536_nonsplice(tmp_path):
             if re.match(r"^ +[0-9.e-]+ +[0-9.]+ ", ln)]
     assert len(hits) == 2
     assert "119" in hits[0] and "478" in hits[0]
+
+
+def test_amp_n_fs_tbl_cigar(tmp_path):
+    """--fs --cigar tabular vs golden AMP_N-fs.tbl: frameshift CIGAR
+    with F (+1nt) / B (-1nt) ops, PID, shift/stop counts byte-exact."""
+    out = tmp_path / "f.out"
+    tbl = tmp_path / "f.tbl"
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch", "--fs",
+         "-o", str(out), "--tblout", str(tbl), "--cigar",
+         f"{TUT}/AMP_N.bhmm", f"{TUT}/target-AMP_N.fa"],
+        capture_output=True, text=True, timeout=1200, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = [l for l in tbl.read_text().splitlines()
+           if not l.startswith("#") or l.startswith("#-")]
+    want = [l for l in open(f"{TUT}/AMP_N-fs.tbl").read().splitlines()
+            if not l.startswith("#") or l.startswith("#-")]
+    assert got == want
