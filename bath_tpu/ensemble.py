@@ -200,49 +200,72 @@ def cluster_segments(samples, nsamples, min_overlap, of_smaller,
     n = len(samples)
     if n == 0:
         return []
-    parent = list(range(n))
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    for a in range(n):
-        for b in range(a + 1, n):
-            if _link(samples[a], samples[b], min_overlap, of_smaller,
-                     max_diagdiff, fs):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[rb] = ra
+    # vectorized pairwise _link (same float-division comparisons as
+    # the scalar predicate, so boundary cases agree bit-for-bit)
+    arr = np.asarray([s[:5] for s in samples], dtype=np.int64)
+    iv, jv, kv, mv = arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4]
+    len_s = jv - iv + 1
+    nov_s = (np.minimum.outer(jv, jv)
+             - np.maximum.outer(iv, iv) + 1).astype(np.float64)
+    ns = (np.minimum.outer(len_s, len_s) if of_smaller
+          else np.maximum.outer(len_s, len_s)).astype(np.float64)
+    len_k = mv - kv + 1
+    nov_k = (np.minimum.outer(mv, mv)
+             - np.maximum.outer(kv, kv)).astype(np.float64)
+    nk = (np.minimum.outer(len_k, len_k) if of_smaller
+          else np.maximum.outer(len_k, len_k)).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ok = ((ns > 0) & ~(nov_s / ns < min_overlap)
+              & (nk > 0) & ~(nov_k / nk < min_overlap))
+    if fs:
+        d1 = iv // 3 - kv
+        d2 = jv // 3 - mv
+    else:
+        d1 = iv - kv
+        d2 = jv - mv
+    ok &= ((np.abs(d1[:, None] - d1[None, :]) <= max_diagdiff)
+           | (np.abs(d2[:, None] - d2[None, :]) <= max_diagdiff))
+    # connected components by vectorized BFS (importing scipy.csgraph
+    # costs ~0.9s of startup; n is at most a few thousand here)
+    labels = np.full(n, -1, np.int64)
+    ncomp = 0
+    for s0 in range(n):
+        if labels[s0] >= 0:
+            continue
+        seen = np.zeros(n, bool)
+        seen[s0] = True
+        frontier = seen.copy()
+        while frontier.any():
+            nxt = ok[frontier].any(axis=0) & ~seen
+            seen |= nxt
+            frontier = nxt
+        labels[seen] = ncomp
+        ncomp += 1
     clusters: dict[int, list[int]] = {}
     for a in range(n):
-        clusters.setdefault(find(a), []).append(a)
+        clusters.setdefault(int(labels[a]), []).append(a)
 
     sigc = []
     for members in clusters.values():
+        mem = np.asarray(members, np.int64)
         # posterior prob: distinct sample indices in the cluster
-        ninc = len({samples[h][0] for h in members})
+        ninc = int(np.unique(arr[mem, 0]).size)
         if ninc / nsamples < min_posterior:
             continue
         epc_threshold = math.ceil(ninc * min_endpointp)
 
         def consensus(vals, leftmost):
-            vmin, vmax = min(vals), max(vals)
-            counts = np.zeros(vmax - vmin + 1, np.int64)
-            for v in vals:
-                counts[v - vmin] += 1
-            rng_iter = range(vmin, vmax + 1) if leftmost \
-                else range(vmax, vmin - 1, -1)
-            for v in rng_iter:
-                if counts[v - vmin] >= epc_threshold:
-                    return v
+            vmin = int(vals.min())
+            counts = np.bincount(vals - vmin)
+            hit = np.nonzero(counts >= epc_threshold)[0]
+            if hit.size:
+                return vmin + int(hit[0] if leftmost else hit[-1])
             return vmin + int(np.argmax(counts))
 
-        best_i = consensus([samples[h][1] for h in members], True)
-        best_j = consensus([samples[h][2] for h in members], False)
-        best_k = consensus([samples[h][3] for h in members], True)
-        best_m = consensus([samples[h][4] for h in members], False)
+        best_i = consensus(arr[mem, 1], True)
+        best_j = consensus(arr[mem, 2], False)
+        best_k = consensus(arr[mem, 3], True)
+        best_m = consensus(arr[mem, 4], False)
         if best_i > best_j or best_k > best_m:
             continue
         sigc.append((best_i, best_j, best_k, best_m, ninc / nsamples))
@@ -337,6 +360,11 @@ def stochastic_trace_fs5(r: Randomness, dsq: np.ndarray, om_fs,
     matrix (ops/reference/fwdback_fs.FSMatrix).  M steps carry their
     sampled codon length in tr.c."""
     from .ops.reference import fwdback_fs as ffs
+
+    from .native import fs5_stotrace_native
+    ntr = fs5_stotrace_native(r, om_fs, fx)
+    if ntr is not None:
+        return ntr
 
     L, M = fx.L, fx.M
     xf = om_fs.xf

@@ -230,6 +230,13 @@ def _bind_filters(lib):
         + [F32C] * 8 + [F32C]          # tBM..tII, xff
         + [F32C] * 3 + [F32C] * 5      # mm, im, dm, xE..xC
         + [ctypes.POINTER(ctypes.c_float)])
+    lib.bio_fs_domain_decoding.restype = None
+    lib.bio_fs_domain_decoding.argtypes = (
+        [ctypes.c_int64]
+        + [F32C] * 2                   # fscale, bscale
+        + [F32C] * 5 + [F32C] * 5      # fwd/bwd specials
+        + [ctypes.c_float] * 3 + [ctypes.c_double]
+        + [F32C] * 3)                  # btot, etot, mocc
 
 
 _FILTER_CACHE: dict = {}
@@ -841,3 +848,98 @@ def fs5_optacc_native(om_fs, pp):
         ox.mm, ox.im, ox.dm, ox.xE, ox.xN, ox.xJ, ox.xB, ox.xC,
         ctypes.byref(out))
     return ox, float(out.value)
+
+
+def fs_domain_decoding_native(om_fs, oxf, oxb, log_inv_Z):
+    """btot/etot/mocc for the fs domain decoder; bit-identical to the
+    numpy loop in fwdback_fs.domain_decoding_fs.  None if the library
+    is absent."""
+    lib = _fs5_lib()
+    if lib is None:
+        return None
+    from .. import constants as C
+    L = oxf.L
+    F32 = np.float32
+    btot = np.zeros(L + 1, F32)
+    etot = np.zeros(L + 1, F32)
+    mocc = np.zeros(L + 1, F32)
+
+    def c32(a):
+        if a.dtype != np.float32 or not a.flags.c_contiguous:
+            return np.ascontiguousarray(a, dtype=np.float32)
+        return a
+
+    bscale = oxb.scale
+    xf = om_fs.xf
+    lib.bio_fs_domain_decoding(
+        L, c32(oxf.scale), c32(bscale),
+        c32(oxf.xB), c32(oxf.xE), c32(oxf.xN), c32(oxf.xJ),
+        c32(oxf.xC),
+        c32(oxb.xB), c32(oxb.xE), c32(oxb.xN), c32(oxb.xJ),
+        c32(oxb.xC),
+        float(xf[C.X_N, C.LOOP]), float(xf[C.X_J, C.LOOP]),
+        float(xf[C.X_C, C.LOOP]), float(log_inv_Z),
+        btot, etot, mocc)
+    return btot, etot, mocc
+
+
+def _bind_stotrace(lib):
+    if getattr(lib, "_stotrace_bound", False):
+        return
+    F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    U32C = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.bio_fs5_stotrace.restype = ctypes.c_int64
+    lib.bio_fs5_stotrace.argtypes = (
+        [ctypes.c_int64, ctypes.c_int]
+        + [F32C] * 3                   # mc, im, dm
+        + [F32C] * 6                   # xB xC xE xN xJ scale
+        + [F32C] * 8 + [F32C]          # transitions, xff
+        + [U32C, ctypes.POINTER(ctypes.c_int32)]
+        + [I32P] * 4 + [ctypes.c_int64])
+    lib._stotrace_bound = True
+
+
+def fs5_stotrace_native(r, om_fs, fx):
+    """One sampled fs5 trace; bit-identical to
+    ensemble.stochastic_trace_fs5 including the consumed MT19937
+    stream.  None if the library is absent or the sampler errored
+    (RNG state is then untouched, so the Python path can retry)."""
+    lib = _fs5_lib()
+    if lib is None:
+        return None
+    _bind_stotrace(lib)
+    from ..ops.reference import fwdback_fs as ffs
+    from ..ops.reference.fwdback import Trace
+    L, M = fx.L, fx.M
+    tv = ffs._trans_views_fs(om_fs)
+
+    def c32(a):
+        if a.dtype != np.float32 or not a.flags.c_contiguous:
+            return np.ascontiguousarray(a, dtype=np.float32)
+        return a
+
+    mt32 = r._mt.astype(np.uint32)
+    mti = ctypes.c_int32(r._mti)
+    cap = 2 * (L + 8)
+    st = np.empty(cap, np.int32)
+    kk = np.empty(cap, np.int32)
+    ii = np.empty(cap, np.int32)
+    cc = np.empty(cap, np.int32)
+    n = lib.bio_fs5_stotrace(
+        L, M, c32(fx.mc), c32(fx.im), c32(fx.dm),
+        c32(fx.xB), c32(fx.xC), c32(fx.xE), c32(fx.xN), c32(fx.xJ),
+        c32(fx.scale), *[c32(t) for t in tv], _xff_of(om_fs),
+        mt32, ctypes.byref(mti), st, kk, ii, cc, cap)
+    if n < 0:
+        return None
+    r._mt[:] = mt32
+    r._mti = int(mti.value)
+    tr = Trace()
+    tr.st = st[:n][::-1].tolist()
+    tr.k = kk[:n][::-1].tolist()
+    tr.i = ii[:n][::-1].tolist()
+    tr.c = cc[:n][::-1].tolist()
+    tr.pp = [0.0] * n
+    tr.sp = [-1] * n
+    tr.M, tr.L = M, L
+    return tr

@@ -440,6 +440,13 @@ def domain_decoding_fs(om: FSOProfile, oxf: PMatrix, oxb: PMatrix
             np.log(oxb.xN[0]) + log_sbck[0],
             flogsum(np.log(oxb.xN[1]) + log_sbck[1],
                     np.log(oxb.xN[2]) + log_sbck[2])))
+    if np.isinf(log_inv_Z):
+        raise RangeError("fs domain decoding overflow")
+    if _use_native_fs5:
+        from ...native import fs_domain_decoding_native
+        r = fs_domain_decoding_native(om, oxf, oxb, log_inv_Z)
+        if r is not None:
+            return r
     btot = np.zeros(L + 1, F32)
     etot = np.zeros(L + 1, F32)
     mocc = np.zeros(L + 1, F32)

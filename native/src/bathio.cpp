@@ -15,6 +15,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <cstdio>
 
 extern "C" {
@@ -1579,6 +1580,250 @@ void bio_fs5_optacc_fill(int64_t L, int M,
         xBv[i] = t1 > t2 ? t1 : t2;
     }
     *out_ret = (xCv[L] + xCv[L - 1]) + xCv[L - 2];
+}
+
+// Frameshift domain decoding: btot/etot/mocc arrays from the fs3
+// parser Forward/Backward specials (ref: decoding_fs.c
+// p7_DomainDecoding_Frameshift :242; bit-exact transcription of
+// fwdback_fs.py domain_decoding_fs — f32 pair products promoted to
+// f64 against exp(), per-step f32 rounding of the stride-3 chains).
+void bio_fs_domain_decoding(int64_t L,
+    const float* fscale, const float* bscale,
+    const float* fxB, const float* fxE, const float* fxN,
+    const float* fxJ, const float* fxC,
+    const float* bxB, const float* bxE, const float* bxN,
+    const float* bxJ, const float* bxC,
+    float nloop, float jloop, float cloop,
+    double log_inv_Z,
+    float* btot, float* etot, float* mocc) {
+    double* lsf = new double[L + 2];
+    double* lsb = new double[L + 2];
+    lsf[0] = log((double)fscale[0]);
+    for (int64_t i = 1; i <= L; i++)
+        lsf[i] = lsf[i - 1] + log((double)fscale[i]);
+    lsb[L + 1] = 0.0;
+    for (int64_t i = L; i >= 0; i--)
+        lsb[i] = lsb[i + 1] + log((double)bscale[i]);
+    for (int64_t i = 0; i <= L; i++) btot[i] = etot[i] = mocc[i] = 0.f;
+    for (int64_t i = 3; i <= L; i++) {
+        btot[i] = (float)((double)btot[i - 3]
+            + (double)(fxB[i - 3] * bxB[i - 3])
+            * exp(lsf[i - 3] + lsb[i - 3] + log_inv_Z));
+        etot[i] = (float)((double)etot[i - 3]
+            + (double)(fxE[i] * bxE[i])
+            * exp(lsf[i] + lsb[i] + log_inv_Z));
+        double njcp = 0.0;
+        const int64_t los[3] = {i - 3, i - 2, i - 1};
+        const int64_t his[3] = {i, i + 1, i + 2};
+        for (int t = 0; t < 3; t++) {
+            int64_t lo = los[t], hi = his[t];
+            if (hi > L) continue;
+            double f = exp(lsf[lo] + lsb[hi] + log_inv_Z);
+            njcp += (double)(fxN[lo] * bxN[hi] * nloop) * f;
+            njcp += (double)(fxJ[lo] * bxJ[hi] * jloop) * f;
+            njcp += (double)(fxC[lo] * bxC[hi] * cloop) * f;
+        }
+        mocc[i] = 1.0f - (float)njcp;
+    }
+    delete[] lsf;
+    delete[] lsb;
+}
+
+// ---------------------------------------------------------------------
+// Frameshift 5-codon stochastic traceback (ref: stotrace_fs.c
+// p7_StochasticTrace_Frameshift :72; bit-exact transcription of
+// ensemble.stochastic_trace_fs5 including the MT19937 stream and the
+// f32-accumulated total in the E-state choose).
+// ---------------------------------------------------------------------
+static uint32_t bio_mt_u32(uint32_t* mt, int32_t* mti) {
+    if (*mti >= 624) {
+        for (int i = 0; i < 624; i++) {
+            uint32_t y = (mt[i] & 0x80000000u)
+                | (mt[(i + 1) % 624] & 0x7fffffffu);
+            mt[i] = mt[(i + 397) % 624] ^ (y >> 1)
+                ^ ((y & 1u) ? 0x9908b0dfu : 0u);
+        }
+        *mti = 0;
+    }
+    uint32_t y = mt[(*mti)++];
+    y ^= y >> 11;
+    y ^= (y << 7) & 0x9d2c5680u;
+    y ^= (y << 15) & 0xefc60000u;
+    y ^= y >> 18;
+    return y;
+}
+
+static double bio_mt_rand(uint32_t* mt, int32_t* mti) {
+    return bio_mt_u32(mt, mti) / 4294967296.0;
+}
+
+// choose over double weights (Python-float tuples: f64 sum + scan)
+static int bio_choose_d(uint32_t* mt, int32_t* mti,
+                        const double* w, int n) {
+    double tot = 0.0;
+    for (int a = 0; a < n; a++) tot += w[a];
+    if (tot <= 0.0) return 0;
+    double roll = bio_mt_rand(mt, mti) * tot;
+    double s = 0.0;
+    for (int a = 0; a < n; a++) {
+        s += w[a];
+        if (roll < s) return a;
+    }
+    return n - 1;
+}
+
+// choose over the E-state's concatenated f32 rows: the total
+// accumulates in f32 (Python sum() over a float32 ndarray), the scan
+// in f64
+static int bio_choose_e(uint32_t* mt, int32_t* mti,
+                        const float* w1, const float* w2, int n) {
+    float tot32 = 0.f;
+    for (int a = 0; a < n; a++) tot32 += w1[a];
+    for (int a = 0; a < n; a++) tot32 += w2[a];
+    double tot = (double)tot32;
+    if (tot <= 0.0) return 0;
+    double roll = bio_mt_rand(mt, mti) * tot;
+    double s = 0.0;
+    for (int a = 0; a < n; a++) {
+        s += (double)w1[a];
+        if (roll < s) return a;
+    }
+    for (int a = 0; a < n; a++) {
+        s += (double)w2[a];
+        if (roll < s) return n + a;
+    }
+    return 2 * n - 1;
+}
+
+// codon-length choice: 5 Python-float weights mc[1..5][i][k]
+static int bio_choose_c(uint32_t* mt, int32_t* mti, const float* mc,
+                        int64_t stride_c, int64_t row_off) {
+    double w[5];
+    for (int cc = 1; cc <= 5; cc++)
+        w[cc - 1] = (double)mc[cc * stride_c + row_off];
+    return 1 + bio_choose_d(mt, mti, w, 5);
+}
+
+int64_t bio_fs5_stotrace(int64_t L, int M,
+    const float* mc, const float* im, const float* dm,
+    const float* xB, const float* xC, const float* xE,
+    const float* xN, const float* xJ, const float* scale,
+    const float* tBM, const float* tMM, const float* tIM,
+    const float* tDM, const float* tMD, const float* tDD,
+    const float* tMI, const float* tII,
+    const float* xff,
+    uint32_t* mt, int32_t* mti_io,
+    int32_t* o_st, int32_t* o_k, int32_t* o_i, int32_t* o_c,
+    int64_t max_out) {
+    // state codes match bath_tpu.constants (T_M..T_T)
+    enum { T_M = 1, T_D = 2, T_I = 3, T_S = 4, T_N = 5, T_B = 6,
+           T_E = 7, T_C = 8, T_T = 9, T_J = 10, T_X = 11 };
+    const double nloop = (double)xff[0], nmove = (double)xff[1];
+    const double jloop = (double)xff[2], jmove = (double)xff[3];
+    const double cloop = (double)xff[4];
+    const double eloop = (double)xff[6], emove = (double)xff[7];
+    const int W = M + 1;
+    const int64_t stride_c = (int64_t)(L + 1) * W;
+    int32_t mti = *mti_io;
+    int64_t n = 0;
+#define EMIT(S, K, I, Cc) do { \
+    if (n >= max_out) return -1; \
+    o_st[n] = (S); o_k[n] = (K); o_i[n] = (I); o_c[n] = (Cc); n++; \
+} while (0)
+
+    EMIT(T_T, 0, 0, 0);
+    double wterm[3];
+    wterm[0] = (double)xC[L];
+    wterm[1] = (L >= 1) ? (double)xC[L - 1] * cloop / (double)scale[L]
+                        : 0.0;
+    wterm[2] = (L >= 2) ? (double)xC[L - 2] * cloop
+        / ((double)scale[L] * (double)scale[L - 1]) : 0.0;
+    int64_t i = L - bio_choose_d(mt, &mti, wterm, 3);
+    EMIT(T_C, 0, (int32_t)i, 0);
+    int k = 0, c = 0;
+    int st = T_C, nxt = T_C;
+    while (st != T_S) {
+        if (st == T_C) {
+            double w[2];
+            if (i >= 3) {
+                double adj = (double)scale[i] * (double)scale[i - 1]
+                    * (double)scale[i - 2];
+                w[0] = (double)xC[i - 3] * cloop / adj;
+            } else w[0] = 0.0;
+            w[1] = (double)xE[i] * emove;
+            nxt = (bio_choose_d(mt, &mti, w, 2) == 0) ? T_C : T_E;
+            if (nxt == T_C) i -= 3;
+        } else if (st == T_E) {
+            const float* m0 = mc + 0 * stride_c + i * W + 1;
+            const float* d0 = dm + i * W + 1;
+            int sel = bio_choose_e(mt, &mti, m0, d0, M);
+            if (sel < M) {
+                k = sel + 1;
+                c = bio_choose_c(mt, &mti, mc, stride_c, i * W + k);
+                nxt = T_M;
+            } else { nxt = T_D; k = sel - M + 1; c = 0; }
+        } else if (st == T_M) {
+            int64_t ip = i - c;
+            double w[4];
+            w[0] = (double)xB[ip] * (double)tBM[k];
+            w[1] = (double)mc[0 * stride_c + ip * W + k - 1]
+                * (double)tMM[k];
+            w[2] = (double)im[ip * W + k - 1] * (double)tIM[k];
+            w[3] = (double)dm[ip * W + k - 1] * (double)tDM[k];
+            static const int nxts[4] = { T_B, T_M, T_I, T_D };
+            nxt = nxts[bio_choose_d(mt, &mti, w, 4)];
+            i = ip;
+            k -= 1;
+            if (nxt == T_M)
+                c = bio_choose_c(mt, &mti, mc, stride_c, i * W + k);
+        } else if (st == T_D) {
+            double w[2];
+            w[0] = (double)mc[0 * stride_c + i * W + k - 1]
+                * (double)tMD[k];
+            w[1] = (double)dm[i * W + k - 1] * (double)tDD[k];
+            nxt = (bio_choose_d(mt, &mti, w, 2) == 0) ? T_M : T_D;
+            k -= 1;
+            if (nxt == T_M)
+                c = bio_choose_c(mt, &mti, mc, stride_c, i * W + k);
+        } else if (st == T_I) {
+            double w[2];
+            w[0] = (double)mc[0 * stride_c + (i - 3) * W + k]
+                * (double)tMI[k];
+            w[1] = (double)im[(i - 3) * W + k] * (double)tII[k];
+            nxt = (bio_choose_d(mt, &mti, w, 2) == 0) ? T_M : T_I;
+            i -= 3;
+            if (nxt == T_M)
+                c = bio_choose_c(mt, &mti, mc, stride_c, i * W + k);
+        } else if (st == T_B) {
+            double w[2];
+            w[0] = (double)xN[i] * nmove;
+            w[1] = (double)xJ[i] * jmove;
+            nxt = (bio_choose_d(mt, &mti, w, 2) == 0) ? T_N : T_J;
+        } else if (st == T_J) {
+            double w[2];
+            if (i >= 3) {
+                double adj = (double)scale[i] * (double)scale[i - 1]
+                    * (double)scale[i - 2];
+                w[0] = (double)xJ[i - 3] * jloop / adj;
+            } else w[0] = 0.0;
+            w[1] = (double)xE[i] * eloop;
+            nxt = (bio_choose_d(mt, &mti, w, 2) == 0) ? T_J : T_E;
+            if (nxt == T_J) i -= 3;
+        } else if (st == T_N) {
+            nxt = (i <= 2) ? T_S : T_N;
+            if (nxt == T_N) i -= 3;
+        } else {
+            return -2;      // bogus state
+        }
+        if (nxt == T_M) EMIT(T_M, k, (int32_t)i, c);
+        else if (nxt == T_I) EMIT(T_I, k, (int32_t)i, 3);
+        else if (nxt == T_D) EMIT(T_D, k, 0, 0);
+        else EMIT(nxt, 0, (nxt == T_S) ? 0 : (int32_t)i, 0);
+        st = nxt;
+    }
+#undef EMIT
+    *mti_io = mti;
+    return n;
 }
 
 }  // extern "C"
