@@ -943,3 +943,63 @@ def fs5_stotrace_native(r, om_fs, fx):
     tr.sp = [-1] * n
     tr.M, tr.L = M, L
     return tr
+
+
+def _bind_fwdfill(lib):
+    if getattr(lib, "_fwdfill_bound", False):
+        return
+    F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.bio_fwd_fill.restype = ctypes.c_int
+    lib.bio_fwd_fill.argtypes = (
+        [I32P, ctypes.c_int64, F32C, ctypes.c_int]
+        + [F32C] * 8 + [F32C]          # transitions, xff
+        + [F32C] * 3                   # mm, im, dm
+        + [F32C] * 6                   # xE xN xJ xB xC scale
+        + [ctypes.POINTER(ctypes.c_double)])
+    lib._fwdfill_bound = True
+
+
+def fwd_fill_native(dsq, om):
+    """Full amino Forward matrix + score; bit-identical to
+    fwdback.forward(full=True, fast=False).  None if unavailable."""
+    lib = _fs5_lib()
+    if lib is None:
+        return None
+    _bind_fwdfill(lib)
+    from ..ops.reference.fwdback import PMatrix, RangeError
+    from ..ops.reference.fwdback import _trans_views
+    L, M = len(dsq), om.M
+    F32 = np.float32
+    rfv = om.rfv
+    if rfv.dtype != np.float32 or not rfv.flags.c_contiguous:
+        rfv = np.ascontiguousarray(rfv, dtype=np.float32)
+    tv = [np.ascontiguousarray(t, dtype=np.float32)
+          for t in _trans_views(om)]
+    ox = PMatrix(L=L, M=M,
+                 xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
+                 xJ=np.zeros(L + 1, F32), xB=np.zeros(L + 1, F32),
+                 xC=np.zeros(L + 1, F32), scale=np.ones(L + 1, F32))
+    ox.mm = np.zeros((L + 1, M + 1), F32)
+    ox.im = np.zeros((L + 1, M + 1), F32)
+    ox.dm = np.zeros((L + 1, M + 1), F32)
+    out = ctypes.c_double()
+    dsq32 = dsq if (dsq.dtype == np.int32 and dsq.flags.c_contiguous) \
+        else np.ascontiguousarray(dsq, dtype=np.int32)
+    st = lib.bio_fwd_fill(
+        dsq32, L, rfv, M, *tv, _xff_of(om),
+        ox.mm, ox.im, ox.dm,
+        ox.xE, ox.xN, ox.xJ, ox.xB, ox.xC, ox.scale,
+        ctypes.byref(out))
+    if st == 1:
+        raise RangeError("forward score is NaN")
+    if st == 2:
+        raise RangeError("forward score underflow")
+    if st == 3:
+        raise RangeError("forward score overflow")
+    totscale = 0.0
+    for s in ox.scale[ox.scale != F32(1.0)]:
+        totscale += float(np.log(s))
+    ox.totscale = totscale
+    from .. import constants as C
+    score = totscale + float(np.log(ox.xC[L] * om.xf[C.X_C, C.MOVE]))
+    return ox, score

@@ -76,6 +76,11 @@ def forward(dsq: np.ndarray, om: OProfile, full: bool = False,
     score in nats).  Raises RangeError on overflow/underflow
     (ref: forward_engine)."""
     L, M = len(dsq), om.M
+    if full and not fast:
+        from ...native import fwd_fill_native
+        r = fwd_fill_native(dsq, om)
+        if r is not None:
+            return r
     rfv = om.rfv
     xf = om.xf
     tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = _trans_views(om)

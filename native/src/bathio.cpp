@@ -1826,4 +1826,92 @@ int64_t bio_fs5_stotrace(int64_t L, int M,
     return n;
 }
 
+// Standard (amino) Forward full fill — bit-exact transcription of
+// fwdback.py forward(full=True, fast=False) (ref: fwdback.c
+// forward_engine): f32 elementwise row ops, sequential DD closure,
+// numpy-pairwise row sums, sparse rescale at xE > 1e4 (specials
+// divided, rows multiplied by the reciprocal).
+int bio_fwd_fill(const int32_t* dsq, int64_t L, const float* rfv,
+                 int M,
+                 const float* tBM, const float* tMM, const float* tIM,
+                 const float* tDM, const float* tMD, const float* tDD,
+                 const float* tMI, const float* tII,
+                 const float* xff,
+                 float* mmat, float* imat, float* dmat,
+                 float* xEv, float* xNv, float* xJv, float* xBv,
+                 float* xCv, float* scales, double* out_sc) {
+    const int W = M + 1;
+    const float nloop = xff[0], nmove = xff[1], jloop = xff[2],
+        jmove = xff[3], cloop = xff[4], cmove = xff[5],
+        eloop = xff[6], emove = xff[7];
+    static thread_local float* buf = nullptr;
+    static thread_local int64_t cap = 0;
+    if (cap < 4 * (int64_t)W) {
+        delete[] buf;
+        buf = new float[4 * W];
+        cap = 4 * W;
+    }
+    float* mc = buf;
+    float* ic = buf + W;
+    float* dc = buf + 2 * W;
+    float* sv = buf + 3 * W;
+    for (int k = 0; k <= M; k++) mc[k] = ic[k] = dc[k] = 0.f;
+    float xN = 1.0f, xB = nmove, xE = 0.f, xJ = 0.f, xC = 0.f;
+    for (int64_t i = 0; i <= L; i++) {
+        scales[i] = 1.0f;
+        xEv[i] = xNv[i] = xJv[i] = xBv[i] = xCv[i] = 0.f;
+        for (int k = 0; k <= M; k++) {
+            mmat[i * W + k] = imat[i * W + k] = dmat[i * W + k] = 0.f;
+        }
+    }
+    xNv[0] = xN; xBv[0] = xB;
+    double totscale = 0.0;
+    for (int64_t i = 1; i <= L; i++) {
+        const float* row = rfv + (int64_t)dsq[i - 1] * W;
+        sv[0] = 0.f;
+        for (int k = 1; k <= M; k++) {
+            float mpv = mc[k - 1], ipv = ic[k - 1], dpv = dc[k - 1];
+            sv[k] = (((xB * tBM[k] + mpv * tMM[k]) + ipv * tIM[k])
+                     + dpv * tDM[k]) * row[k];
+        }
+        for (int k = 0; k <= M; k++) {
+            float ni = mc[k] * tMI[k] + ic[k] * tII[k];
+            ic[k] = ni;
+        }
+        ic[0] = 0.f;
+        dc[0] = dc[1] = 0.f;
+        for (int k = 2; k <= M; k++) dc[k] = sv[k - 1] * tMD[k];
+        for (int k = 2; k <= M; k++) dc[k] += dc[k - 1] * tDD[k];
+        for (int k = 0; k <= M; k++) mc[k] = sv[k];
+        xE = np_pairwise_f32(mc + 1, M) + np_pairwise_f32(dc + 1, M);
+        xN = xN * nloop;
+        xC = xC * cloop + xE * emove;
+        xJ = xJ * jloop + xE * eloop;
+        xB = xJ * jmove + xN * nmove;
+        if (xE > 1.0e4f) {
+            float sc = xE;
+            xN /= sc; xC /= sc; xJ /= sc; xB /= sc;
+            float inv = 1.0f / sc;
+            for (int k = 0; k <= M; k++) {
+                mc[k] *= inv; ic[k] *= inv; dc[k] *= inv;
+            }
+            scales[i] = sc;
+            totscale += log((double)sc);
+            xE = 1.0f;
+        }
+        xEv[i] = xE; xNv[i] = xN; xJv[i] = xJ;
+        xBv[i] = xB; xCv[i] = xC;
+        for (int k = 0; k <= M; k++) {
+            mmat[i * W + k] = mc[k];
+            imat[i * W + k] = ic[k];
+            dmat[i * W + k] = dc[k];
+        }
+    }
+    if (xC != xC) return 1;                       // NaN
+    if (L > 0 && xC == 0.0f) return 2;            // underflow
+    if (xC == HUGE_VALF || xC == -HUGE_VALF) return 3;   // overflow
+    *out_sc = totscale + log((double)(xC * cmove));
+    return 0;
+}
+
 }  // extern "C"

@@ -266,3 +266,83 @@ def test_native_fs3_parser_fills_bitexact(gcode):
         assert np.array_equal(mo1, mo2)
         saw_rescale |= bool((fx1.scale != 1.0).any())
     assert saw_rescale, "no case exercised the rescale branches"
+
+
+def test_native_fwd_fill_bitexact(gcode):
+    """bio_fwd_fill vs the numpy forward(full=True): matrices,
+    specials, scales and score bit-identical, incl. rescale rows and
+    degenerate residues."""
+    import bath_tpu.native as nat
+    import bath_tpu.ops.reference.fwdback as fb
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.profile import profile_config
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    om = oprofile_convert(profile_config(hmm, bg, L=100))
+    rng = np.random.default_rng(11)
+    cases = [rng.integers(0, 20, L).astype(np.int32)
+             for L in (1, 7, 63, 420)]
+    cases[2][5] = 25                       # degenerate amino
+    # near-consensus repeats force the rescale branch
+    cons = np.argmax(hmm.mat[1:, :20], axis=1).astype(np.int32)
+    cases.append(np.tile(cons, 4))
+    saw_rescale = False
+    for dsq in cases:
+        for uni in (False, True):
+            (om.reconfig_unihit if uni
+             else om.reconfig_multihit)(len(dsq))
+            r1 = nat.fwd_fill_native(dsq, om)
+            assert r1 is not None
+            orig = nat.fwd_fill_native
+            nat.fwd_fill_native = lambda *a: None
+            try:
+                ox2, sc2 = fb.forward(dsq, om, full=True)
+            finally:
+                nat.fwd_fill_native = orig
+            ox1, sc1 = r1
+            assert sc1 == sc2
+            for f in ("mm", "im", "dm", "xE", "xN", "xJ", "xB",
+                      "xC", "scale"):
+                assert np.array_equal(getattr(ox1, f),
+                                      getattr(ox2, f)), f
+            saw_rescale |= bool((ox1.scale != 1.0).any())
+    assert saw_rescale
+
+
+def test_native_fs5_stotrace_bitexact(gcode):
+    """bio_fs5_stotrace vs the Python sampler: identical traces AND
+    identical MT19937 stream consumption over many samples."""
+    import bath_tpu.ensemble as ens
+    import bath_tpu.native as nat
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.ops.reference import fwdback_fs as ffs
+    from bath_tpu.profile import profile_config_fs
+    from bath_tpu.rng import Randomness
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    gm5 = profile_config_fs(hmm, bg, gcode, 5, 100)
+    om5 = ffs.fs_oprofile_convert(gm5)
+    rng = np.random.default_rng(4)
+    dna = rng.integers(0, 4, 380).astype(np.int32)
+    om5.reconfig_multihit(len(dna) // 3)
+    fx, _ = ffs.forward_fs5(dna, om5, fast=True)
+
+    r_nat = Randomness(9)
+    r_py = Randomness(9)
+    orig = nat.fs5_stotrace_native
+    for t in range(40):
+        tr1 = ens.stochastic_trace_fs5(r_nat, dna, om5, fx)
+        nat.fs5_stotrace_native = lambda *a: None
+        try:
+            tr2 = ens.stochastic_trace_fs5(r_py, dna, om5, fx)
+        finally:
+            nat.fs5_stotrace_native = orig
+        assert tr1.st == tr2.st and tr1.k == tr2.k
+        assert tr1.i == tr2.i and tr1.c == tr2.c
+        assert r_nat._mti == r_py._mti
+        assert np.array_equal(r_nat._mt, r_py._mt)
