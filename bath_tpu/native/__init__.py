@@ -951,7 +951,7 @@ def _bind_fwdfill(lib):
     F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     lib.bio_fwd_fill.restype = ctypes.c_int
     lib.bio_fwd_fill.argtypes = (
-        [I32P, ctypes.c_int64, F32C, ctypes.c_int]
+        [I32P, ctypes.c_int64, F32C, ctypes.c_int, ctypes.c_int]
         + [F32C] * 8 + [F32C]          # transitions, xff
         + [F32C] * 3                   # mm, im, dm
         + [F32C] * 6                   # xE xN xJ xB xC scale
@@ -959,9 +959,10 @@ def _bind_fwdfill(lib):
     lib._fwdfill_bound = True
 
 
-def fwd_fill_native(dsq, om):
-    """Full amino Forward matrix + score; bit-identical to
-    fwdback.forward(full=True, fast=False).  None if unavailable."""
+def fwd_fill_native(dsq, om, full=True):
+    """Amino Forward matrix + score; bit-identical to
+    fwdback.forward(full=..., fast=False) (full=False stores only
+    specials + scales, the ORF parser mode).  None if unavailable."""
     lib = _fs5_lib()
     if lib is None:
         return None
@@ -979,15 +980,19 @@ def fwd_fill_native(dsq, om):
                  xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
                  xJ=np.zeros(L + 1, F32), xB=np.zeros(L + 1, F32),
                  xC=np.zeros(L + 1, F32), scale=np.ones(L + 1, F32))
-    ox.mm = np.zeros((L + 1, M + 1), F32)
-    ox.im = np.zeros((L + 1, M + 1), F32)
-    ox.dm = np.zeros((L + 1, M + 1), F32)
+    if full:
+        ox.mm = np.zeros((L + 1, M + 1), F32)
+        ox.im = np.zeros((L + 1, M + 1), F32)
+        ox.dm = np.zeros((L + 1, M + 1), F32)
+        mm, im_, dm = ox.mm, ox.im, ox.dm
+    else:
+        mm = im_ = dm = np.zeros((1, M + 1), F32)
     out = ctypes.c_double()
     dsq32 = dsq if (dsq.dtype == np.int32 and dsq.flags.c_contiguous) \
         else np.ascontiguousarray(dsq, dtype=np.int32)
     st = lib.bio_fwd_fill(
-        dsq32, L, rfv, M, *tv, _xff_of(om),
-        ox.mm, ox.im, ox.dm,
+        dsq32, L, rfv, M, int(full), *tv, _xff_of(om),
+        mm, im_, dm,
         ox.xE, ox.xN, ox.xJ, ox.xB, ox.xC, ox.scale,
         ctypes.byref(out))
     if st == 1:

@@ -76,9 +76,9 @@ def forward(dsq: np.ndarray, om: OProfile, full: bool = False,
     score in nats).  Raises RangeError on overflow/underflow
     (ref: forward_engine)."""
     L, M = len(dsq), om.M
-    if full and not fast:
+    if not fast:
         from ...native import fwd_fill_native
-        r = fwd_fill_native(dsq, om)
+        r = fwd_fill_native(dsq, om, full=full)
         if r is not None:
             return r
     rfv = om.rfv

@@ -1832,7 +1832,7 @@ int64_t bio_fs5_stotrace(int64_t L, int M,
 // numpy-pairwise row sums, sparse rescale at xE > 1e4 (specials
 // divided, rows multiplied by the reciprocal).
 int bio_fwd_fill(const int32_t* dsq, int64_t L, const float* rfv,
-                 int M,
+                 int M, int full,
                  const float* tBM, const float* tMM, const float* tIM,
                  const float* tDM, const float* tMD, const float* tDD,
                  const float* tMI, const float* tII,
@@ -1860,9 +1860,11 @@ int bio_fwd_fill(const int32_t* dsq, int64_t L, const float* rfv,
     for (int64_t i = 0; i <= L; i++) {
         scales[i] = 1.0f;
         xEv[i] = xNv[i] = xJv[i] = xBv[i] = xCv[i] = 0.f;
-        for (int k = 0; k <= M; k++) {
-            mmat[i * W + k] = imat[i * W + k] = dmat[i * W + k] = 0.f;
-        }
+        if (full)
+            for (int k = 0; k <= M; k++) {
+                mmat[i * W + k] = imat[i * W + k]
+                    = dmat[i * W + k] = 0.f;
+            }
     }
     xNv[0] = xN; xBv[0] = xB;
     double totscale = 0.0;
@@ -1901,11 +1903,12 @@ int bio_fwd_fill(const int32_t* dsq, int64_t L, const float* rfv,
         }
         xEv[i] = xE; xNv[i] = xN; xJv[i] = xJ;
         xBv[i] = xB; xCv[i] = xC;
-        for (int k = 0; k <= M; k++) {
-            mmat[i * W + k] = mc[k];
-            imat[i * W + k] = ic[k];
-            dmat[i * W + k] = dc[k];
-        }
+        if (full)
+            for (int k = 0; k <= M; k++) {
+                mmat[i * W + k] = mc[k];
+                imat[i * W + k] = ic[k];
+                dmat[i * W + k] = dc[k];
+            }
     }
     if (xC != xC) return 1;                       // NaN
     if (L > 0 && xC == 0.0f) return 2;            // underflow

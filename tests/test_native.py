@@ -295,18 +295,22 @@ def test_native_fwd_fill_bitexact(gcode):
             (om.reconfig_unihit if uni
              else om.reconfig_multihit)(len(dsq))
             r1 = nat.fwd_fill_native(dsq, om)
-            assert r1 is not None
+            rp = nat.fwd_fill_native(dsq, om, full=False)
+            assert r1 is not None and rp is not None
             orig = nat.fwd_fill_native
-            nat.fwd_fill_native = lambda *a: None
+            nat.fwd_fill_native = lambda *a, **kw: None
             try:
                 ox2, sc2 = fb.forward(dsq, om, full=True)
             finally:
                 nat.fwd_fill_native = orig
             ox1, sc1 = r1
-            assert sc1 == sc2
+            assert sc1 == sc2 and rp[1] == sc2
             for f in ("mm", "im", "dm", "xE", "xN", "xJ", "xB",
                       "xC", "scale"):
                 assert np.array_equal(getattr(ox1, f),
+                                      getattr(ox2, f)), f
+            for f in ("xE", "xN", "xJ", "xB", "xC", "scale"):
+                assert np.array_equal(getattr(rp[0], f),
                                       getattr(ox2, f)), f
             saw_rescale |= bool((ox1.scale != 1.0).any())
     assert saw_rescale
