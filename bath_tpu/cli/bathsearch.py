@@ -28,6 +28,52 @@ from ..sequence import read_windows
 from ..tophits import IS_INCLUDED, IS_REPORTED, TopHits
 
 
+# ---------------------------------------------------------------------
+# Multi-worker host path (ref: bathsearch.c thread_loop/pipeline_thread
+# :1118-1291 — the pthread work queue over target blocks).  Workers are
+# forked processes that inherit the per-query profile state copy-on-
+# write; results stream back in window order, so output is byte-
+# identical to the serial path for any worker count (the reference's
+# determinism contract, tested by i2-search-variation.sh).
+# ---------------------------------------------------------------------
+_WCTX: dict | None = None
+
+_PLI_COUNTERS = ("n_past_msv", "n_past_bias", "n_past_vit",
+                 "n_past_fwd", "n_output", "pos_past_msv",
+                 "pos_past_bias", "pos_past_vit", "pos_past_fwd",
+                 "pos_output")
+
+
+def _pool_task(spec):
+    """One window, both strands, in a forked worker."""
+    tid, window, seqid = spec
+    c = _WCTX
+    pli = c["pli"]
+    before = [getattr(pli, f) for f in _PLI_COUNTERS]
+    th = TopHits()
+    hws: list = []
+    if pli.strands != C.STRAND_BOTTOMONLY:
+        orfs = extract_orfs(c["gcode"], window.dsq,
+                            minlen=c["minlen"],
+                            require_initiator=c["require_init"])
+        pipeline_bath(pli, c["om"], c["gm"], c["om_fs3"], c["om_fs5"],
+                      c["gm_fs5"], c["data"], c["bg"], th, seqid,
+                      window, orfs, c["gcode"], hws, C.NOCOMPLEMENT,
+                      c["fs_funcs"])
+    if pli.strands != C.STRAND_TOPONLY:
+        rc = window.reverse_complement()
+        orfs = extract_orfs(c["gcode"], rc.dsq, minlen=c["minlen"],
+                            is_revcomp=True,
+                            require_initiator=c["require_init"])
+        pipeline_bath(pli, c["om"], c["gm"], c["om_fs3"], c["om_fs5"],
+                      c["gm_fs5"], c["data"], c["bg"], th, seqid,
+                      rc, orfs, c["gcode"], hws, C.COMPLEMENT,
+                      c["fs_funcs"])
+    deltas = {f: getattr(pli, f) - b
+              for f, b in zip(_PLI_COUNTERS, before)}
+    return tid, th.unsrt, hws, deltas
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="bathsearch",
@@ -112,9 +158,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pextend", type=float, default=0.4)
     p.add_argument("--w_beta", type=float, default=1e-7)
     p.add_argument("--w_length", type=int, default=0)
-    p.add_argument("--cpu", type=int, default=0,
-                   help="accepted for compatibility; batching replaces "
-                        "the reference's worker threads")
+    import os as _os
+    p.add_argument("--cpu", type=int,
+                   default=int(_os.environ.get("HMMER_NCPU", 0)),
+                   help="number of parallel workers over target "
+                        "windows (forked processes; output is "
+                        "byte-identical for any worker count). "
+                        "0/1 = serial")
     p.add_argument("--backend", default="numpy",
                    choices=["numpy", "jax"],
                    help="filter-cascade backend: numpy (scalar exact "
@@ -376,52 +426,93 @@ def run(argv=None) -> int:
         seqidx = 0
         db_started = args.restrictdb_stkey is None
         db_seqs_done = 0
-        for window, is_last in read_windows(
-                args.dbfile, context=om.max_length * 3,
-                block_length=pli.block_length):
-            # --restrictdb: search a database slice (ref: :143-145)
-            if not db_started:
-                if window.name == args.restrictdb_stkey:
-                    db_started = True
-                else:
-                    continue
-            if args.restrictdb_n > 0 and db_seqs_done >= args.restrictdb_n:
-                break
-            if is_last:
-                db_seqs_done += 1
-            if window.n < 15:
+
+        def window_specs():
+            """Window stream + database bookkeeping; yields
+            (tid, window, seqid_for_hits).  Bookkeeping side effects
+            (id_lengths, nseqs, nres) stay on the main process."""
+            nonlocal seqidx, db_started, db_seqs_done
+            tid = 0
+            for window, is_last in read_windows(
+                    args.dbfile, context=om.max_length * 3,
+                    block_length=pli.block_length):
+                # --restrictdb: search a database slice (ref: :143-145)
+                if not db_started:
+                    if window.name == args.restrictdb_stkey:
+                        db_started = True
+                    else:
+                        continue
+                if args.restrictdb_n > 0 \
+                        and db_seqs_done >= args.restrictdb_n:
+                    break
                 if is_last:
-                    id_lengths[window.idx] = window.L
+                    db_seqs_done += 1
+                if window.n < 15:
+                    if is_last:
+                        id_lengths[window.idx] = window.L
+                        pli.nseqs += 1
+                        seqidx += 1
+                    continue
+                window.L = window.n  # window-local L (ref: serial_loop)
+                seqid_for_hits = pli.nseqs
+                if pli.strands != C.STRAND_BOTTOMONLY:
+                    pli.nres += window.W
+                if pli.strands != C.STRAND_TOPONLY:
+                    pli.nres += window.W
+                yield tid, window, seqid_for_hits
+                tid += 1
+                if is_last:
+                    # true source length for assign_Lengths
+                    id_lengths[window.idx] = window.start + window.n - 1
                     pli.nseqs += 1
                     seqidx += 1
-                continue
-            window.L = window.n   # window-local L (ref: serial_loop)
-            seqid_for_hits = pli.nseqs
-            if pli.strands != C.STRAND_BOTTOMONLY:
-                pli.nres += window.W
-                orfs = extract_orfs(gcode, window.dsq, minlen=args.minlen,
-                                    require_initiator=require_init)
-                pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5, data,
-                              bg, th, seqid_for_hits, window, orfs, gcode,
-                              hit_windows, C.NOCOMPLEMENT, fs_funcs,
-                              usc_pre=batch_usc(orfs),
-                              vfsc_pre=batch_vfsc(orfs))
-            if pli.strands != C.STRAND_TOPONLY:
-                pli.nres += window.W
-                rc = window.reverse_complement()
-                orfs = extract_orfs(gcode, rc.dsq, minlen=args.minlen,
-                                    is_revcomp=True,
-                                    require_initiator=require_init)
-                pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5, data,
-                              bg, th, seqid_for_hits, rc, orfs, gcode,
-                              hit_windows, C.COMPLEMENT, fs_funcs,
-                              usc_pre=batch_usc(orfs),
-                              vfsc_pre=batch_vfsc(orfs))
-            if is_last:
-                # true source length for assign_Lengths
-                id_lengths[window.idx] = window.start + window.n - 1
-                pli.nseqs += 1
-                seqidx += 1
+
+        ncpu = max(0, int(args.cpu or 0))
+        if args.backend == "jax":
+            ncpu = 0            # the device path is already batched
+        if ncpu > 1:
+            # forked worker pool (ref: thread_loop); imap preserves
+            # window order, so output is byte-identical to serial
+            import multiprocessing as mp
+            global _WCTX
+            _WCTX = dict(pli=pli, om=om, gm=gm, om_fs3=om_fs3,
+                         om_fs5=om_fs5, gm_fs5=gm_fs5, data=data,
+                         bg=bg, gcode=gcode, minlen=args.minlen,
+                         require_init=require_init, fs_funcs=fs_funcs)
+            try:
+                with mp.get_context("fork").Pool(ncpu) as pool:
+                    for _tid, hits, hws, deltas in pool.imap(
+                            _pool_task, window_specs(), chunksize=1):
+                        th.unsrt.extend(hits)
+                        hit_windows.extend(hws)
+                        for f, v in deltas.items():
+                            setattr(pli, f, getattr(pli, f) + v)
+            finally:
+                _WCTX = None
+        else:
+            for _tid, window, seqid_for_hits in window_specs():
+                if pli.strands != C.STRAND_BOTTOMONLY:
+                    orfs = extract_orfs(gcode, window.dsq,
+                                        minlen=args.minlen,
+                                        require_initiator=require_init)
+                    pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5,
+                                  data, bg, th, seqid_for_hits, window,
+                                  orfs, gcode, hit_windows,
+                                  C.NOCOMPLEMENT, fs_funcs,
+                                  usc_pre=batch_usc(orfs),
+                                  vfsc_pre=batch_vfsc(orfs))
+                if pli.strands != C.STRAND_TOPONLY:
+                    rc = window.reverse_complement()
+                    orfs = extract_orfs(gcode, rc.dsq,
+                                        minlen=args.minlen,
+                                        is_revcomp=True,
+                                        require_initiator=require_init)
+                    pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5,
+                                  data, bg, th, seqid_for_hits, rc,
+                                  orfs, gcode, hit_windows,
+                                  C.COMPLEMENT, fs_funcs,
+                                  usc_pre=batch_usc(orfs),
+                                  vfsc_pre=batch_vfsc(orfs))
 
         # E-values from global residue count (ref: bathsearch.c:869-884)
         if args.Z is not None:

@@ -236,6 +236,13 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
     if dnasq.n < 15 or not orfs:
         return
 
+    # windows appended before this call belong to earlier target
+    # windows; their ORF ids would collide with this call's ORF
+    # indices in build_dna_windows (the reference scans its whole
+    # accumulated hw list here — an order-dependence we fix so output
+    # is invariant to window order and worker count)
+    win_start = len(hit_windows)
+
     n_orfs = len(orfs)
     P_orf = [1.0] * n_orfs
     fwdsc_arr = [float("-inf")] * n_orfs
@@ -472,7 +479,7 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
     if pli.fs_pipe and fs_funcs is not None:
         fs_funcs(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
                  seqidx, orfs, dnasq, gcode, P_orf, fwdsc_arr, oxf_holder,
-                 hit_windows, complementarity)
+                 hit_windows[win_start:], complementarity)
 
 
 def statistics_text(pli: Pipeline, elapsed: float | None = None) -> str:

@@ -778,6 +778,16 @@ def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
                 oxb, _ = ffs.backward_parser_fs3(tmpseq.dsq, om_fs3, oxf)
             except RangeError:
                 continue
+            # pin the fs5 models to their canonical initial config
+            # before domain definition: the reference enters with
+            # whatever length/mode the PREVIOUS window's last envelope
+            # left behind (p7_domaindef.c:313-325 saveL chain, om_fs5
+            # never restored), making results depend on window
+            # processing order.  The canonical state (L=100 multihit =
+            # a fresh worker = every single-window golden) makes
+            # output invariant to window order and worker count.
+            gm_fs5.reconfig_multihit(100)
+            om_fs5.reconfig_multihit(100)
             try:
                 from .ensemble import region_trace_ensemble_fs
                 by_posterior_heuristics_fs(

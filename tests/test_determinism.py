@@ -28,3 +28,33 @@ def test_fs_deterministic_and_differs():
     b = _run("--fs")
     assert a == b
     assert a != _run()
+
+
+def test_worker_count_invariance(tmp_path):
+    """--cpu N output is byte-identical to serial for any worker count
+    (ref: the thread-count invariance of i2-search-variation.sh; we
+    use a multi-sequence target so several windows are in flight)."""
+    import numpy as np
+    rng = np.random.default_rng(12)
+    tgt = "".join(l.strip() for l in open(f"{TUT}/target-AMP_N.fa")
+                  if not l.startswith(">"))
+    nts = np.array(list("ACGT"))
+    fa = tmp_path / "multi.fa"
+    with open(fa, "w") as f:
+        for s in range(6):
+            seq = "".join(rng.choice(nts, 30_000)) + tgt \
+                + "".join(rng.choice(nts, 10_000))
+            f.write(f">s{s}\n{seq}\n")
+
+    def run(*opts):
+        r = subprocess.run(
+            [sys.executable, "-m", "bath_tpu.cli.bathsearch", *opts,
+             f"{TUT}/AMP_N.bhmm", str(fa)],
+            capture_output=True, text=True, timeout=900,
+            cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
+
+    serial = run("--fs")
+    assert run("--fs", "--cpu", "3") == serial
+    assert run("--fs", "--cpu", "2") == serial
