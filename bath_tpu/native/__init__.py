@@ -1008,3 +1008,56 @@ def fwd_fill_native(dsq, om, full=True):
     from .. import constants as C
     score = totscale + float(np.log(ox.xC[L] * om.xf[C.X_C, C.MOVE]))
     return ox, score
+
+
+def _bind_oatrace(lib):
+    if getattr(lib, "_oatrace_bound", False):
+        return
+    F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.bio_fs5_oa_trace.restype = ctypes.c_int64
+    lib.bio_fs5_oa_trace.argtypes = (
+        [ctypes.c_int64, ctypes.c_int]
+        + [F32C] * 8                   # omm oim odm oxE oxN oxJ oxB oxC
+        + [F32C] * 5                   # pmc pim pxN pxJ pxC
+        + [F32C, F32C]                 # tfv, xff
+        + [I32P, I32P, I32P, F32C, I32P, ctypes.c_int64])
+    lib._oatrace_bound = True
+
+
+def fs5_oa_trace_native(om_fs, pp, ox):
+    """FS OA traceback; bit-identical to fwdback_fs.oa_trace_fs.
+    None if the library is absent or the tracer errored."""
+    lib = _fs5_lib()
+    if lib is None:
+        return None
+    _bind_oatrace(lib)
+    from ..ops.reference.fwdback import Trace
+    L, M = ox.L, ox.M
+
+    def c32(a):
+        if a.dtype != np.float32 or not a.flags.c_contiguous:
+            return np.ascontiguousarray(a, dtype=np.float32)
+        return a
+
+    cap = 2 * (L + M) + 64
+    st = np.empty(cap, np.int32)
+    kk = np.empty(cap, np.int32)
+    ii = np.empty(cap, np.int32)
+    ppv = np.empty(cap, np.float32)
+    cc = np.empty(cap, np.int32)
+    n = lib.bio_fs5_oa_trace(
+        L, M, c32(ox.mm), c32(ox.im), c32(ox.dm),
+        c32(ox.xE), c32(ox.xN), c32(ox.xJ), c32(ox.xB), c32(ox.xC),
+        c32(pp.mc), c32(pp.im), c32(pp.xN), c32(pp.xJ), c32(pp.xC),
+        c32(om_fs.tfv), _xff_of(om_fs),
+        st, kk, ii, ppv, cc, cap)
+    if n < 0:
+        return None
+    tr = Trace(M=M, L=L)
+    tr.st = st[:n][::-1].tolist()
+    tr.k = kk[:n][::-1].tolist()
+    tr.i = ii[:n][::-1].tolist()
+    tr.pp = [float(x) for x in ppv[:n][::-1]]
+    tr.c = cc[:n][::-1].tolist()
+    tr.sp = [-1] * n
+    return tr

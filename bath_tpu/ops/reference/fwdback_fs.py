@@ -912,6 +912,11 @@ def optimal_accuracy_fs(om: FSOProfile, pp: FSMatrix
 
 def oa_trace_fs(om: FSOProfile, pp: FSMatrix, ox: PMatrix) -> Trace:
     """FS OA traceback (ref: optacc_fs.c p7_OATrace_Frameshift :538)."""
+    if _use_native_fs5:
+        from ...native import fs5_oa_trace_native
+        r = fs5_oa_trace_native(om, pp, ox)
+        if r is not None:
+            return r
     L, M = ox.L, ox.M
     xf = om.xf
     tfv = om.tfv

@@ -1917,4 +1917,155 @@ int bio_fwd_fill(const int32_t* dsq, int64_t L, const float* rfv,
     return 0;
 }
 
+// Frameshift OA traceback (ref: optacc_fs.c p7_OATrace_Frameshift
+// :538; bit-exact transcription of fwdback_fs.py oa_trace_fs —
+// first-max argmax semantics, f32 pair sums promoted at compare).
+// tfv column order: MM,IM,DM,BM,MD,DD,MI,II (constants.py:30).
+int64_t bio_fs5_oa_trace(int64_t L, int M,
+    const float* omm, const float* oim, const float* odm,
+    const float* oxE, const float* oxN, const float* oxJ,
+    const float* oxB, const float* oxC,
+    const float* pmc, const float* pim,
+    const float* pxN, const float* pxJ, const float* pxC,
+    const float* tfv,
+    const float* xff,
+    int32_t* o_st, int32_t* o_k, int32_t* o_i, float* o_pp,
+    int32_t* o_c, int64_t max_out) {
+    enum { T_M = 1, T_D = 2, T_I = 3, T_S = 4, T_N = 5, T_B = 6,
+           T_E = 7, T_C = 8, T_T = 9, T_J = 10 };
+    enum { P_MM = 0, P_IM = 1, P_DM = 2, P_BM = 3, P_MD = 4,
+           P_DD = 5, P_MI = 6, P_II = 7 };
+    const double NEG = -HUGE_VAL;   // NEG_INF (f32 -inf)
+    const int W = M + 1;
+    const int64_t stride_c = (int64_t)(L + 1) * W;
+    const float nmove = xff[1], jloop = xff[2], jmove = xff[3],
+        cloop = xff[4], eloop = xff[6], emove = xff[7];
+#define TP(slot, t) (((slot) >= 0 && (slot) < M) \
+    ? tfv[(int64_t)(slot) * 8 + (t)] : 0.0f)
+#define EMIT(S, K, I, PP, Cc) do { \
+    if (n >= max_out) return -1; \
+    o_st[n] = (S); o_k[n] = (K); o_i[n] = (I); \
+    o_pp[n] = (PP); o_c[n] = (Cc); n++; \
+} while (0)
+    int64_t n = 0;
+    int64_t i = L;
+    int k = 0, c = 0;
+    EMIT(T_T, 0, (int32_t)i, 0.f, 0);
+    EMIT(T_C, 0, (int32_t)i, 0.f, 0);
+    int sprv = T_C, scur = T_C;
+    while (sprv != T_S) {
+        if (sprv == T_M) {
+            double p[4];
+            p[0] = (k >= 2 && TP(k - 1, P_MM) > 0.f)
+                ? (double)omm[i * W + k - 1] : NEG;
+            p[1] = (k >= 2 && TP(k - 1, P_IM) > 0.f)
+                ? (double)oim[i * W + k - 1] : NEG;
+            p[2] = (k >= 2 && TP(k - 1, P_DM) > 0.f)
+                ? (double)odm[i * W + k - 1] : NEG;
+            p[3] = (TP(k - 1, P_BM) > 0.f) ? (double)oxB[i] : NEG;
+            int best = 0;
+            for (int a = 1; a < 4; a++) if (p[a] > p[best]) best = a;
+            static const int sts[4] = { T_M, T_I, T_D, T_B };
+            scur = sts[best];
+            k -= 1;
+        } else if (sprv == T_D) {
+            double p0 = (k >= 2 && TP(k - 1, P_MD) > 0.f)
+                ? (double)omm[i * W + k - 1] : NEG;
+            double p1 = (k >= 2 && TP(k - 1, P_DD) > 0.f)
+                ? (double)odm[i * W + k - 1] : NEG;
+            scur = (p0 >= p1) ? T_M : T_D;
+            k -= 1;
+        } else if (sprv == T_I) {
+            int64_t j3 = (i >= 3) ? i - 3 : 0;
+            double p0 = (TP(k, P_MI) > 0.f)
+                ? (double)omm[j3 * W + k] : NEG;
+            double p1 = (TP(k, P_II) > 0.f)
+                ? (double)oim[j3 * W + k] : NEG;
+            scur = (p0 >= p1) ? T_M : T_I;
+            i -= 3;
+        } else if (sprv == T_N) {
+            scur = (i == 0) ? T_S : T_N;
+        } else if (sprv == T_C) {
+            if (i < 4) {
+                scur = T_E;
+            } else {
+                int t1 = (cloop != 0.f);
+                double p[4];
+                p[0] = t1 ? (double)(oxC[i - 3] + pxC[i]) : NEG;
+                p[1] = (i < L && t1)
+                    ? (double)(oxC[i - 2] + pxC[i + 1]) : NEG;
+                p[2] = (i < L - 1 && t1)
+                    ? (double)(oxC[i - 1] + pxC[i + 2]) : NEG;
+                p[3] = (emove != 0.f) ? (double)oxE[i] : NEG;
+                int best = 0;
+                for (int a = 1; a < 4; a++)
+                    if (p[a] > p[best]) best = a;
+                scur = (best == 3) ? T_E : T_C;
+            }
+        } else if (sprv == T_J) {
+            if (i <= 5) {
+                scur = T_E;
+            } else {
+                double p0 = (jloop != 0.f)
+                    ? (double)(oxJ[i] + pxJ[i]) : NEG;
+                double p1 = (eloop != 0.f) ? (double)oxE[i] : NEG;
+                scur = (p0 >= p1) ? T_J : T_E;
+            }
+        } else if (sprv == T_E) {
+            double mx = NEG;
+            int smax = T_M, kmax = 1;
+            for (int kk = 1; kk <= M; kk++) {
+                double vM = (double)omm[i * W + kk];
+                if (vM > mx) { mx = vM; smax = T_M; kmax = kk; }
+                double vD = (double)odm[i * W + kk];
+                if (vD > mx) { mx = vD; smax = T_D; kmax = kk; }
+            }
+            k = kmax;
+            scur = smax;
+        } else if (sprv == T_B) {
+            double p0 = (nmove != 0.f) ? (double)oxN[i] : NEG;
+            double p1 = (jmove != 0.f) ? (double)oxJ[i] : NEG;
+            scur = (p0 > p1) ? T_N : T_J;
+        } else {
+            return -2;
+        }
+        float postprob = 0.f;
+        if (scur == T_M)
+            postprob = pmc[0 * stride_c + i * W + k];
+        else if (scur == T_I)
+            postprob = pim[i * W + k];
+        else if (scur == sprv && scur == T_N)
+            postprob = pxN[i];
+        else if (scur == sprv && scur == T_C)
+            postprob = pxC[i];
+        else if (scur == sprv && scur == T_J)
+            postprob = pxJ[i];
+        if (scur == T_M) {
+            float best = pmc[1 * stride_c + i * W + k];
+            c = 1;
+            for (int cc = 2; cc <= 5; cc++) {
+                float v = pmc[cc * stride_c + i * W + k];
+                if (v > best) { best = v; c = cc; }
+            }
+        } else c = 0;
+        if (scur == T_M)
+            EMIT(T_M, k, (int32_t)i, postprob, c);
+        else if (scur == T_I)
+            EMIT(T_I, k, (int32_t)i, postprob, 0);
+        else if ((scur == T_N || scur == T_C || scur == T_J)
+                 && scur == sprv)
+            EMIT(scur, 0, (int32_t)i, postprob, 0);
+        else
+            EMIT(scur, (scur == T_D) ? k : 0, 0, postprob, 0);
+        if ((scur == T_N || scur == T_C || scur == T_J)
+            && scur == sprv)
+            i -= 1;
+        sprv = scur;
+        i -= c;
+    }
+#undef TP
+#undef EMIT
+    return n;
+}
+
 }  // extern "C"

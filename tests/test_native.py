@@ -350,3 +350,49 @@ def test_native_fs5_stotrace_bitexact(gcode):
         assert tr1.i == tr2.i and tr1.c == tr2.c
         assert r_nat._mti == r_py._mti
         assert np.array_equal(r_nat._mt, r_py._mt)
+
+
+def test_native_fs5_oa_trace_bitexact(gcode):
+    """bio_fs5_oa_trace vs the Python OA traceback: identical traces
+    and posteriors on full envelope stacks."""
+    import bath_tpu.native as nat
+    import bath_tpu.ops.reference.fwdback_fs as ffs
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.profile import profile_config_fs
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    gm5 = profile_config_fs(hmm, bg, gcode, 5, 100)
+    om5 = ffs.fs_oprofile_convert(gm5)
+    rng = np.random.default_rng(21)
+    seq = "".join(l.strip()
+                  for l in open("/root/reference/tutorial/"
+                                "target-AMP_N.fa")
+                  if not l.startswith(">"))
+    mp = {"A": 0, "C": 1, "G": 2, "T": 3}
+    hot = np.array([mp[c] for c in seq], np.int32)
+    cases = [hot, rng.integers(0, 4, 251).astype(np.int32),
+             np.concatenate([hot[40:340], hot[40:340]])]
+    for dna in cases:
+        for uni in (True, False):
+            (om5.reconfig_unihit if uni
+             else om5.reconfig_multihit)(len(dna) // 3)
+            try:
+                fx, _ = ffs.forward_fs5(dna, om5)
+                bx, _ = ffs.backward_fs5(dna, om5, fx)
+                pp = ffs.decoding_fs(om5, fx, bx)
+            except ffs.RangeError:
+                continue
+            ox, _ = ffs.optimal_accuracy_fs(om5, pp)
+            tr1 = nat.fs5_oa_trace_native(om5, pp, ox)
+            assert tr1 is not None
+            old = ffs._use_native_fs5
+            ffs._use_native_fs5 = False
+            try:
+                tr2 = ffs.oa_trace_fs(om5, pp, ox)
+            finally:
+                ffs._use_native_fs5 = old
+            assert tr1.st == tr2.st and tr1.k == tr2.k
+            assert tr1.i == tr2.i and tr1.c == tr2.c
+            assert tr1.pp == tr2.pp
