@@ -12,6 +12,24 @@ import time
 
 from ..bg import Background
 from ..builder import BuilderConfig, build, single_build
+
+_BCTX: dict | None = None
+
+
+def _build_task(msa):
+    """One model build in a (possibly forked) worker."""
+    import io
+
+    from ..evalues import mean_match_relative_entropy
+    from ..hmmfile import write_hmm
+    c = _BCTX
+    hmm = build(msa, c["cfg"], bg=Background(), r=c["r"],
+                postmsa_file=c["postmsa_file"])
+    entropy = mean_match_relative_entropy(hmm, c["bg"])
+    buf = io.StringIO()
+    write_hmm(buf, hmm)
+    return (buf.getvalue(), msa.name, msa.nseq, msa.alen,
+            hmm.M, hmm.ct, hmm.eff_nseq, entropy, msa.desc)
 from ..evalues import CalibrateConfig, mean_match_relative_entropy
 from ..hmmfile import write_hmm
 from ..msa import read_msas
@@ -187,21 +205,39 @@ def main(argv=None) -> int:
             msas = None
             is_msa = False
         if is_msa:
-            for msa in msas:
-                nali += 1
+            for i, msa in enumerate(msas):
                 if args.name and len(msas) == 1:
                     msa.name = args.name
                 elif not msa.name:
                     base = os.path.basename(args.msafile)
                     msa.name = base.rsplit(".", 1)[0]
-                hmm = build(msa, cfg, bg=Background(), r=r,
-                            postmsa_file=args.postmsafile)
-                entropy = mean_match_relative_entropy(hmm, bg)
-                write_hmm(hfp, hmm)
+
+            global _BCTX
+            _BCTX = dict(cfg=cfg, r=r, bg=bg,
+                         postmsa_file=args.postmsafile)
+            try:
+                ncpu = max(0, int(args.cpu or 0))
+                if ncpu > 1 and len(msas) > 1 \
+                        and not args.postmsafile:
+                    # forked workers, one model per task; calibration
+                    # reseeds the RNG so builds are order- and
+                    # worker-independent (ref: threaded bathbuild +
+                    # evalues.c:94 do_reseeding)
+                    import multiprocessing as mp
+                    with mp.get_context("fork").Pool(ncpu) as pool:
+                        results = list(pool.imap(_build_task, msas,
+                                                 chunksize=1))
+                else:
+                    results = [_build_task(m) for m in msas]
+            finally:
+                _BCTX = None
+            for text, name, nseq, alen, M, ct, effn, ent, desc \
+                    in results:
+                nali += 1
+                hfp.write(text)
                 print("  %-6d %-20s %5d %5d %5d %4d %8.2f %6.3f %s"
-                      % (nali, msa.name or "", msa.nseq, msa.alen,
-                         hmm.M, hmm.ct, hmm.eff_nseq, entropy,
-                         msa.desc or ""), file=ofp)
+                      % (nali, name or "", nseq, alen, M, ct,
+                         effn, ent, desc or ""), file=ofp)
         else:
             for sq in read_fasta(args.msafile, amino()):
                 nali += 1

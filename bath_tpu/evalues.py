@@ -40,6 +40,10 @@ class CalibrateConfig:
     Eft: float = 0.04
     seed: int = 42
     fs: bool = False          # also calibrate frameshift taus
+    do_reseeding: bool = True  # reset a passed RNG before calibrating
+    #                            (ref: evalues.c:94 + p7_builder.c:131
+    #                            — nonzero seeds make every model's
+    #                            calibration order-independent)
 
 
 def mean_match_relative_entropy(hmm: HMM, bg: Background) -> float:
@@ -160,7 +164,11 @@ def calibrate(hmm: HMM, cfg: CalibrateConfig | None = None,
     """Calibrate all E-value parameters of <hmm> in place and set its
     STATS flag (ref: evalues.c p7_Calibrate :64)."""
     cfg = cfg or CalibrateConfig()
-    r = r or Randomness(cfg.seed)
+    if r is None:
+        r = Randomness(cfg.seed)
+    elif cfg.do_reseeding:
+        # ref: evalues.c:94 esl_randomness_Init(r, GetSeed(r))
+        r.reset()
     bg = bg or Background()
 
     gm = profile_config(hmm, bg, L=cfg.EvL)

@@ -39,6 +39,11 @@ class Randomness:
                 & 0xFFFFFFFF
         self._mti = _N
 
+    def reset(self):
+        """Re-init from the original seed
+        (ref: esl_randomness_Init(r, esl_randomness_GetSeed(r)))."""
+        self._init_genrand(self.seed_value)
+
     def u32(self) -> int:
         if self._mti >= _N:
             self._generate_seq()

@@ -187,3 +187,26 @@ def test_bathbuild_golden_models(tmp_path, name):
     assert ours.max_length == golden.max_length
     assert np.abs(ours.mat[1:] - golden.mat[1:]).max() < 1e-4
     assert np.abs(ours.t[1:] - golden.t[1:]).max() < 1e-4
+
+
+def test_bathbuild_worker_count_invariance(tmp_path):
+    """--cpu N multi-MSA build output is identical to serial modulo
+    DATE lines (per-model calibration reseeds the RNG, ref:
+    evalues.c:94 do_reseeding)."""
+    import re
+    import subprocess
+    import sys
+    out1 = tmp_path / "m1.bhmm"
+    out4 = tmp_path / "m4.bhmm"
+    for out, opts in ((out1, []), (out4, ["--cpu", "3"])):
+        r = subprocess.run(
+            [sys.executable, "-m", "bath_tpu.cli.bathbuild", *opts,
+             str(out), "/root/reference/testsuite/minifam"],
+            capture_output=True, text=True, timeout=1200,
+            cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    def strip(p):
+        return re.sub(r"DATE .*", "", p.read_text())
+
+    assert strip(out1) == strip(out4)
