@@ -110,11 +110,20 @@ def _fs3_kernel(ci2_ref, ci3_ref, ci4_ref, lens_ref, pmove_ref,
         sp_scr[:, :] = sp
 
     nblocks = Lblk // 12
-    iota_r3 = jax.lax.broadcasted_iota(jnp.int32, (3 * Bt, R), 1)
+    # emission-gather chunking: one one-hot matmul covers EBLK
+    # positions x 3 channels (launch overhead was the wall at one
+    # matmul per position: ~2.7us/step); cap the [3*EBLK*Bt, R]
+    # one-hot by VMEM
+    EBLK = 12
+    while EBLK > 1 and 3 * EBLK * Bt > 1536:
+        EBLK //= 2
+    iota_re = jax.lax.broadcasted_iota(jnp.int32,
+                                       (3 * EBLK * Bt, R), 1)
     col128 = col
 
     def block(bi, _):
         base = bi * 12
+        E = None
         for j in range(12):
             i = base + j              # local within this L block
             gi = lb * Lblk + i        # global position (0-based)
@@ -126,17 +135,23 @@ def _fs3_kernel(ci2_ref, ci3_ref, ci4_ref, lens_ref, pmove_ref,
             s4 = (j - 1) % 3
 
             sp = sp_scr[:, :]
-            # ONE one-hot gather matmul for all 3 codon channels
-            # (small matmuls are launch-overhead-bound; stacking the
-            # channel indices along sublanes amortizes it 3x)
-            idx = jnp.concatenate(
-                [ci2_ref[i].reshape(Bt, 1), ci3_ref[i].reshape(Bt, 1),
-                 ci4_ref[i].reshape(Bt, 1)], axis=0)   # [3Bt, 1]
-            oh = (idx == iota_r3).astype(F32)
-            E = jnp.dot(oh, rfv_ref[:, :], preferred_element_type=F32)
-            E2 = E[:Bt]
-            E3 = E[Bt:2 * Bt]
-            E4 = E[2 * Bt:]
+            if j % EBLK == 0:
+                # one one-hot matmul covers the next EBLK positions
+                # x 3 channels; only this chunk stays live in VMEM
+                idx = jnp.concatenate(
+                    [ci2_ref[base + j + jj].reshape(Bt, 1)
+                     for jj in range(EBLK)]
+                    + [ci3_ref[base + j + jj].reshape(Bt, 1)
+                       for jj in range(EBLK)]
+                    + [ci4_ref[base + j + jj].reshape(Bt, 1)
+                       for jj in range(EBLK)], axis=0)
+                oh = (idx == iota_re).astype(F32)
+                E = jnp.dot(oh, rfv_ref[:, :],
+                            preferred_element_type=F32)
+            jo = j % EBLK
+            E2 = E[jo * Bt:(jo + 1) * Bt]
+            E3 = E[(EBLK + jo) * Bt:(EBLK + jo + 1) * Bt]
+            E4 = E[(2 * EBLK + jo) * Bt:(2 * EBLK + jo + 1) * Bt]
 
             mp = _shift_right_lanes(m_scr[p2_m4])
             ip = _shift_right_lanes(i_scr[p2_m4])
