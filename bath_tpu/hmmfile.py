@@ -68,6 +68,8 @@ def _read_one(fh: TextIO) -> HMM | None:
     else:
         return None
     tag = line.split()[0]
+    if tag.startswith("HMMER2.0"):
+        return _read_hmmer2(fh)
     fmt = None
     for k, v in _FORMAT_TAGS.items():
         if tag.startswith(k):
@@ -325,3 +327,142 @@ def write_hmm(fh: TextIO, h: HMM, fmt: str = "bath3f"):
         fh.write("".join(_field(p) for p in h.t[k]))
         fh.write("\n")
     fh.write("//\n")
+
+
+# ---------------------------------------------------------------------
+# HMMER2.0 ASCII compatibility reader
+# (ref: p7_hmmfile.c read_asc20hmm :1816 — the legacy end of the
+# format-autodetect chain; models are converted to H3 semantics and
+# re-calibrated on the fly)
+# ---------------------------------------------------------------------
+def _h2prob(s: str, null: float) -> float:
+    """HMMER2 integer log-odds field -> probability
+    (ref: h2ascii2prob; scores are 1000*log2(p/null), '*' = 0)."""
+    return 0.0 if s == "*" else null * 2.0 ** (int(s) / 1000.0)
+
+
+def _read_hmmer2(fh: TextIO) -> HMM:
+    from .bg import Background
+
+    hdr: dict[str, str] = {}
+    cutoffs: dict[str, tuple[float, float]] = {}
+    abc = None
+    M = 0
+    nule: list[float] | None = None
+    flags_rf = flags_cs = flags_map = False
+    for line in fh:
+        tok = line.split()
+        if not tok:
+            continue
+        key = tok[0]
+        if key == "HMM":
+            break
+        if key == "ALPH":
+            kind = tok[1].lower()
+            if kind == "nucleic":
+                abc = dna()
+            elif kind == "amino":
+                abc = amino()
+            else:
+                raise ValueError(f"unrecognized ALPH {tok[1]!r}")
+        elif key == "LENG":
+            M = int(tok[1])
+        elif key == "NULE":
+            if abc is None:
+                raise ValueError("ALPH must precede NULE in HMMER2 "
+                                 "save files")
+            nule = [_h2prob(t, 1.0 / abc.K) for t in tok[1:abc.K + 1]]
+        elif key == "RF":
+            flags_rf = tok[1].lower() == "yes"
+        elif key == "CS":
+            flags_cs = tok[1].lower() == "yes"
+        elif key == "MAP":
+            flags_map = tok[1].lower() == "yes"
+        elif key in ("GA", "TC", "NC"):
+            cutoffs[key] = (float(tok[1]),
+                            float(tok[2]) if len(tok) > 2
+                            else float(tok[1]))
+        elif key in ("NAME", "ACC", "NSEQ", "DATE"):
+            hdr[key] = line[len(key):].strip()
+        elif key == "DESC":
+            hdr[key] = line[4:].strip()
+    if abc is None:
+        raise ValueError("No ALPH found for HMMER2 model")
+    if M <= 0:
+        raise ValueError("No LENG found for HMMER2 model")
+    if nule is None:
+        nule = [1.0 / abc.K] * abc.K
+
+    bg = Background(abc)
+    h = HMM.zeros(M, abc)
+    h.name = hdr.get("NAME", "")
+    h.acc = hdr.get("ACC", "")
+    h.desc = hdr.get("DESC", "")
+    h.nseq = int(hdr.get("NSEQ", "0") or 0)
+    for key, (a, b) in cutoffs.items():
+        h.cutoff[{"GA": C.CUT_GA1, "TC": C.CUT_TC1,
+                  "NC": C.CUT_NC1}[key]] = a
+        h.cutoff[{"GA": C.CUT_GA2, "TC": C.CUT_TC2,
+                  "NC": C.CUT_NC2}[key]] = b
+        h.flags |= {"GA": hmm_mod.H_GA, "TC": hmm_mod.H_TC,
+                    "NC": hmm_mod.H_NC}[key]
+
+    next(fh)                           # "m->m m->i ..." header line
+    tbd1 = next(fh).split()            # B->M1 / B->I0 / B->D1
+    h.t[0, C.H_MM] = _h2prob(tbd1[0], 1.0)
+    h.t[0, C.H_MI] = 0.0
+    h.t[0, C.H_MD] = _h2prob(tbd1[2], 1.0)
+    h.t[0, C.H_IM] = 1.0
+    h.t[0, C.H_II] = 0.0
+    h.t[0, C.H_DM] = 1.0
+    h.t[0, C.H_DD] = 0.0
+    h.ins[0, :] = bg.f[:abc.K]
+    rf_chars = [" "] * (M + 1)
+    if flags_map:
+        h.map = np.zeros(M + 1, dtype=np.int64)
+
+    for k in range(1, M + 1):
+        tok = next(fh).split()
+        if int(tok[0]) != k:
+            raise ValueError(f"expected match line for node {k}, "
+                             f"saw {tok[0]!r}")
+        for x in range(abc.K):
+            h.mat[k, x] = _h2prob(tok[1 + x], nule[x])
+        if flags_map and len(tok) > 1 + abc.K:
+            h.map[k] = int(tok[1 + abc.K])
+        tok = next(fh).split()          # insert line: RF + (ignored)
+        if flags_rf:
+            rf_chars[k] = tok[0][0]
+        h.ins[k, :] = bg.f[:abc.K]
+        tok = next(fh).split()          # transition line: CS + 7
+        if k < M:
+            for x in range(7):
+                h.t[k, x] = _h2prob(tok[1 + x], 1.0)
+    h.t[M, :] = [1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 0.0]
+    if flags_rf:
+        h.rf = "".join(rf_chars)
+    for line in fh:                     # the closing //
+        if line.strip() == "//":
+            break
+
+    # renormalize, set consensus, calibrate (H3 statistics)
+    for k in range(M + 1):
+        for block in ((C.H_MM, C.H_MI, C.H_MD), (C.H_IM, C.H_II),
+                      (C.H_DM, C.H_DD)):
+            tot = float(sum(h.t[k, x] for x in block))
+            if tot > 0:
+                for x in block:
+                    h.t[k, x] /= tot
+        if k >= 1:
+            tot = float(h.mat[k].sum())
+            if tot > 0:
+                h.mat[k] /= tot
+            tot = float(h.ins[k].sum())
+            if tot > 0:
+                h.ins[k] /= tot
+    from .builder import set_consensus
+    set_consensus(h)
+    h.set_composition()
+    from .evalues import CalibrateConfig, calibrate
+    calibrate(h, CalibrateConfig(), bg=Background(abc))
+    return h

@@ -77,3 +77,60 @@ def test_gappy_degenerate_msa_builds(tmp_path):
                          "-o", str(tmp_path / "log")])
     assert rc == 0
     assert read_hmm(str(out)).M > 0
+
+
+def test_hmmer2_format_read(tmp_path):
+    """HMMER2.0 ASCII models parse through the format-autodetect
+    chain, convert to H3 semantics (renormalized, bg inserts,
+    calibrated) and flow through bathconvert
+    (ref: p7_hmmfile.c read_asc20hmm :1816)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    h2 = (
+        "HMMER2.0  [2.3.2]\n"
+        "NAME  mini2\nACC   T2ACC\nDESC  tiny hmmer2 model\n"
+        "LENG  3\nALPH  Amino\nRF    no\nCS    no\nMAP   no\n"
+        "NSEQ  5\nGA    10.0 8.0\n"
+        "NULE  " + "  ".join(["0"] * 20) + "\n"
+        "HMM        A      C      D      E      F      G      H      "
+        "I      K      L      M      N      P      Q      R      S"
+        "      T      V      W      Y\n"
+        "         m->m   m->i   m->d   i->m   i->i   d->m   d->d   "
+        "b->m   m->e\n"
+        "           0      *  -1000\n"
+        "     1   2000  " + "  ".join(["-500"] * 19) + "\n"
+        "     -   " + "  ".join(["0"] * 20) + "\n"
+        "     -   -100  -2000  -3000  -100  -5000  -100  -2000      "
+        "0     -1\n"
+        "     2   -500   2000  " + "  ".join(["-500"] * 18) + "\n"
+        "     -   " + "  ".join(["0"] * 20) + "\n"
+        "     -   -100  -2000  -3000  -100  -5000  -100  -2000      "
+        "0     -1\n"
+        "     3   -500   -500   2000  " + "  ".join(["-500"] * 17)
+        + "\n"
+        "     -   " + "  ".join(["0"] * 20) + "\n"
+        "     -      *      *      *      *      *      *      *"
+        "      0      0\n"
+        "//\n")
+    src = tmp_path / "mini2.hmm"
+    src.write_text(h2)
+    from bath_tpu.hmmfile import read_hmm
+    h = read_hmm(str(src))
+    assert h.M == 3 and h.name == "mini2" and h.acc == "T2ACC"
+    # consensus residues A, C, D; rows renormalized; calibrated
+    assert [int(np.argmax(h.mat[k])) for k in (1, 2, 3)] == [0, 1, 2]
+    for k in range(h.M + 1):
+        assert abs(h.t[k, 0] + h.t[k, 1] + h.t[k, 2] - 1.0) < 1e-5
+    assert h.evparam[1] != 0.0      # MSV lambda set by calibration
+    assert h.cutoff[0] == 10.0 and h.cutoff[1] == 8.0
+    # flows through bathconvert to BATH3/f
+    out = tmp_path / "mini2.bhmm"
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathconvert", str(out),
+         str(src)], capture_output=True, text=True, timeout=600,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.read_text().startswith("BATH3/f")
