@@ -618,7 +618,16 @@ def run(argv=None) -> int:
 
 
 def main():
-    sys.exit(run())
+    try:
+        sys.exit(run())
+    except ValueError as e:
+        # clean CLI error, no traceback (ref: p7_Fail on eslEFORMAT,
+        # bathsearch.c:642)
+        if "unrecognized sequence file format" in str(e):
+            print(f"Sequence file is empty or misformatted: {e}",
+                  file=sys.stderr)
+            sys.exit(1)
+        raise
 
 
 if __name__ == "__main__":

@@ -134,3 +134,20 @@ def test_hmmer2_format_read(tmp_path):
         cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.read_text().startswith("BATH3/f")
+
+
+def test_empty_target_clean_error(tmp_path):
+    """An empty target database fails with a clean message, not a
+    traceback (ref: bathsearch.c:642 p7_Fail on eslEFORMAT)."""
+    import subprocess
+    import sys
+    fa = tmp_path / "empty.fa"
+    fa.write_text("")
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+         "-o", "/dev/null",
+         "/root/reference/tutorial/AMP_N.bhmm", str(fa)],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert r.returncode == 1
+    assert "Traceback" not in r.stderr
+    assert "empty or misformatted" in r.stderr
