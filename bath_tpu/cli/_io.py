@@ -22,3 +22,18 @@ def spool_stdin(suffix: str = ".in") -> str:
         shutil.copyfileobj(sys.stdin, fh)
     atexit.register(lambda p=path: os.path.exists(p) and os.remove(p))
     return path
+
+
+def cli_main(run_fn):
+    """Shared entry wrapper: run the tool, converting expected
+    input-error exceptions into clean one-line failures (the
+    reference's p7_Fail behavior) instead of tracebacks."""
+    import sys
+    try:
+        sys.exit(run_fn())
+    except (ValueError, KeyError, OSError) as e:
+        msg = str(e)
+        if isinstance(e, KeyError):
+            msg = msg.strip("'\"")
+        print(f"Error: {msg}", file=sys.stderr)
+        sys.exit(1)

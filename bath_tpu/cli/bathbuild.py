@@ -13,23 +13,6 @@ import time
 from ..bg import Background
 from ..builder import BuilderConfig, build, single_build
 
-_BCTX: dict | None = None
-
-
-def _build_task(msa):
-    """One model build in a (possibly forked) worker."""
-    import io
-
-    from ..evalues import mean_match_relative_entropy
-    from ..hmmfile import write_hmm
-    c = _BCTX
-    hmm = build(msa, c["cfg"], bg=Background(), r=c["r"],
-                postmsa_file=c["postmsa_file"])
-    entropy = mean_match_relative_entropy(hmm, c["bg"])
-    buf = io.StringIO()
-    write_hmm(buf, hmm)
-    return (buf.getvalue(), msa.name, msa.nseq, msa.alen,
-            hmm.M, hmm.ct, hmm.eff_nseq, entropy, msa.desc)
 from ..evalues import CalibrateConfig, mean_match_relative_entropy
 from ..hmmfile import write_hmm
 from ..msa import read_msas
@@ -38,6 +21,21 @@ from ..sequence import read_fasta
 from ..alphabet import amino
 
 BANNER = "# bathbuild :: profile HMM construction from multiple sequence alignments"
+
+_BCTX: dict | None = None
+
+
+def _build_task(msa):
+    """One model build in a (possibly forked) worker."""
+    import io
+    c = _BCTX
+    hmm = build(msa, c["cfg"], bg=Background(), r=c["r"],
+                postmsa_file=c["postmsa_file"])
+    entropy = mean_match_relative_entropy(hmm, c["bg"])
+    buf = io.StringIO()
+    write_hmm(buf, hmm)
+    return (buf.getvalue(), msa.name, msa.nseq, msa.alen,
+            hmm.M, hmm.ct, hmm.eff_nseq, entropy, msa.desc)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -86,7 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mxfile", default=None,
                    help="read substitution score matrix from file <f>")
     p.add_argument("--cpu", type=int, default=0,
-                   help="accepted for compatibility (single process)")
+                   help="number of parallel model-build workers (multi-MSA files)")
     p.add_argument("--ere", type=float, default=None)
     p.add_argument("--esigma", type=float, default=45.0)
     p.add_argument("--pnone", action="store_true")
@@ -258,5 +256,10 @@ def main(argv=None) -> int:
     return 0
 
 
+def cli_entry():
+    from ._io import cli_main
+    cli_main(main)
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    cli_entry()

@@ -85,9 +85,18 @@ def main(argv=None) -> int:
                   % (idx, hmm.name, hmm.nseq, hmm.M, hmm.ct,
                      hmm.eff_nseq, entropy, hmm.desc or ""))
             write_hmm(ofp, hmm)
+    if idx == 0:
+        print(f"HMM file {args.hmmfile_in} is empty or misformatted",
+              file=sys.stderr)
+        return 1
     print(f"# CPU time: {time.time() - t0:.2f}u")
     return 0
 
 
+def cli_entry():
+    from ._io import cli_main
+    cli_main(main)
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    cli_entry()

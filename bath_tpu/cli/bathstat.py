@@ -39,5 +39,10 @@ def main(argv=None) -> int:
     return 0
 
 
+def cli_entry():
+    from ._io import cli_main
+    cli_main(main)
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    cli_entry()
