@@ -199,6 +199,48 @@ class OrfList(list):
     flat = None
     offs = None
     lens = None
+    starts = None       # per-ORF nt coords (native path)
+    ends = None
+
+
+class LazyOrfList:
+    """Sequence of Orfs materialized on demand from the native
+    extractor's flat layout.  At scale, ~99% of ORFs fail the
+    vectorized F1 gate without ever being touched as Python objects;
+    materializing only survivors removes the dominant per-ORF cost of
+    the big-database scan."""
+
+    __slots__ = ("flat", "offs", "lens", "starts", "ends", "frames",
+                 "_cache")
+
+    def __init__(self, flat, offs, lens, starts, ends, frames):
+        self.flat = flat
+        self.offs = offs
+        self.lens = lens
+        self.starts = starts
+        self.ends = ends
+        self.frames = frames
+        self._cache: dict[int, Orf] = {}
+
+    def __len__(self):
+        return len(self.lens)
+
+    def __getitem__(self, i):
+        o = self._cache.get(i)
+        if o is None:
+            off = int(self.offs[i])
+            o = Orf(self.flat[off:off + int(self.lens[i])],
+                    int(self.starts[i]), int(self.ends[i]),
+                    int(self.frames[i]))
+            self._cache[i] = o
+        return o
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __bool__(self):
+        return len(self) > 0
 
 
 def extract_orfs(gcode: GeneticCode, dsq: np.ndarray, *,

@@ -121,18 +121,16 @@ def extract_orfs_native(gcode, dsq: np.ndarray, *, minlen: int = 20,
     n = lib.bio_extract_orfs(dsq, L, basic, masks, is_init, stop,
                              anyaa, minlen, int(require_initiator),
                              int(is_revcomp), aa_out, meta)
-    from ..gencode import OrfList
-    mv = meta[:4 * n].reshape(n, 4)
+    from ..gencode import LazyOrfList
+    mv = meta[:4 * n].reshape(n, 4).copy()
     lens = mv[:, 3].astype(np.int64)
     offs = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offs[1:]) if n else None
     flat = aa_out[:int(lens.sum())].copy()
-    orfs = OrfList(
-        Orf(flat[offs[i]:offs[i] + lens[i]], int(mv[i, 0]),
-            int(mv[i, 1]), int(mv[i, 2])) for i in range(n))
-    # flat layout kept for batch filter calls (no re-concatenation)
-    orfs.flat, orfs.offs, orfs.lens = flat, offs, lens.astype(np.int32)
-    return orfs
+    # flat layout kept for batch filter calls (no re-concatenation);
+    # Orf objects materialize lazily — only gate survivors are touched
+    return LazyOrfList(flat, offs, lens.astype(np.int32),
+                       mv[:, 0], mv[:, 1], mv[:, 2])
 
 
 def _bind_filters(lib):

@@ -258,7 +258,9 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
     if usc_pre is not None:
         # vectorized F1 gate: null scores and Gumbel P-values for the
         # whole batch, with the scalar path's exact f32/f64 op order
-        lens_a = np.array([o.n for o in orfs], dtype=np.int64)
+        lens_a = (orfs.lens.astype(np.int64)
+                  if getattr(orfs, "lens", None) is not None
+                  else np.array([o.n for o in orfs], dtype=np.int64))
         p1v = lens_a.astype(np.float32) / (lens_a + 1).astype(
             np.float32)
         with np.errstate(divide="ignore"):
@@ -269,7 +271,19 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
         P1_pre = stats.gumbel_surv(seqscv, om.evparam[C.EV_MMU],
                                    om.evparam[C.EV_MLAMBDA])
 
-    for idx, orfsq in enumerate(orfs):
+    if P1_pre is not None and getattr(orfs, "starts", None) is not None:
+        # vectorized context-skip + F1 gate over the lazy ORF arrays:
+        # at scale ~99% of ORFs die here without ever materializing
+        # as Python objects
+        st, en = orfs.starts, orfs.ends
+        ctx = (((st < en) & (en < dnasq.C))
+               | ((en < st) & (st < dnasq.C)))
+        cand = np.nonzero(~ctx & (orfs.lens > 0)
+                          & ~(P1_pre > pli.F1))[0]
+        orf_iter = ((int(i), orfs[int(i)]) for i in cand)
+    else:
+        orf_iter = enumerate(orfs)
+    for idx, orfsq in orf_iter:
         # skip ORFs entirely inside the previous window's context
         if (orfsq.start < orfsq.end and orfsq.end < dnasq.C) or \
                 (orfsq.end < orfsq.start and orfsq.start < dnasq.C):

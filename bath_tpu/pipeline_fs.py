@@ -35,9 +35,10 @@ F32 = np.float32
 def build_dna_windows(pli, orfs, dnasq, om, data, P_orf, hit_windows,
                       complementarity, pct_overlap=0.0):
     windows = []
-    for f, orf in enumerate(orfs):
+    for f in range(len(orfs)):
         if P_orf[f] > pli.F4:
             continue
+        orf = orfs[f]
         best_idx = -1
         best_score = float("-inf")
         for w_i, w in enumerate(hit_windows):
@@ -699,9 +700,10 @@ def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
         P_min = float("inf")
         k_min, k_max = om.M, 0
         last_window_cnt = 0
-        for f, orfsq in enumerate(orfs):
+        for f in range(len(orfs)):
             if P_orf[f] > pli.F4:
                 continue
+            orfsq = orfs[f]
             if complementarity:
                 orf_start = dnasq.start - (dnasq.n - orfsq.end + 1) + 1
                 orf_end = dnasq.start - (dnasq.n - orfsq.start + 1) + 1
@@ -801,12 +803,13 @@ def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
             _postdomaindef_fs(pli, gm_fs5, om_fs5, bg, hitlist, seqidx,
                               wn, dnasq, tmpseq, complementarity)
         elif pli.std_pipe:
-            for f, orfsq in enumerate(orfs):
+            for f in range(len(orfs)):
+                # cheap float gates first so non-surviving ORFs are
+                # never materialized (LazyOrfList)
+                if P_orf[f] > pli.F3 or oxf_holder[f] is None:
+                    continue
+                orfsq = orfs[f]
                 if orfsq.idx != w_idx:
-                    continue
-                if P_orf[f] > pli.F3:
-                    continue
-                if oxf_holder[f] is None:
                     continue
                 pli.pos_past_fwd += orfsq.n * 3
                 om.reconfig_length(orfsq.n)
