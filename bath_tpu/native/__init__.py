@@ -485,15 +485,19 @@ def msv_filter_native_batch(orf_dsqs: list, om) -> np.ndarray | None:
         cat = np.concatenate([np.ascontiguousarray(d, dtype=np.int32)
                               for d in orf_dsqs])
     tcache = om.__dict__.setdefault("_tjb_cache", {})
-
-    def tjb_of(L):
+    # tjb per UNIQUE length (ORF lengths repeat heavily; the scalar
+    # per-ORF path was a visible cost at database scale)
+    ulens, inv = np.unique(np.asarray(lens, dtype=np.int64),
+                           return_inverse=True)
+    utjb = np.empty(len(ulens), dtype=np.int32)
+    for u, L in enumerate(ulens):
+        L = int(L)
         v = tcache.get(L)
         if v is None:
             v = om._unbiased_byteify(np.log(3.0 / (L + 3.0)))
             tcache[L] = v
-        return v
-
-    tjbs = np.array([tjb_of(int(L)) for L in lens], dtype=np.int32)
+        utjb[u] = v
+    tjbs = utjb[inv]
     out = np.empty(n, dtype=np.float32)
     lib.bio_msv_filter_batch(cat, offs, lens, tjbs, n, sbv, rbv,
                              om.Kp, om.M, int(om.base_b),
