@@ -58,3 +58,4 @@ def test_worker_count_invariance(tmp_path):
     serial = run("--fs")
     assert run("--fs", "--cpu", "3") == serial
     assert run("--fs", "--cpu", "2") == serial
+    assert run("--cpu", "3") == run()     # standard path too
