@@ -206,3 +206,47 @@ def test_splice_cigar(tmp_path):
             cons += int(n)
     spans.append(cons)
     assert spans == [373, 24, 112, 208]
+
+
+def test_splice_two_genes_same_sequence(tmp_path):
+    """Two AMP_N gene copies (each 2 exons) far apart on one sequence
+    must produce TWO spliced hits — the graph bounds machinery keeps
+    their paths from intertwining (ref: p7_splice.c enforce bounds
+    after each accepted path)."""
+    from bath_tpu.codontable import CodonTable
+    from bath_tpu.rng import Randomness
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    ct = CodonTable(gcode)
+    r = Randomness(3)
+    cons = np.argmax(hmm.mat[1:, :20], axis=1).astype(np.int32)
+    A, G, T = 0, 2, 3
+    sym = "ACGT"
+
+    def gene():
+        ex1 = ct.reverse_translate(r, cons[:60])
+        ex2 = ct.reverse_translate(r, cons[60:])
+        intron = np.concatenate(
+            [[G, T], r.sample_iid(np.full(4, 0.25), 90), [A, G]])
+        return np.concatenate([ex1, intron, ex2])
+
+    flank = lambda n: r.sample_iid(np.full(4, 0.25), n)
+    full = np.concatenate([flank(300), gene(), flank(2000), gene(),
+                           flank(300)])
+    fa = tmp_path / "two.fa"
+    with open(fa, "w") as f:
+        f.write(">twogenes\n")
+        s = "".join(sym[x] for x in full)
+        for i in range(0, len(s), 60):
+            f.write(s[i:i + 60] + "\n")
+    out = _run_splice(f"{TUT}/AMP_N.bhmm", str(fa))
+    hits = [ln.split() for ln in out.splitlines()
+            if "twogenes" in ln and ln.strip()
+            and ln.strip()[0].isdigit()]
+    # two reported spliced hits, both 2-exon, non-overlapping
+    assert len(hits) == 2, out
+    assert all(h[6] == "2" for h in hits), out
+    spans = sorted((int(h[4]), int(h[5])) for h in hits)
+    assert spans[0][1] < spans[1][0]
