@@ -171,7 +171,8 @@ def _fs3_kernel(ci2_ref, ci3_ref, ci4_ref, lens_ref, pmove_ref,
                     pos >= 3,
                     m_scr[p3_m4] * tMI + i_scr[p3_m4] * tII, 0.0)
             part = _shift_right_lanes(msv) * tMD_s
-            new_d = _dd_closure(part, tDD_s)
+            new_d = jnp.dot(part, tr_ref[8:8 + Mp, :],
+                            preferred_element_type=F32)
             xE = (msv.sum(axis=1, keepdims=True)
                   + new_d.sum(axis=1, keepdims=True))   # [Bt, 1]
             xN_p3 = sp[:, SLOT_XN + p3_m4:SLOT_XN + p3_m4 + 1]
@@ -190,19 +191,16 @@ def _fs3_kernel(ci2_ref, ci3_ref, ci4_ref, lens_ref, pmove_ref,
 
             sc = jnp.maximum(xE, 1.0)                # [Bt, 1]
             sinv = 1.0 / sc
-            active = (gi < lens)                     # [Bt, 1]
-
-            def upd3(scr, slot, newval):
-                for r in range(4):
-                    v = newval if r == slot else scr[r]
-                    scr[r] = jnp.where(active, v * sinv, scr[r])
-
-            upd3(m_scr, pos_m4, msv)
-            upd3(i_scr, pos_m4, new_i)
-            upd3(d_scr, pos_m4, new_d)
+            # no per-lane freezing: lanes whose item has ended keep
+            # evolving harmlessly (their score latched at `done`; sc
+            # clamps at >=1 so no overflow cascade) — dropping the
+            # `active` masks removes 16 [Bt, Mp] select ops/position
+            for r in range(4):
+                m_scr[r] = (msv if r == pos_m4 else m_scr[r]) * sinv
+                i_scr[r] = (new_i if r == pos_m4 else i_scr[r]) * sinv
+                d_scr[r] = (new_d if r == pos_m4 else d_scr[r]) * sinv
             for r in range(3):
-                ivx_scr[r] = jnp.where(active, ivx_scr[r] * sinv,
-                                       ivx_scr[r])
+                ivx_scr[r] = ivx_scr[r] * sinv
 
             # per-item scalars: specials rescaled, acc/score not
             newsp = jnp.where(col128 < 16, sp * sinv, sp)
@@ -226,7 +224,7 @@ def _fs3_kernel(ci2_ref, ci3_ref, ci4_ref, lens_ref, pmove_ref,
                               sp[:, SLOT_SCORE:SLOT_SCORE + 1])
             newsp = jnp.where(col128 == SLOT_SCORE,
                               jnp.broadcast_to(score, (Bt, 128)), newsp)
-            sp_scr[:, :] = jnp.where(active, newsp, sp)
+            sp_scr[:, :] = newsp
         return 0
 
     jax.lax.fori_loop(0, nblocks, block, 0)
@@ -276,7 +274,7 @@ def _fs3_score_pallas_jit(ci, lens, pmove, rfv, tr, Mp, nj=1.0,
         grid=(B // Bt, L // Lblk),
         in_specs=[
             cspec, cspec, cspec, bspec, bspec,
-            fullspec((R, Mp)), fullspec((8, Mp)),
+            fullspec((R, Mp)), fullspec((8 + Mp, Mp)),
         ],
         out_specs=bspec,
         out_shape=jax.ShapeDtypeStruct((B, 1), F32),
@@ -294,7 +292,9 @@ def _fs3_score_pallas_jit(ci, lens, pmove, rfv, tr, Mp, nj=1.0,
 
 def fs3_params_pallas(om_fs, lane_multiple: int = 128):
     """Pack an FSOProfile for the Pallas kernel: returns (rfv [R,Mp],
-    tr [8,Mp], Mp) with tMD/tDD pre-shifted to into-slot order."""
+    tr [8+Mp,Mp], Mp) with tMD/tDD pre-shifted to into-slot order;
+    rows 8.. hold the DD-closure operator U (dc = part @ U turns the
+    32-op log-depth lane scan into one MXU matmul)."""
     from ..jaxk.batch import round_up
     M = om_fs.M
     Mp = round_up(M, lane_multiple)
@@ -312,7 +312,22 @@ def fs3_params_pallas(om_fs, lane_multiple: int = 128):
     # shifted: slot j holds the transition into slot j (from j-1)
     tr[C.P_MD, 1:M] = tfv[1:M, C.P_MD]
     tr[C.P_DD, 1:M] = tfv[1:M, C.P_DD]
-    return jnp.asarray(rfv), jnp.asarray(tr), Mp
+    # DD-closure operator from the pre-shifted row: U[j, k] =
+    # prod_{r=j+1..k} tDD_into[r] (ref: jaxk.kernels
+    # dd_closure_matrix)
+    a = tr[C.P_DD].astype(np.float64)
+    with np.errstate(divide="ignore"):
+        la = np.maximum(np.log(a, where=a > 0,
+                               out=np.full(Mp, -np.inf)), -745.0)
+    cum = np.concatenate([[0.0], np.cumsum(la)])
+    U = np.zeros((Mp, Mp), np.float64)
+    for j in range(Mp):
+        with np.errstate(over="ignore", invalid="ignore"):
+            U[j, j:] = np.exp(np.minimum(cum[j + 1:Mp + 1]
+                                         - cum[j + 1], 0.0))
+        U[j, j:] = np.where(np.isfinite(U[j, j:]), U[j, j:], 0.0)
+    tr_ext = np.concatenate([tr, U.astype(np.float32)], axis=0)
+    return jnp.asarray(rfv), jnp.asarray(tr_ext), Mp
 
 
 def codon_indices_fs3(dsq: np.ndarray):
