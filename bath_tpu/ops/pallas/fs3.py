@@ -12,9 +12,9 @@ TPU-first design (see /opt/skills/guides/pallas_guide.md):
   * codon emissions are fetched with a one-hot matmul on the MXU
     (otherwise idle), 3 codon-length channels per position in one
     [3*Bt, R] x [R, Mp] product;
-  * the DD closure is a log-depth associative scan along lanes
-    (roll+fma steps) instead of the reference's striped 4-pass
-    serialization (impl_sse/fwdback.c:340);
+  * the DD closure is one MXU matmul against a precomputed closure
+    operator (dc = part @ U) instead of the reference's striped
+    4-pass serialization (impl_sse/fwdback.c:340);
   * positions are processed in blocks of 12 (lcm of the 4-row MDI
     and 3-slot IVX circularities) so every circular index is static.
 """
