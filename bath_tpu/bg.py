@@ -58,14 +58,30 @@ class Background:
 
     # ref: p7_bg_SetFilter (p7_bg.c:449)
     def set_filter(self, M: int, compo: np.ndarray):
+        # memoized: bathsearch re-sets the same (M, om->compo) filter
+        # for every window (and briefly swaps in per-window local
+        # compositions) — key on the actual values
+        key = (M, compo[: self.abc.K].tobytes())
+        cache = self.__dict__.setdefault("_filter_cache", {})
+        ent = cache.get(key)
+        if ent is not None:
+            # _t is later mutated in place by set_length; hand out a
+            # copy so the cached pristine version stays intact
+            self._t = ent[0].copy()
+            self._e, self._pi, self._eo = ent[1], ent[2], ent[3]
+            return
         L0 = np.float32(400.0)
         L1 = np.float32(M) / np.float32(8.0)
-        self._t[0] = [L0 / (L0 + 1), 1.0 / (L0 + 1), 1.0]
-        self._t[1] = [1.0 / (L1 + 1), L1 / (L1 + 1), 1.0]
-        self._e[0] = self.f
-        self._e[1] = compo[: self.abc.K]
-        self._pi[:] = [0.999, 0.001]
+        self._t = np.array([[L0 / (L0 + 1), 1.0 / (L0 + 1), 1.0],
+                            [1.0 / (L1 + 1), L1 / (L1 + 1), 1.0]],
+                           dtype=np.float32)
+        self._e = np.stack([self.f,
+                            compo[: self.abc.K].astype(np.float32)])
+        self._pi = np.array([0.999, 0.001], dtype=np.float32)
         self._configure()
+        if len(cache) > 64:
+            cache.clear()
+        cache[key] = (self._t.copy(), self._e, self._pi, self._eo)
 
     # ref: easel esl_hmm_Configure — emission odds ratios incl. degenerates
     def _configure(self):
