@@ -621,13 +621,17 @@ def main():
     try:
         sys.exit(run())
     except ValueError as e:
-        # clean CLI error, no traceback (ref: p7_Fail on eslEFORMAT,
+        # clean CLI errors, no traceback (ref: p7_Fail on eslEFORMAT,
         # bathsearch.c:642)
         if "unrecognized sequence file format" in str(e):
             print(f"Sequence file is empty or misformatted: {e}",
                   file=sys.stderr)
-            sys.exit(1)
-        raise
+        else:
+            print(f"Error: {e}", file=sys.stderr)
+        sys.exit(1)
+    except (KeyError, OSError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -60,6 +60,19 @@ def read_hmms_text(text: str) -> list[HMM]:
 
 
 def _read_one(fh: TextIO) -> HMM | None:
+    try:
+        return _read_one_inner(fh)
+    except (StopIteration, IndexError) as e:
+        raise ValueError("HMM file truncated or misformatted "
+                         "(premature end of data)") from e
+    except ValueError as e:
+        if "broadcast" in str(e) or "could not convert" in str(e):
+            raise ValueError(
+                "HMM file truncated or misformatted") from e
+        raise
+
+
+def _read_one_inner(fh: TextIO) -> HMM | None:
     # find format tag line
     line = ""
     for line in fh:

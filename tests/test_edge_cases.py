@@ -151,3 +151,24 @@ def test_empty_target_clean_error(tmp_path):
     assert r.returncode == 1
     assert "Traceback" not in r.stderr
     assert "empty or misformatted" in r.stderr
+
+
+def test_corrupt_hmm_clean_errors(tmp_path):
+    """Truncated/corrupt HMM files fail with clean one-line errors
+    across the tools, never tracebacks."""
+    import subprocess
+    import sys
+    full = open("/root/reference/tutorial/AMP_N.bhmm").read()
+    cases = {"trunc": full[:200], "half": full[:len(full) // 2],
+             "noslash": full.replace("//", "")}
+    for name, content in cases.items():
+        p = tmp_path / f"{name}.bhmm"
+        p.write_text(content)
+        r = subprocess.run(
+            [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+             "-o", "/dev/null", str(p),
+             "/root/reference/tutorial/target-AMP_N.fa"],
+            capture_output=True, text=True, timeout=600,
+            cwd="/root/repo")
+        assert r.returncode == 1, name
+        assert "Traceback" not in r.stderr, (name, r.stderr[-500:])
