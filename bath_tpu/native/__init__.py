@@ -1063,3 +1063,48 @@ def fs5_oa_trace_native(om_fs, pp, ox):
     tr.c = cc[:n][::-1].tolist()
     tr.sp = [-1] * n
     return tr
+
+
+def _bind_ssvbath(lib):
+    if getattr(lib, "_ssvbath_bound", False):
+        return
+    F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.bio_ssv_filter_bath.restype = ctypes.c_int64
+    lib.bio_ssv_filter_bath.argtypes = (
+        [I32P, ctypes.c_int64, U8P, U8P, ctypes.c_int64,
+         ctypes.c_int, ctypes.c_int,
+         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+         ctypes.c_double, ctypes.c_int32]
+        + [I32P, I32P, I32P, F32C, ctypes.c_int64])
+    lib._ssvbath_bound = True
+
+
+def ssv_filter_bath_native(dsq, om, data, sc_thresh):
+    """Window-capturing SSV; bit-identical to the Python
+    filters.ssv_filter_bath loop.  Returns list of (n, k, length,
+    score) tuples, or None if unavailable."""
+    lib = _fs5_lib()
+    if lib is None:
+        return None
+    _bind_ssvbath(lib)
+    if om.rbv.dtype != np.uint8 or not om.rbv.flags.c_contiguous:
+        return None
+    ssv = data.ssv_scores
+    if ssv.dtype != np.uint8:
+        return None
+    ssv = np.ascontiguousarray(ssv)
+    dsq32 = dsq if (dsq.dtype == np.int32 and dsq.flags.c_contiguous) \
+        else np.ascontiguousarray(dsq, dtype=np.int32)
+    cap = 4096
+    wn = np.empty(cap, np.int32)
+    wk = np.empty(cap, np.int32)
+    wl = np.empty(cap, np.int32)
+    ws = np.empty(cap, np.float32)
+    n = lib.bio_ssv_filter_bath(
+        dsq32, len(dsq32), om.rbv, ssv, len(ssv), om.Kp, om.M,
+        int(om.base_b), int(om.bias_b), int(om.tjb_b), int(om.tbm_b),
+        float(om.scale_b), int(sc_thresh), wn, wk, wl, ws, cap)
+    if n < 0:
+        return None
+    return [(int(wn[i]), int(wk[i]), int(wl[i]), float(ws[i]))
+            for i in range(n)]

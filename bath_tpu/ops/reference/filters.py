@@ -159,6 +159,16 @@ def ssv_filter_bath(dsq: np.ndarray, om: OProfile, data: ScoreData,
     sc_thresh = int(math.ceil(val)) if math.isfinite(val) \
         else -(1 << 30)
 
+    from ...native import ssv_filter_bath_native
+    wins = ssv_filter_bath_native(dsq, om, data, sc_thresh)
+    if wins is not None:
+        for n, k, length, score in wins:
+            windows.append(Window(id=0, n=n, k=k, length=length,
+                                  score=score,
+                                  complementarity=C.NOCOMPLEMENT,
+                                  target_len=L))
+        return
+
     rbv = om.rbv.astype(np.int16)
     bias = np.int16(om.bias_b)
     tjbm = om.tjb_b + om.tbm_b

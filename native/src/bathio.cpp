@@ -2068,4 +2068,99 @@ int64_t bio_fs5_oa_trace(int64_t L, int M,
     return n;
 }
 
+// SSV filter with diagonal-window capture (ref: impl_sse/msvfilter.c
+// p7_SSVFilter_BATH :250; bit-exact transcription of
+// filters.ssv_filter_bath including numpy negative-index wrap in the
+// backward walk).  Returns the number of captured windows, or -1 if
+// max_w would be exceeded (caller falls back to Python).
+int64_t bio_ssv_filter_bath(const int32_t* dsq, int64_t L,
+    const uint8_t* rbv, const uint8_t* ssv_scores, int64_t ssv_len,
+    int Kp, int M,
+    int base, int bias, int tjb, int tbm, double scale_b,
+    int32_t sc_thresh,
+    int32_t* w_n, int32_t* w_k, int32_t* w_len, float* w_sc,
+    int64_t max_w) {
+    const int W = M + 1;
+    const int tjbm = tjb + tbm;
+    const int xB = (base - tjbm > 0) ? base - tjbm : 0;
+    const int Qb = ((M + 15) / 16) > 2 ? ((M + 15) / 16) : 2;
+    static thread_local int16_t* dp = nullptr;
+    static thread_local int64_t cap = 0;
+    if (cap < W) {
+        delete[] dp;
+        dp = new int16_t[W];
+        cap = W;
+    }
+    for (int k = 0; k <= M; k++) dp[k] = 0;
+    int64_t nw = 0;
+    for (int64_t i = 1; i <= L; i++) {
+        const uint8_t* row = rbv + (int64_t)dsq[i - 1] * W;
+        int rowmax = -1;
+        // dp update in reverse so dp[k-1] reads the previous row
+        for (int k = M; k >= 1; k--) {
+            int sv = dp[k - 1] > xB ? dp[k - 1] : xB;
+            sv += bias;
+            if (sv > 255) sv = 255;
+            sv -= (int)row[k];
+            if (sv < 0) sv = 0;
+            dp[k] = (int16_t)sv;
+            if (sv > rowmax) rowmax = sv;
+        }
+        dp[0] = 0;
+        if (M >= 1 && rowmax >= sc_thresh) {
+            int end = -1, rem_sc = -1;
+            for (int q = 0; q < Qb; q++)
+                for (int z = 0; z < 16; z++) {
+                    int k = q + Qb * z + 1;
+                    if (k <= M && (int)dp[k] >= sc_thresh
+                        && (int)dp[k] > rem_sc) {
+                        end = k;
+                        rem_sc = (int)dp[k];
+                    }
+                }
+            for (int k = 0; k <= M; k++) dp[k] = 0;
+            int sc = rem_sc;
+            int64_t start = end, tstart = i;
+            while (rem_sc > base - tjbm) {
+                int64_t di = tstart - 1;
+                if (di < 0) di += L;             // numpy wrap
+                int64_t si = start * (int64_t)Kp + dsq[di];
+                if (si < 0) si += ssv_len;       // numpy wrap
+                rem_sc -= bias - (int)ssv_scores[si];
+                start -= 1;
+                tstart -= 1;
+            }
+            start += 1;
+            tstart += 1;
+            int64_t k2 = end + 1, n2 = i + 1;
+            int64_t max_end = i;
+            int max_sc = sc, pos_since_max = 0;
+            while (k2 < M && n2 <= L) {
+                sc += bias
+                    - (int)ssv_scores[k2 * (int64_t)Kp + dsq[n2 - 1]];
+                if (sc >= max_sc) {
+                    max_sc = sc;
+                    max_end = n2;
+                    pos_since_max = 0;
+                } else {
+                    pos_since_max += 1;
+                    if (pos_since_max == 5) break;
+                }
+                k2 += 1;
+                n2 += 1;
+            }
+            end += (int)(max_end - i);
+            double ret = ((double)(max_sc - tjb) - (double)base)
+                / scale_b - 3.0;
+            if (nw >= max_w) return -1;
+            w_n[nw] = (int32_t)tstart;
+            w_k[nw] = end;
+            w_len[nw] = (int32_t)(end - start + 1);
+            w_sc[nw] = (float)ret;
+            nw++;
+        }
+    }
+    return nw;
+}
+
 }  // extern "C"

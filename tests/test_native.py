@@ -396,3 +396,58 @@ def test_native_fs5_oa_trace_bitexact(gcode):
             assert tr1.st == tr2.st and tr1.k == tr2.k
             assert tr1.i == tr2.i and tr1.c == tr2.c
             assert tr1.pp == tr2.pp
+
+
+def test_native_ssv_filter_bath_bitexact(gcode):
+    """bio_ssv_filter_bath vs the Python window-capture SSV: identical
+    window records (n, k, length, f32 score) on hot and random DNA."""
+    import math
+
+    import bath_tpu.native as nat
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.ops.reference import filters as flt
+    from bath_tpu.profile import profile_config
+    from bath_tpu.scoredata import score_data_create
+    from bath_tpu.stats import gumbel_invsurv
+    from bath_tpu import constants as C
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    om = oprofile_convert(profile_config(hmm, bg, L=100))
+    data = score_data_create(om)
+    rng = np.random.default_rng(17)
+    seq = "".join(l.strip()
+                  for l in open("/root/reference/tutorial/"
+                                "target-AMP_N.fa")
+                  if not l.startswith(">"))
+    mp = {"A": 0, "C": 1, "G": 2, "T": 3}
+    hot = np.array([mp[c] for c in seq], np.int32)
+    from bath_tpu.gencode import GeneticCode, extract_orfs
+    gc = GeneticCode.create(1)
+    gc.set_initiator_any()
+    cases = []
+    for orf in extract_orfs(gc, hot, minlen=20):
+        cases.append(orf.dsq)
+    cases.append(rng.integers(0, 20, 200).astype(np.int32))
+    assert cases
+    for dsq in cases:
+        L = len(dsq)
+        om.reconfig_length(L)
+        bg.set_length(L)
+        nullsc = bg.null_one(L)
+        for P in (0.02, 1.0):
+            w1: list = []
+            flt.ssv_filter_bath(dsq, om, data, nullsc, P, w1)
+            # force the python path
+            orig = nat.ssv_filter_bath_native
+            nat.ssv_filter_bath_native = lambda *a: None
+            try:
+                w2: list = []
+                flt.ssv_filter_bath(dsq, om, data, nullsc, P, w2)
+            finally:
+                nat.ssv_filter_bath_native = orig
+            a = [(w.n, w.k, w.length, w.score) for w in w1]
+            b = [(w.n, w.k, w.length, w.score) for w in w2]
+            assert a == b, (L, P)
