@@ -116,15 +116,16 @@ def compute_local_compo(data: ScoreData, om: OProfile, bg: Background,
         k_end += (20 - k_len) // 2
     k_start = max(1, k_start)
     k_end = min(om.M, k_end)
-    # vector over x per k; accumulation order over k matches the
-    # scalar loop bit-for-bit (compo[x] summed in ascending k)
-    compo = np.zeros(K, dtype=F32)
+    # fully vectorized; np.cumsum is a sequential f32 accumulation,
+    # so the per-k summation order matches the scalar loop
+    # bit-for-bit (compo[x] summed in ascending k)
     ssv = np.asarray(data.ssv_scores, dtype=np.float64)
-    base = float(om.base_b)
-    for k in range(k_start, k_end + 1):
-        log_odds = ((base - ssv[k * Kp:k * Kp + K])
-                    / om.scale_b).astype(F32)
-        compo += (bg.f[:K] * np.exp(log_odds)).astype(F32)
+    ks = np.arange(k_start, k_end + 1)
+    idx = (ks[:, None] * Kp + np.arange(K)[None, :]).ravel()
+    log_odds = ((float(om.base_b) - ssv[idx]) / om.scale_b) \
+        .astype(F32).reshape(len(ks), K)
+    rows = (bg.f[None, :K] * np.exp(log_odds)).astype(F32)
+    compo = np.cumsum(rows, axis=0, dtype=F32)[-1].copy()
     compo /= compo.sum()
     return compo
 
