@@ -168,13 +168,23 @@ class GeneticCode:
 
     def translate_vec(self, dsq: np.ndarray, frame: int) -> np.ndarray:
         """Translate a digital DNA array in a given frame (0/1/2) to a
-        digital amino array (length (n-frame)//3)."""
+        digital amino array (length (n-frame)//3).  Canonical codons
+        translate via one table gather; degenerates fall back to the
+        scalar disambiguator."""
         n = (len(dsq) - frame) // 3
+        if n <= 0:
+            return np.empty(0, dtype=np.int32)
+        end = frame + 3 * n
+        x1 = dsq[frame:end:3]
+        x2 = dsq[frame + 1:end:3]
+        x3 = dsq[frame + 2:end:3]
+        canon = (x1 < 4) & (x2 < 4) & (x3 < 4)
         out = np.empty(n, dtype=np.int32)
-        for j in range(n):
-            i = frame + 3 * j
-            out[j] = self.translate_codon(int(dsq[i]), int(dsq[i + 1]),
-                                          int(dsq[i + 2]))
+        idx = 16 * x1.astype(np.int64) + 4 * x2 + x3
+        out[canon] = self.basic[np.where(canon, idx, 0)][canon]
+        for j in np.nonzero(~canon)[0]:
+            out[j] = self.translate_codon(int(x1[j]), int(x2[j]),
+                                          int(x3[j]))
         return out
 
 
