@@ -1108,3 +1108,17 @@ def ssv_filter_bath_native(dsq, om, data, sc_thresh):
         return None
     return [(int(wn[i]), int(wk[i]), int(wl[i]), float(ws[i]))
             for i in range(n)]
+
+
+def bind_d_max_chain():
+    """Raw binding for the spliced-Viterbi D max-chain (per-row hot
+    call; c_void_p args to skip ndpointer validation)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_dmax_bound", False):
+        VP = ctypes.c_void_p
+        lib.bio_d_max_chain.restype = None
+        lib.bio_d_max_chain.argtypes = [VP, VP, VP, VP, ctypes.c_int]
+        lib._dmax_bound = True
+    return lib.bio_d_max_chain

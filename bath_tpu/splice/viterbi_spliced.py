@@ -98,6 +98,23 @@ def viterbi_spliced(dsq: np.ndarray, gm: FSProfile, i_start: int,
     tII = np.where(sub_k < gm.M, tsc[np.minimum(sub_k, gm.M - 1), C.P_II],
                    NEG_INF)
 
+    # contiguous f32 transition rows for the native D max-chain
+    tMD_c = np.ascontiguousarray(tMD, dtype=F32)
+    tDD_c = np.ascontiguousarray(tDD, dtype=F32)
+    from ..native import bind_d_max_chain
+    _dmax = bind_d_max_chain()
+
+    def _d_chain(m_new, tMDc, tDDc, M):
+        d = np.full(M + 1, NEG_INF, F32)
+        if _dmax is not None and m_new.flags.c_contiguous:
+            _dmax(d.ctypes.data, m_new.ctypes.data,
+                  tMDc.ctypes.data, tDDc.ctypes.data, M)
+            return d
+        for k in range(2, M + 1):
+            d[k] = max(m_new[k - 2] + tMDc[k - 1],
+                       d[k - 1] + tDDc[k - 1])
+        return d
+
     mmx = np.full((L + 1, M + 1), NEG_INF, F32)
     imx = np.full((L + 1, M + 1), NEG_INF, F32)
     dmx = np.full((L + 1, M + 1), NEG_INF, F32)
@@ -153,10 +170,7 @@ def viterbi_spliced(dsq: np.ndarray, gm: FSProfile, i_start: int,
         i_new = np.maximum(prevm[ks] + tMI, previ[ks] + tII)
         i_new = np.where(emits == NEG_INF, NEG_INF, i_new)
         i_new[M - 1] = NEG_INF
-        d_new = np.full(M + 1, NEG_INF, F32)
-        for k in range(2, M + 1):
-            d_new[k] = max(m_new[k - 2] + tMD[k - 1],
-                           d_new[k - 1] + tDD[k - 1])
+        d_new = _d_chain(m_new, tMD_c, tDD_c, M)
         mmx[i, 1:] = m_new
         imx[i, 1:] = i_new
         dmx[i] = d_new
@@ -255,10 +269,7 @@ def viterbi_spliced(dsq: np.ndarray, gm: FSProfile, i_start: int,
         i_new = np.maximum(prevm[ks] + tMI, previ[ks] + tII)
         i_new = np.where(emits == NEG_INF, NEG_INF, i_new)
         i_new[M - 1] = NEG_INF
-        d_new = np.full(M + 1, NEG_INF, F32)
-        for k in range(2, M + 1):
-            d_new[k] = max(m_new[k - 2] + tMD[k - 1],
-                           d_new[k - 1] + tDD[k - 1])
+        d_new = _d_chain(m_new, tMD_c, tDD_c, M)
         mmx[i, 1:] = m_new
         imx[i, 1:] = i_new
         dmx[i] = d_new

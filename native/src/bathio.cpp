@@ -2163,4 +2163,16 @@ int64_t bio_ssv_filter_bath(const int32_t* dsq, int64_t L,
     return nw;
 }
 
+// Max-plus D-chain for the spliced Viterbi row (ref: the sequential
+// D recursion of generic_viterbi_spliced.c):
+//   d[k] = max(m[k-2] + tMD[k-1], d[k-1] + tDD[k-1]),  k = 2..M
+void bio_d_max_chain(float* d, const float* m, const float* tMD,
+                     const float* tDD, int M) {
+    for (int k = 2; k <= M; k++) {
+        float a = m[k - 2] + tMD[k - 1];
+        float b = d[k - 1] + tDD[k - 1];
+        d[k] = a > b ? a : b;
+    }
+}
+
 }  // extern "C"
