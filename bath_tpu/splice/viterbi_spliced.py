@@ -133,8 +133,33 @@ def viterbi_spliced(dsq: np.ndarray, gm: FSProfile, i_start: int,
     xN[0] = 0.0
     xB[0] = xsc[C.X_N, C.MOVE]
 
+    # vectorized per-row precomputation: placeholder-mapped nts, codon
+    # indices, and splice-signal codes (replaces ~9 scalar nt()/sig
+    # calls per row)
+    ntv = np.where(sub < 4, sub, C.MAXCODONS1).astype(np.int64)
+    if L >= 3:
+        # ci_arr[j] = 1-codon index of the codon ending at row i=j+3
+        ci_arr = np.minimum(ntv[2:] * C.NUC1_FS1
+                            + ntv[1:-1] * C.NUC2_FS1 + ntv[:-2],
+                            C.DEGEN1_C)
+        c1_base = np.minimum(ntv[2:] * C.NUC1_FS1
+                             + ntv[1:-1] * C.NUC2_FS1, C.DEGEN1_C)
+    else:
+        ci_arr = c1_base = np.empty(0, np.int64)
+    if L >= 2:
+        both = (ntv[:-1] < 4) & (ntv[1:] < 4)
+        pair = np.where(both, 4 * ntv[:-1] + ntv[1:], -1)
+        accv = np.where(pair == ACCEPT_AG, ACCEPT_AG,
+                        np.where(pair == ACCEPT_AC, ACCEPT_AC, -1))
+        donv = np.where(pair == _sig(2, 3), S_GTAG,
+                        np.where(pair == _sig(2, 1), S_GCAG,
+                                 np.where(pair == _sig(0, 3), S_ATAC,
+                                          -1)))
+    else:
+        accv = donv = np.empty(0, np.int64)
+
     def nt(i_local):     # 1-based local -> placeholder-mapped nt
-        return _nt(int(sub[i_local - 1]))
+        return int(ntv[i_local - 1])
 
     for i in (1, 2):
         if i <= L:
@@ -142,8 +167,7 @@ def viterbi_spliced(dsq: np.ndarray, gm: FSProfile, i_start: int,
             xB[i] = xsc[C.X_N, C.MOVE]
 
     def c0_rsc(i):
-        v, w, x = nt(i - 2), nt(i - 1), nt(i)
-        return rsc[_codon1(v, w, x)]
+        return rsc[int(ci_arr[i - 3])]
 
     # rows 3 .. min(L, min_intron+2): no donor lookbacks yet
     loop_end = min(L, min_intron + 2)
@@ -188,26 +212,20 @@ def viterbi_spliced(dsq: np.ndarray, gm: FSProfile, i_start: int,
     for i in range(min_intron + 3, L + 1):
         pv_i = i % 4
         pv_pi = (i - 3) % 4
-        v, w, x = nt(i - 2), nt(i - 1), nt(i)
-        rc = rsc[_codon1(v, w, x)]
+        x = nt(i)
+        rc = rsc[int(ci_arr[i - 3])]
         emits = rc[sub_k]
 
         # split-codon emissions: C1[nuc1] = (nuc1, w, x)
-        c1_rows = np.array([rsc[_codon1(n1, w, x)][sub_k]
-                            for n1 in (0, 1, 2, 3, C.MAXCODONS1)])  # [5, M]
+        base = int(c1_base[i - 3])
+        c1_idx = np.minimum(
+            base + np.array([0, 1, 2, 3, C.MAXCODONS1]), C.DEGEN1_C)
+        c1_rows = rsc[c1_idx][:, sub_k]                     # [5, M]
 
-        # acceptor signals ending at i-2 (acc0), i-1 (acc1), i (acc2):
-        # signal nucleotides (v,w) at the row offsets the ref uses
+        # acceptor signals ending at i-2 (acc0), i-1 (acc1), i (acc2)
+        # (pair j in accv = 1-based nts (j+1, j+2))
         def acc_at(off):
-            a, b = nt(i - 2 - off), nt(i - 1 - off)
-            if a > 3 or b > 3:
-                return -1
-            s = _sig(a, b)
-            if s == ACCEPT_AG:
-                return ACCEPT_AG
-            if s == ACCEPT_AC:
-                return ACCEPT_AC
-            return -1
+            return int(accv[i - 3 - off])
         acc0, acc1, acc2 = acc_at(2), acc_at(1), acc_at(0)
 
         # P-state values for this row, vectorized over k
@@ -287,18 +305,7 @@ def viterbi_spliced(dsq: np.ndarray, gm: FSProfile, i_start: int,
         tmp = np.maximum(don_row_m[ks[:-1]], don_row_d[ks[:-1]])  # k-1 for k=2..M
 
         def don_at(off):
-            a, b = nt(i - min_intron + 1 - off - 1), \
-                nt(i - min_intron + 1 - off)
-            if a > 3 or b > 3:
-                return -1
-            s = _sig(a, b)
-            if s == DONOR_GT:
-                return S_GTAG
-            if s == DONOR_GC:
-                return S_GCAG
-            if s == DONOR_AT:
-                return S_ATAC
-            return -1
+            return int(donv[i - min_intron - off - 1])
         don0, don1, don2 = don_at(2), don_at(1), don_at(0)
 
         kk = np.arange(2, M)
