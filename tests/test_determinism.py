@@ -59,3 +59,35 @@ def test_worker_count_invariance(tmp_path):
     assert run("--fs", "--cpu", "3") == serial
     assert run("--fs", "--cpu", "2") == serial
     assert run("--cpu", "3") == run()     # standard path too
+
+
+def test_long_sequence_window_boundaries(tmp_path):
+    """A single long sequence spanning several 256KiB windows, with
+    hits placed at/near the window boundaries: worker count must not
+    change results (overlap context + duplicate removal under
+    --cpu)."""
+    import numpy as np
+    rng = np.random.default_rng(33)
+    tgt = "".join(l.strip() for l in open(f"{TUT}/target-AMP_N.fa")
+                  if not l.startswith(">"))
+    nts = np.array(list("ACGT"))
+    parts = []
+    cur = 0
+    for at in (260000, 262144, 524288):
+        parts.append("".join(rng.choice(nts, at - cur)))
+        parts.append(tgt)
+        cur = at + len(tgt)
+    parts.append("".join(rng.choice(nts, 600000 - cur)))
+    fa = tmp_path / "long.fa"
+    fa.write_text(">long1\n" + "".join(parts) + "\n")
+
+    def run(*opts):
+        r = subprocess.run(
+            [sys.executable, "-m", "bath_tpu.cli.bathsearch", *opts,
+             f"{TUT}/AMP_N.bhmm", str(fa)],
+            capture_output=True, text=True, timeout=1200,
+            cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
+
+    assert run("--fs", "--cpu", "3") == run("--fs")
