@@ -1122,3 +1122,53 @@ def bind_d_max_chain():
         lib.bio_d_max_chain.argtypes = [VP, VP, VP, VP, ctypes.c_int]
         lib._dmax_bound = True
     return lib.bio_d_max_chain
+
+
+def _bind_spliced(lib):
+    if getattr(lib, "_spliced_bound", False):
+        return
+    F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    I64C = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    F64C = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.bio_spliced_vit_fill.restype = ctypes.c_int
+    lib.bio_spliced_vit_fill.argtypes = (
+        [I32P, I64C, I64C, I32P, I32P,
+         ctypes.c_int64, ctypes.c_int,
+         F32C, ctypes.c_int, I64C]
+        + [F32C] * 7
+        + [ctypes.c_float] * 2 + [ctypes.c_int] * 2
+        + [ctypes.c_float] * 4
+        + [F64C, ctypes.c_float, ctypes.c_int]
+        + [F32C] * 7)
+    lib._spliced_bound = True
+
+
+def spliced_vit_fill_native(ntv, ci_arr, c1_base, accv, donv, L, M,
+                            rsc, sub_k, tviews, entry, exitc,
+                            global_start, global_end, xvals, sigsc,
+                            tsc_p, min_intron, mats):
+    """Fill the spliced Viterbi matrices in C; bit-identical to the
+    Python loops in splice.viterbi_spliced.  Returns True when the
+    native path ran."""
+    lib = _fs5_lib()
+    if lib is None:
+        return False
+    _bind_spliced(lib)
+    if rsc.dtype != np.float32 or not rsc.flags.c_contiguous:
+        return False
+    mmx, imx, dmx, xN, xB, xE, xC = mats
+    lib.bio_spliced_vit_fill(
+        np.ascontiguousarray(ntv, dtype=np.int32),
+        np.ascontiguousarray(ci_arr, dtype=np.int64),
+        np.ascontiguousarray(c1_base, dtype=np.int64),
+        np.ascontiguousarray(accv, dtype=np.int32),
+        np.ascontiguousarray(donv, dtype=np.int32),
+        L, M, rsc, rsc.shape[1],
+        np.ascontiguousarray(sub_k, dtype=np.int64),
+        *[np.ascontiguousarray(t, dtype=np.float32) for t in tviews],
+        float(entry), float(exitc), int(global_start),
+        int(global_end), *[float(v) for v in xvals],
+        np.ascontiguousarray(sigsc, dtype=np.float64),
+        float(tsc_p), int(min_intron),
+        mmx, imx, dmx, xN, xB, xE, xC)
+    return True

@@ -169,6 +169,19 @@ def viterbi_spliced(dsq: np.ndarray, gm: FSProfile, i_start: int,
     def c0_rsc(i):
         return rsc[int(ci_arr[i - 3])]
 
+    # native fill (bit-identical to the loops below)
+    from ..native import spliced_vit_fill_native
+    if L >= 3 and rsc.dtype == F32 and spliced_vit_fill_native(
+            ntv, ci_arr, c1_base, accv, donv, L, M, rsc, sub_k,
+            (tMM, tIM, tDM, tMD_c, tDD_c, tMI, tII),
+            entry, exitc, global_start, global_end,
+            (xsc[C.X_N, C.LOOP], xsc[C.X_N, C.MOVE],
+             xsc[C.X_C, C.LOOP], xsc[C.X_E, C.MOVE]),
+            sigsc, TSC_P, min_intron,
+            (mmx, imx, dmx, xN, xB, xE, xC)):
+        return SplicedMatrix(L=L, M=M, mmx=mmx, imx=imx, dmx=dmx,
+                             xN=xN, xB=xB, xE=xE, xC=xC)
+
     # rows 3 .. min(L, min_intron+2): no donor lookbacks yet
     loop_end = min(L, min_intron + 2)
     for i in range(3, loop_end + 1):

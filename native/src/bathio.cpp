@@ -2175,4 +2175,276 @@ void bio_d_max_chain(float* d, const float* m, const float* tMD,
     }
 }
 
+// ---------------------------------------------------------------------
+// Spliced translated Viterbi fill (ref: generic_viterbi_spliced.c
+// p7_GViterbi_Spliced :65; bit-exact transcription of
+// splice/viterbi_spliced.py viterbi_spliced — f32 DP with the
+// acceptor lookups in f64 exactly like the numpy mixed-dtype math).
+// ---------------------------------------------------------------------
+int bio_spliced_vit_fill(
+    const int32_t* ntv, const int64_t* ci_arr, const int64_t* c1_base,
+    const int32_t* accv, const int32_t* donv,
+    int64_t L, int M,
+    const float* rsc, int W,
+    const int64_t* sub_k,
+    const float* tMM, const float* tIM, const float* tDM,
+    const float* tMD, const float* tDD, const float* tMI,
+    const float* tII,
+    float entry, float exitc, int global_start, int global_end,
+    float nloop, float nmove, float cloop, float emove,
+    const double* sigsc, float tsc_p, int min_intron,
+    float* mmx, float* imx, float* dmx,
+    float* xN, float* xB, float* xE, float* xC) {
+    enum { S_GTAG = 0, S_GCAG = 1, S_ATAC = 2,
+           ACCEPT_AG = 2, ACCEPT_AC = 1 };
+    const int Wl = M + 1;                 // local row width
+    const float NEG = -HUGE_VALF;
+    static thread_local float* buf = nullptr;
+    static thread_local int64_t cap = 0;
+    // pvx[4][Wl], ssx0[Wl][3], ssx1[Wl][3][5], ssx2[Wl][3][5],
+    // m_new/i_new/d_new/cand [Wl]
+    int64_t need = 4 * Wl + 3 * Wl + 15 * Wl + 15 * Wl + 4 * Wl;
+    if (cap < need) {
+        delete[] buf;
+        buf = new float[need];
+        cap = need;
+    }
+    float* pvx = buf;
+    float* ssx0 = pvx + 4 * Wl;           // [k*3 + s]
+    float* ssx1 = ssx0 + 3 * Wl;          // [(k*3 + s)*5 + j]
+    float* ssx2 = ssx1 + 15 * Wl;
+    float* m_new = ssx2 + 15 * Wl;
+    float* i_new = m_new + Wl;
+    float* d_new = i_new + Wl;
+    float* cand = d_new + Wl;
+    for (int64_t z = 0; z < need; z++) buf[z] = NEG;
+
+    int64_t loop_end = L < min_intron + 2 ? L : min_intron + 2;
+    for (int64_t phase = 0; phase < 2; phase++) {
+        int64_t i0 = (phase == 0) ? 3 : min_intron + 3;
+        int64_t i1 = (phase == 0) ? loop_end : L;
+        for (int64_t i = i0; i <= i1; i++) {
+            const float* rc = rsc + ci_arr[i - 3] * W;
+            if (!global_start) {
+                xN[i] = xN[i - 3] + nloop;
+                xB[i] = xN[i] + nmove;
+            }
+            const float* pm = mmx + (i - 3) * Wl;
+            const float* pi = imx + (i - 3) * Wl;
+            const float* pd = dmx + (i - 3) * Wl;
+            const float* pvp = pvx + ((i - 3) % 4) * Wl;
+
+            for (int k = 1; k <= M; k++) {
+                float c;
+                if (global_start) {
+                    if (k == 1) {
+                        c = (phase == 0 && i == 3) ? xB[i - 3] : NEG;
+                    } else {
+                        c = pm[k - 1] + tMM[k - 1];
+                        float t = pi[k - 1] + tIM[k - 1];
+                        if (t > c) c = t;
+                        t = pd[k - 1] + tDM[k - 1];
+                        if (t > c) c = t;
+                        if (phase == 1) {
+                            t = pvp[k - 1] + tsc_p;
+                            if (t > c) c = t;
+                        }
+                    }
+                } else {
+                    c = pm[k - 1] + tMM[k - 1];
+                    float t = pi[k - 1] + tIM[k - 1];
+                    if (t > c) c = t;
+                    t = pd[k - 1] + tDM[k - 1];
+                    if (t > c) c = t;
+                    if (phase == 1 && k >= 2) {
+                        t = pvp[k - 1] + tsc_p;
+                        if (t > c) c = t;
+                    }
+                    t = xB[i - 3] + entry;
+                    if (t > c) c = t;
+                }
+                float em = rc[sub_k[k - 1]];
+                m_new[k - 1] = c + em;
+                float iv = pm[k] + tMI[k - 1];
+                float iw = pi[k] + tII[k - 1];
+                float in_ = iv > iw ? iv : iw;
+                if (em == NEG) in_ = NEG;
+                i_new[k - 1] = in_;
+            }
+            i_new[M - 1] = NEG;
+            d_new[0] = d_new[1] = NEG;
+            for (int k = 2; k <= M; k++) {
+                float a = m_new[k - 2] + tMD[k - 1];
+                float b = d_new[k - 1] + tDD[k - 1];
+                d_new[k] = a > b ? a : b;
+            }
+            float* mrow = mmx + i * Wl;
+            float* irow = imx + i * Wl;
+            float* drow = dmx + i * Wl;
+            for (int k = 1; k <= M; k++) {
+                mrow[k] = m_new[k - 1];
+                irow[k] = i_new[k - 1];
+            }
+            for (int k = 0; k <= M; k++) drow[k] = d_new[k];
+
+            if (!global_end) {
+                double e;
+                if (phase == 0) {
+                    double mm = NEG, dd = NEG;
+                    for (int k = 0; k < M; k++)
+                        if (m_new[k] > mm) mm = m_new[k];
+                    for (int k = 0; k <= M; k++)
+                        if (d_new[k] > dd) dd = d_new[k];
+                    // python stores the f32-rounded sum before the
+                    // max with ei — replicate the intermediate round
+                    float e1 = (float)((mm > dd ? mm : dd)
+                                       + (double)exitc);
+                    double ei = m_new[M - 1] > d_new[M]
+                        ? m_new[M - 1] : d_new[M];
+                    e = (ei > (double)e1) ? ei : (double)e1;
+                } else {
+                    double mm = NEG, dd = NEG;
+                    for (int k = 0; k < M - 1; k++)
+                        if (m_new[k] > mm) mm = m_new[k];
+                    for (int k = 1; k < M; k++)
+                        if (d_new[k] > dd) dd = d_new[k];
+                    e = (mm > dd ? mm : dd) + (double)exitc;
+                    if ((double)m_new[M - 1] > e) e = m_new[M - 1];
+                    if ((double)d_new[M] > e) e = d_new[M];
+                }
+                xE[i] = (float)e;
+                float c1 = xC[i - 3] + cloop;
+                float c2 = xE[i] + emove;
+                xC[i] = c1 > c2 ? c1 : c2;
+            }
+
+            if (phase == 1) {
+                // P-state row from acceptor signals
+                float* pvn = pvx + (i % 4) * Wl;
+                for (int k = 0; k <= M; k++) pvn[k] = NEG;
+                int acc0 = accv[i - 5], acc1 = accv[i - 4],
+                    acc2 = accv[i - 3];
+                if (acc0 >= 0 || acc1 >= 0 || acc2 >= 0) {
+                    int nuc3 = ntv[i - 1] < 4 ? ntv[i - 1] : 4;
+                    int64_t c1i[5];
+                    for (int j = 0; j < 5; j++) {
+                        static const int n1v[5] = {0, 1, 2, 3, 65};
+                        int64_t v = c1_base[i - 3] + n1v[j];
+                        c1i[j] = v < 64 ? v : 64;
+                    }
+                    for (int k = 1; k < M; k++) {
+                        double best = -HUGE_VAL;
+                        int64_t gk = sub_k[k - 1];
+                        if (acc0 == ACCEPT_AG) {
+                            double a = (double)ssx0[k * 3 + S_GTAG]
+                                + sigsc[S_GTAG];
+                            double b = (double)ssx0[k * 3 + S_GCAG]
+                                + sigsc[S_GCAG];
+                            double t = (a > b ? a : b)
+                                + (double)rc[gk];
+                            if (t > best) best = t;
+                        } else if (acc0 == ACCEPT_AC) {
+                            double t = (double)ssx0[k * 3 + S_ATAC]
+                                + sigsc[S_ATAC] + (double)rc[gk];
+                            if (t > best) best = t;
+                        }
+                        if (acc1 == ACCEPT_AG) {
+                            for (int j = 0; j < 5; j++) {
+                                double a = (double)ssx1[
+                                    (k * 3 + S_GTAG) * 5 + j]
+                                    + sigsc[S_GTAG];
+                                double b = (double)ssx1[
+                                    (k * 3 + S_GCAG) * 5 + j]
+                                    + sigsc[S_GCAG];
+                                double t = (a > b ? a : b)
+                                    + (double)rsc[c1i[j] * W + gk];
+                                if (t > best) best = t;
+                            }
+                        } else if (acc1 == ACCEPT_AC) {
+                            for (int j = 0; j < 5; j++) {
+                                double t = (double)ssx1[
+                                    (k * 3 + S_ATAC) * 5 + j]
+                                    + sigsc[S_ATAC]
+                                    + (double)rsc[c1i[j] * W + gk];
+                                if (t > best) best = t;
+                            }
+                        }
+                        if (acc2 == ACCEPT_AG) {
+                            double a = (double)ssx2[
+                                (k * 3 + S_GTAG) * 5 + nuc3]
+                                + sigsc[S_GTAG];
+                            double b = (double)ssx2[
+                                (k * 3 + S_GCAG) * 5 + nuc3]
+                                + sigsc[S_GCAG];
+                            double t = a > b ? a : b;
+                            if (t > best) best = t;
+                        } else if (acc2 == ACCEPT_AC) {
+                            double t = (double)ssx2[
+                                (k * 3 + S_ATAC) * 5 + nuc3]
+                                + sigsc[S_ATAC];
+                            if (t > best) best = t;
+                        }
+                        pvn[k] = (float)best;
+                    }
+                }
+                // NOTE: pvn computed from ssx BEFORE this row's donor
+                // updates, matching the python order? (python computes
+                // pv_new first, then donor updates) -- yes.
+
+                // donor updates for the row min_intron+3 back
+                const float* dm_m = mmx + (i - min_intron - 3) * Wl;
+                const float* dm_d = dmx + (i - min_intron - 3) * Wl;
+                int don0 = donv[i - min_intron - 3];
+                int don1 = donv[i - min_intron - 2];
+                int don2 = donv[i - min_intron - 1];
+                if (M > 2 && (don0 >= 0 || don1 >= 0 || don2 >= 0)) {
+                    if (don2 >= 0) {
+                        int r_ = ntv[i - min_intron - 3];
+                        int s_ = ntv[i - min_intron - 2];
+                        for (int j = 0; j < 5; j++) {
+                            static const int n3v[5] = {0, 1, 2, 3, 65};
+                            int64_t ci = (int64_t)n3v[j] * 16
+                                + (int64_t)s_ * 4 + r_;
+                            if (ci > 64) ci = 64;
+                            const float* emr = rsc + ci * W;
+                            for (int k = 2; k < M; k++) {
+                                float tmp = dm_m[k - 1] > dm_d[k - 1]
+                                    ? dm_m[k - 1] : dm_d[k - 1];
+                                float t = tmp + emr[sub_k[k - 1]];
+                                float* slot = &ssx2[
+                                    (k * 3 + don2) * 5 + j];
+                                if (t > *slot) *slot = t;
+                            }
+                        }
+                    }
+                    if (don1 >= 0) {
+                        int r_ = ntv[i - min_intron - 3];
+                        if (r_ > 4) r_ = 4;
+                        for (int k = 2; k < M; k++) {
+                            float tmp = dm_m[k - 1] > dm_d[k - 1]
+                                ? dm_m[k - 1] : dm_d[k - 1];
+                            float* slot = &ssx1[(k * 3 + don1) * 5 + r_];
+                            if (tmp > *slot) *slot = tmp;
+                        }
+                    }
+                    if (don0 >= 0) {
+                        for (int k = 2; k < M; k++) {
+                            float tmp = dm_m[k - 1] > dm_d[k - 1]
+                                ? dm_m[k - 1] : dm_d[k - 1];
+                            float* slot = &ssx0[k * 3 + don0];
+                            if (tmp > *slot) *slot = tmp;
+                        }
+                    }
+                }
+            }
+        }
+    }
+    if (global_end) {
+        float a = mmx[L * Wl + M], b = dmx[L * Wl + M];
+        xE[L] = a > b ? a : b;
+        xC[L] = xE[L] + emove;
+    }
+    return 0;
+}
+
 }  // extern "C"

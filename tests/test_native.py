@@ -451,3 +451,50 @@ def test_native_ssv_filter_bath_bitexact(gcode):
             a = [(w.n, w.k, w.length, w.score) for w in w1]
             b = [(w.n, w.k, w.length, w.score) for w in w2]
             assert a == b, (L, P)
+
+
+def test_native_spliced_vit_fill_bitexact(gcode):
+    """bio_spliced_vit_fill vs the Python spliced-Viterbi loops: every
+    matrix and specials array bit-identical, across global/local modes
+    and synthetic intron placements."""
+    import bath_tpu.native as nat
+    import bath_tpu.splice.viterbi_spliced as vs
+    from bath_tpu.bg import Background
+    from bath_tpu.codontable import CodonTable
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.profile import profile_config_fs
+    from bath_tpu.rng import Randomness
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    gm = profile_config_fs(hmm, Background(), gcode, 1, 100)
+    r = Randomness(8)
+    ct = CodonTable(gcode)
+    aminos = np.argmax(hmm.mat[1:81, :20], axis=1)
+    ex1 = ct.reverse_translate(r, aminos[:40])
+    ex2 = ct.reverse_translate(r, aminos[40:])
+    A, G, T = 0, 2, 3
+    intron = np.concatenate([[G, T], r.sample_iid(np.full(4, 0.25), 50),
+                             [A, G]])
+    cases = [
+        np.concatenate([ex1, intron, ex2]).astype(np.int32),
+        r.sample_iid(np.full(4, 0.25), 200).astype(np.int32),
+        ex1.astype(np.int32),
+    ]
+    cases[1][10] = 7           # degenerate nt
+    for dsq in cases:
+        L = len(dsq)
+        for gs, ge in ((True, True), (False, False), (True, False)):
+            a = vs.viterbi_spliced(dsq, gm, 1, L, 1, 80,
+                                   min_intron=30, global_start=gs,
+                                   global_end=ge)
+            orig = nat.spliced_vit_fill_native
+            nat.spliced_vit_fill_native = lambda *x: False
+            try:
+                b = vs.viterbi_spliced(dsq, gm, 1, L, 1, 80,
+                                       min_intron=30, global_start=gs,
+                                       global_end=ge)
+            finally:
+                nat.spliced_vit_fill_native = orig
+            for f in ("mmx", "imx", "dmx", "xN", "xB", "xE", "xC"):
+                assert np.array_equal(getattr(a, f), getattr(b, f),
+                                      equal_nan=True), (L, gs, ge, f)
