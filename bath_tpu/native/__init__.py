@@ -1172,3 +1172,76 @@ def spliced_vit_fill_native(ntv, ci_arr, c1_base, accv, donv, L, M,
         float(tsc_p), int(min_intron),
         mmx, imx, dmx, xN, xB, xE, xC)
     return True
+
+
+def _bind_bwdfill(lib):
+    if getattr(lib, "_bwdfill_bound", False):
+        return
+    F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.bio_bwd_fill.restype = ctypes.c_int
+    lib.bio_bwd_fill.argtypes = (
+        [I32P, ctypes.c_int64, F32C, ctypes.c_int, ctypes.c_int]
+        + [F32C] * 8 + [F32C, F32C]    # transitions, xff, fwd_scale
+        + [F32C] * 3                   # mm, im, dm
+        + [F32C] * 6                   # xE xN xJ xB xC scale
+        + [ctypes.POINTER(ctypes.c_int32)])
+    lib._bwdfill_bound = True
+
+
+def bwd_fill_native(dsq, om, fwd, full=True):
+    """Amino Backward matrix + score; bit-identical to
+    fwdback.backward.  None if unavailable; raises RangeError like
+    the Python path."""
+    lib = _fs5_lib()
+    if lib is None:
+        return None
+    _bind_bwdfill(lib)
+    from ..ops.reference.fwdback import PMatrix, RangeError
+    from ..ops.reference.fwdback import _trans_views
+    L, M = len(dsq), om.M
+    if L == 0:
+        return None
+    F32 = np.float32
+    rfv = om.rfv
+    if rfv.dtype != np.float32 or not rfv.flags.c_contiguous:
+        rfv = np.ascontiguousarray(rfv, dtype=np.float32)
+    tv = [np.ascontiguousarray(t, dtype=np.float32)
+          for t in _trans_views(om)]
+    bx = PMatrix(L=L, M=M,
+                 xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
+                 xJ=np.zeros(L + 1, F32), xB=np.zeros(L + 1, F32),
+                 xC=np.zeros(L + 1, F32), scale=np.ones(L + 1, F32),
+                 has_own_scales=False)
+    if full:
+        bx.mm = np.zeros((L + 1, M + 1), F32)
+        bx.im = np.zeros((L + 1, M + 1), F32)
+        bx.dm = np.zeros((L + 1, M + 1), F32)
+        mm, im_, dm = bx.mm, bx.im, bx.dm
+    else:
+        mm = im_ = dm = np.zeros((1, M + 1), F32)
+    fscale = fwd.scale
+    if fscale.dtype != np.float32 or not fscale.flags.c_contiguous:
+        fscale = np.ascontiguousarray(fscale, dtype=np.float32)
+    dsq32 = dsq if (dsq.dtype == np.int32 and dsq.flags.c_contiguous) \
+        else np.ascontiguousarray(dsq, dtype=np.int32)
+    own = ctypes.c_int32(0)
+    st = lib.bio_bwd_fill(
+        dsq32, L, rfv, M, int(full), *tv, _xff_of(om), fscale,
+        mm, im_, dm,
+        bx.xE, bx.xN, bx.xJ, bx.xB, bx.xC, bx.scale,
+        ctypes.byref(own))
+    bx.has_own_scales = bool(own.value)
+    if st == 1:
+        raise RangeError("backward score is NaN")
+    if st == 2:
+        raise RangeError("backward score underflow")
+    if st == 3:
+        raise RangeError("backward score overflow")
+    # totscale: init is np.log on the f32 scale[L]; per-row adds are
+    # f64 logs of the python-float scale, descending i
+    totscale = float(np.log(bx.scale[L]))
+    for s_ in bx.scale[1:L][::-1]:
+        if s_ > 1.0:
+            totscale += float(np.log(float(s_)))
+    bx.totscale = totscale
+    return bx, totscale + float(np.log(bx.xN[0]))

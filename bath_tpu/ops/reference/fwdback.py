@@ -166,6 +166,10 @@ def backward(dsq: np.ndarray, om: OProfile, fwd: PMatrix,
     """Backward in prob space, borrowing the Forward's scale factors
     (ref: backward_engine).  Returns (matrix, score)."""
     L, M = len(dsq), om.M
+    from ...native import bwd_fill_native
+    r = bwd_fill_native(dsq, om, fwd, full=full)
+    if r is not None:
+        return r
     rfv = om.rfv
     xf = om.xf
     tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = _trans_views(om)

@@ -2447,4 +2447,156 @@ int bio_spliced_vit_fill(
     return 0;
 }
 
+// Standard (amino) Backward fill — bit-exact transcription of
+// fwdback.py backward (ref: fwdback.c backward_engine): borrows the
+// Forward's scale factors with the overflow fallback to its own
+// (has_own_scales); numpy-pairwise xB sums; f32 elementwise rows.
+// Scores/totscale stay Python-side (np.log dtype quirks).
+int bio_bwd_fill(const int32_t* dsq, int64_t L, const float* rfv,
+                 int M, int full,
+                 const float* tBM, const float* tMM, const float* tIM,
+                 const float* tDM, const float* tMD, const float* tDD,
+                 const float* tMI, const float* tII,
+                 const float* xff, const float* fwd_scale,
+                 float* mmat, float* imat, float* dmat,
+                 float* xEv, float* xNv, float* xJv, float* xBv,
+                 float* xCv, float* scales, int32_t* own_io) {
+    const int W = M + 1;
+    const float nloop = xff[0], nmove = xff[1], jloop = xff[2],
+        jmove = xff[3], cloop = xff[4], cmove = xff[5],
+        eloop = xff[6], emove = xff[7];
+    static thread_local float* buf = nullptr;
+    static thread_local int64_t cap = 0;
+    if (cap < 7 * (int64_t)W) {
+        delete[] buf;
+        buf = new float[7 * W];
+        cap = 7 * W;
+    }
+    float* mc = buf;
+    float* ic = buf + W;
+    float* dc = buf + 2 * W;
+    float* nm = buf + 3 * W;
+    float* ni = buf + 4 * W;
+    float* nd = buf + 5 * W;
+    float* ms = buf + 6 * W;
+    int own = *own_io;
+
+    // init row L
+    float xJ = 0.f, xB = 0.f, xN = 0.f;
+    float xC = cmove;
+    float xE = xC * emove;
+    for (int k = 0; k <= M; k++) { mc[k] = dc[k] = xE; ic[k] = 0.f; }
+    mc[0] = dc[0] = 0.f;
+    for (int k = M - 1; k >= 1; k--)
+        dc[k] = dc[k] + dc[k + 1] * tDD[k + 1];
+    for (int k = 1; k < M; k++)
+        mc[k] = mc[k] + dc[k + 1] * tMD[k + 1];
+    float scL = fwd_scale[L];
+    if (scL > 1.0f) {
+        float inv = 1.0f / scL;
+        xE *= inv; xN *= inv; xC *= inv; xJ *= inv; xB *= inv;
+        for (int k = 0; k <= M; k++) {
+            mc[k] *= inv; dc[k] *= inv; ic[k] *= inv;
+        }
+    }
+    scales[L] = scL;
+    xEv[L] = xE; xNv[L] = xN; xJv[L] = xJ; xBv[L] = xB; xCv[L] = xC;
+    if (full)
+        for (int k = 0; k <= M; k++) {
+            mmat[L * W + k] = mc[k];
+            imat[L * W + k] = ic[k];
+            dmat[L * W + k] = dc[k];
+        }
+
+    for (int64_t i = L - 1; i >= 1; i--) {
+        const float* row = rfv + (int64_t)dsq[i] * W;
+        ms[0] = 0.f;
+        for (int k = 1; k <= M; k++) ms[k] = mc[k] * row[k];
+        // xB = pairwise sum of ms[1..M] * tBM[1..M]
+        {
+            static thread_local float* tmp = nullptr;
+            static thread_local int64_t tcap = 0;
+            if (tcap < M) {
+                delete[] tmp;
+                tmp = new float[M > 1 ? M : 1];
+                tcap = M;
+            }
+            for (int k = 1; k <= M; k++)
+                tmp[k - 1] = ms[k] * tBM[k];
+            xB = np_pairwise_f32(tmp, M);
+        }
+        for (int k = 0; k <= M; k++) nm[k] = ni[k] = nd[k] = 0.f;
+        for (int k = 1; k <= M; k++) {
+            float ms1 = (k < M) ? ms[k + 1] : 0.f;
+            float tMMk = (k < M) ? tMM[k + 1] : 0.f;
+            float tIMk = (k < M) ? tIM[k + 1] : 0.f;
+            float tDMk = (k < M) ? tDM[k + 1] : 0.f;
+            ni[k] = ic[k] * tII[k] + ms1 * tIMk;
+            nm[k] = ic[k] * tMI[k] + ms1 * tMMk;
+            nd[k] = ms1 * tDMk;
+        }
+        xC = xC * cloop;
+        xJ = xB * jmove + xJ * jloop;
+        xN = xB * nmove + xN * nloop;
+        xE = xC * emove + xJ * eloop;
+
+        for (int k = 1; k <= M; k++) nd[k] = nd[k] + xE;
+        nd[0] = 0.f;
+        for (int k = M - 1; k >= 1; k--)
+            nd[k] = nd[k] + nd[k + 1] * tDD[k + 1];
+        for (int k = 1; k <= M; k++) nm[k] = nm[k] + xE;
+        nm[0] = 0.f;
+        for (int k = 1; k < M; k++)
+            nm[k] = nm[k] + nd[k + 1] * tMD[k + 1];
+
+        float* t;
+        t = mc; mc = nm; nm = t;
+        t = ic; ic = ni; ni = t;
+        t = dc; dc = nd; nd = t;
+
+        if (xB > 1.0e16f) own = 1;
+        double sc = own ? ((xB > 1.0e4f) ? (double)xB : 1.0)
+                        : (double)fwd_scale[i];
+        scales[i] = (float)sc;
+        if (sc > 1.0) {
+            float inv = 1.0f / (float)sc;
+            xE *= inv; xN *= inv; xJ *= inv; xB *= inv; xC *= inv;
+            for (int k = 0; k <= M; k++) {
+                mc[k] *= inv; ic[k] *= inv; dc[k] *= inv;
+            }
+        }
+        xEv[i] = xE; xNv[i] = xN; xJv[i] = xJ;
+        xBv[i] = xB; xCv[i] = xC;
+        if (full)
+            for (int k = 0; k <= M; k++) {
+                mmat[i * W + k] = mc[k];
+                imat[i * W + k] = ic[k];
+                dmat[i * W + k] = dc[k];
+            }
+    }
+
+    // termination at i = 0
+    {
+        const float* row = rfv + (int64_t)dsq[0] * W;
+        static thread_local float* tmp0 = nullptr;
+        static thread_local int64_t t0cap = 0;
+        if (t0cap < M) {
+            delete[] tmp0;
+            tmp0 = new float[M > 1 ? M : 1];
+            t0cap = M;
+        }
+        for (int k = 1; k <= M; k++)
+            tmp0[k - 1] = (mc[k] * row[k]) * tBM[k];
+        xB = np_pairwise_f32(tmp0, M);
+        xN = xB * nmove + xN * nloop;
+        xBv[0] = xB; xNv[0] = xN;
+        scales[0] = 1.0f;
+    }
+    *own_io = own;
+    if (xNv[0] != xNv[0]) return 1;
+    if (L > 0 && xNv[0] == 0.0f) return 2;
+    if (xNv[0] == HUGE_VALF || xNv[0] == -HUGE_VALF) return 3;
+    return 0;
+}
+
 }  // extern "C"

@@ -498,3 +498,47 @@ def test_native_spliced_vit_fill_bitexact(gcode):
             for f in ("mmx", "imx", "dmx", "xN", "xB", "xE", "xC"):
                 assert np.array_equal(getattr(a, f), getattr(b, f),
                                       equal_nan=True), (L, gs, ge, f)
+
+
+def test_native_bwd_fill_bitexact(gcode):
+    """bio_bwd_fill vs the numpy backward: matrices, specials, scales,
+    totscale, score and the has_own_scales flag bit-identical across
+    unihit/multihit and full/parser modes."""
+    import bath_tpu.native as nat
+    import bath_tpu.ops.reference.fwdback as fb
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.profile import profile_config
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    om = oprofile_convert(profile_config(hmm, bg, L=100))
+    rng = np.random.default_rng(2)
+    cons = np.argmax(hmm.mat[1:, :20], axis=1).astype(np.int32)
+    cases = [rng.integers(0, 20, L).astype(np.int32)
+             for L in (1, 5, 63, 301)]
+    cases.append(np.tile(cons, 5))
+    for dsq in cases:
+        for uni in (True, False):
+            for full in (True, False):
+                (om.reconfig_unihit if uni
+                 else om.reconfig_multihit)(len(dsq))
+                ox, _ = fb.forward(dsq, om, full=False)
+                r1 = nat.bwd_fill_native(dsq, om, ox, full=full)
+                assert r1 is not None
+                orig = nat.bwd_fill_native
+                nat.bwd_fill_native = lambda *a, **k: None
+                try:
+                    bx2, sc2 = fb.backward(dsq, om, ox, full=full)
+                finally:
+                    nat.bwd_fill_native = orig
+                bx1, sc1 = r1
+                assert sc1 == sc2 and bx1.totscale == bx2.totscale
+                assert bx1.has_own_scales == bx2.has_own_scales
+                fields = ["xE", "xN", "xJ", "xB", "xC", "scale"]
+                if full:
+                    fields += ["mm", "im", "dm"]
+                for f in fields:
+                    assert np.array_equal(getattr(bx1, f),
+                                          getattr(bx2, f)), f
