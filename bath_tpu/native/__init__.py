@@ -1245,3 +1245,53 @@ def bwd_fill_native(dsq, om, fwd, full=True):
             totscale += float(np.log(float(s_)))
     bx.totscale = totscale
     return bx, totscale + float(np.log(bx.xN[0]))
+
+
+def _bind_oafill(lib):
+    if getattr(lib, "_oafill_bound", False):
+        return
+    F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.bio_oa_fill.restype = None
+    lib.bio_oa_fill.argtypes = (
+        [ctypes.c_int64, ctypes.c_int]
+        + [F32C] * 8 + [F32C]          # transitions, xff
+        + [F32C] * 5                   # pp: mm, im, xN, xJ, xC
+        + [F32C] * 3                   # out mm, im, dm
+        + [F32C] * 5)                  # xE xN xJ xB xC
+    lib._oafill_bound = True
+
+
+def oa_fill_native(om, pp):
+    """Standard OA fill; bit-identical to fwdback.optimal_accuracy.
+    None if unavailable."""
+    lib = _fs5_lib()
+    if lib is None:
+        return None
+    _bind_oafill(lib)
+    from ..ops.reference.fwdback import NEG_INF, PMatrix, _trans_views
+    L, M = pp.L, pp.M
+    F32 = np.float32
+    tv = [np.ascontiguousarray(t, dtype=np.float32)
+          for t in _trans_views(om)]
+    ox = PMatrix(L=L, M=M,
+                 xE=np.full(L + 1, NEG_INF, F32),
+                 xN=np.zeros(L + 1, F32),
+                 xJ=np.full(L + 1, NEG_INF, F32),
+                 xB=np.zeros(L + 1, F32),
+                 xC=np.full(L + 1, NEG_INF, F32),
+                 scale=np.ones(L + 1, F32),
+                 mm=np.empty((L + 1, M + 1), F32),
+                 im=np.empty((L + 1, M + 1), F32),
+                 dm=np.empty((L + 1, M + 1), F32))
+
+    def c32(a):
+        if a.dtype != np.float32 or not a.flags.c_contiguous:
+            return np.ascontiguousarray(a, dtype=np.float32)
+        return a
+
+    lib.bio_oa_fill(
+        L, M, *tv, _xff_of(om),
+        c32(pp.mm), c32(pp.im), c32(pp.xN), c32(pp.xJ), c32(pp.xC),
+        ox.mm, ox.im, ox.dm,
+        ox.xE, ox.xN, ox.xJ, ox.xB, ox.xC)
+    return ox, float(ox.xC[L])

@@ -338,6 +338,10 @@ def optimal_accuracy(om: OProfile, pp: PMatrix) -> tuple[PMatrix, float]:
     max uses (t>0 ? value : 0.0), reproducing the reference's
     and_ps(cmpgt) idiom."""
     L, M = pp.L, pp.M
+    from ...native import oa_fill_native
+    r = oa_fill_native(om, pp)
+    if r is not None:
+        return r
     xf = om.xf
     tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = _trans_views(om)
     mBM = tBM > 0; mMM = tMM > 0; mIM = tIM > 0; mDM = tDM > 0

@@ -2599,4 +2599,85 @@ int bio_bwd_fill(const int32_t* dsq, int64_t L, const float* rfv,
     return 0;
 }
 
+// Standard optimal-accuracy fill — bit-exact transcription of
+// fwdback.py optimal_accuracy (ref: impl_sse/optacc.c
+// p7_OptimalAccuracy :57): masked maxes with the (t>0 ? v : 0)
+// and_ps idiom, gated D chain, f64 specials compares.
+void bio_oa_fill(int64_t L, int M,
+                 const float* tBM, const float* tMM, const float* tIM,
+                 const float* tDM, const float* tMD, const float* tDD,
+                 const float* tMI, const float* tII,
+                 const float* xff,
+                 const float* pmm, const float* pim,
+                 const float* pxN, const float* pxJ, const float* pxC,
+                 float* omm, float* oim, float* odm,
+                 float* xEv, float* xNv, float* xJv, float* xBv,
+                 float* xCv) {
+    const int W = M + 1;
+    const float NEG = -HUGE_VALF;
+    const float nloop = xff[0], nmove = xff[1], jloop = xff[2],
+        jmove = xff[3], cloop = xff[4], emove = xff[7],
+        eloop = xff[6];
+    for (int64_t i = 0; i <= L; i++) {
+        xEv[i] = NEG; xJv[i] = NEG; xCv[i] = NEG;
+        xNv[i] = 0.f; xBv[i] = 0.f;
+        for (int k = 0; k <= M; k++)
+            omm[i * W + k] = oim[i * W + k] = odm[i * W + k] = NEG;
+    }
+    xNv[0] = 0.f;
+    xBv[0] = 0.f;
+    for (int64_t i = 1; i <= L; i++) {
+        const float* mprev = omm + (i - 1) * W;
+        const float* iprev = oim + (i - 1) * W;
+        const float* dprev = odm + (i - 1) * W;
+        float* mrow = omm + i * W;
+        float* irow = oim + i * W;
+        float* drow = odm + i * W;
+        const float* ppm = pmm + i * W;
+        const float* ppi = pim + i * W;
+        float xBp = xBv[i - 1];
+        for (int k = 1; k <= M; k++) {
+            float sv = (tBM[k] > 0.f) ? xBp : 0.f;
+            float t = (tMM[k] > 0.f) ? mprev[k - 1] : 0.f;
+            if (t > sv) sv = t;
+            t = (tIM[k] > 0.f) ? iprev[k - 1] : 0.f;
+            if (t > sv) sv = t;
+            t = (tDM[k] > 0.f) ? dprev[k - 1] : 0.f;
+            if (t > sv) sv = t;
+            mrow[k] = sv + ppm[k];
+            float iv = (tMI[k] > 0.f) ? mprev[k] : 0.f;
+            t = (tII[k] > 0.f) ? iprev[k] : 0.f;
+            if (t > iv) iv = t;
+            irow[k] = iv + ppi[k];
+        }
+        mrow[0] = NEG;
+        irow[0] = NEG;
+        drow[0] = drow[1] = NEG;
+        for (int k = 2; k <= M; k++)
+            drow[k] = (tMD[k] > 0.f) ? mrow[k - 1] : 0.f;
+        for (int k = 2; k <= M; k++) {
+            float g = (tDD[k] > 0.f) ? drow[k - 1] : 0.f;
+            if (g > drow[k]) drow[k] = g;
+        }
+        float mmax = NEG, dmax = NEG;
+        for (int k = 1; k <= M; k++) {
+            if (mrow[k] > mmax) mmax = mrow[k];
+            if (drow[k] > dmax) dmax = drow[k];
+        }
+        double xE = (double)(mmax > dmax ? mmax : dmax);
+        xEv[i] = (float)xE;
+        double t1 = (jloop == 0.f) ? 0.0
+            : (double)(xJv[i - 1] + pxJ[i]);
+        double t2 = (eloop == 0.f) ? 0.0 : (double)xEv[i];
+        xJv[i] = (float)(t1 > t2 ? t1 : t2);
+        t1 = (cloop == 0.f) ? 0.0 : (double)(xCv[i - 1] + pxC[i]);
+        t2 = (emove == 0.f) ? 0.0 : (double)xEv[i];
+        xCv[i] = (float)(t1 > t2 ? t1 : t2);
+        xNv[i] = (nloop == 0.f) ? 0.f : (xNv[i - 1] + pxN[i]);
+        t1 = (nmove == 0.f) ? 0.0 : (double)xNv[i];
+        t2 = (jmove == 0.f) ? 0.0 : (double)xJv[i];
+        xBv[i] = (float)(t1 > t2 ? t1 : t2);
+    }
+}
+
 }  // extern "C"

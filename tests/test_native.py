@@ -542,3 +542,43 @@ def test_native_bwd_fill_bitexact(gcode):
                 for f in fields:
                     assert np.array_equal(getattr(bx1, f),
                                           getattr(bx2, f)), f
+
+
+def test_native_oa_fill_bitexact(gcode):
+    """bio_oa_fill vs the numpy optimal_accuracy: matrices, specials
+    and score bit-identical."""
+    import bath_tpu.native as nat
+    import bath_tpu.ops.reference.fwdback as fb
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.profile import profile_config
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    om = oprofile_convert(profile_config(hmm, bg, L=100))
+    rng = np.random.default_rng(3)
+    cons = np.argmax(hmm.mat[1:, :20], axis=1).astype(np.int32)
+    cases = [rng.integers(0, 20, L).astype(np.int32)
+             for L in (2, 40, 200)] + [cons.copy()]
+    for dsq in cases:
+        for uni in (True, False):
+            (om.reconfig_unihit if uni
+             else om.reconfig_multihit)(len(dsq))
+            ox, _ = fb.forward(dsq, om, full=True)
+            bx, _ = fb.backward(dsq, om, ox, full=True)
+            pp = fb.decoding(om, ox, bx)
+            r1 = nat.oa_fill_native(om, pp)
+            assert r1 is not None
+            orig = nat.oa_fill_native
+            nat.oa_fill_native = lambda *a: None
+            try:
+                ox2, sc2 = fb.optimal_accuracy(om, pp)
+            finally:
+                nat.oa_fill_native = orig
+            ox1, sc1 = r1
+            assert sc1 == sc2
+            for f in ("mm", "im", "dm", "xE", "xN", "xJ", "xB", "xC"):
+                assert np.array_equal(getattr(ox1, f),
+                                      getattr(ox2, f),
+                                      equal_nan=True), f
