@@ -32,6 +32,11 @@ def stochastic_trace(r: Randomness, dsq: np.ndarray, om: OProfile,
     """Sample one state path from P(path | seq) using the scaled
     prob-space Forward matrix (ref: p7_GStochasticTrace :42 semantics;
     sparse-rescale corrections for cross-row selections)."""
+    from .native import stotrace_native
+    ntr = stotrace_native(r, om, oxf)
+    if ntr is not None:
+        return ntr
+
     L, M = oxf.L, oxf.M
     xf = om.xf
     tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII = fb._trans_views(om)

@@ -1295,3 +1295,62 @@ def oa_fill_native(om, pp):
         ox.mm, ox.im, ox.dm,
         ox.xE, ox.xN, ox.xJ, ox.xB, ox.xC)
     return ox, float(ox.xC[L])
+
+
+def _bind_stotrace_std(lib):
+    if getattr(lib, "_stotrace_std_bound", False):
+        return
+    F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    U32C = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.bio_stotrace.restype = ctypes.c_int64
+    lib.bio_stotrace.argtypes = (
+        [ctypes.c_int64, ctypes.c_int]
+        + [F32C] * 3                   # mm, im, dm
+        + [F32C] * 6                   # xB xC xE xN xJ scale
+        + [F32C] * 8 + [F32C]          # transitions, xff
+        + [U32C, ctypes.POINTER(ctypes.c_int32)]
+        + [I32P] * 3 + [ctypes.c_int64])
+    lib._stotrace_std_bound = True
+
+
+def stotrace_native(r, om, oxf):
+    """One sampled standard trace; bit-identical to
+    ensemble.stochastic_trace incl. the consumed MT19937 stream.
+    None if unavailable (RNG untouched)."""
+    lib = _fs5_lib()
+    if lib is None or oxf.mm is None:
+        return None
+    _bind_stotrace_std(lib)
+    from ..ops.reference.fwdback import Trace, _trans_views
+    L, M = oxf.L, oxf.M
+
+    def c32(a):
+        if a.dtype != np.float32 or not a.flags.c_contiguous:
+            return np.ascontiguousarray(a, dtype=np.float32)
+        return a
+
+    tv = [c32(t) for t in _trans_views(om)]
+    mt32 = r._mt.astype(np.uint32)
+    mti = ctypes.c_int32(r._mti)
+    cap = 3 * (L + 8) + 2 * (M + 8)
+    st = np.empty(cap, np.int32)
+    kk = np.empty(cap, np.int32)
+    ii = np.empty(cap, np.int32)
+    n = lib.bio_stotrace(
+        L, M, c32(oxf.mm), c32(oxf.im), c32(oxf.dm),
+        c32(oxf.xB), c32(oxf.xC), c32(oxf.xE), c32(oxf.xN),
+        c32(oxf.xJ), c32(oxf.scale), *tv, _xff_of(om),
+        mt32, ctypes.byref(mti), st, kk, ii, cap)
+    if n < 0:
+        return None
+    r._mt[:] = mt32
+    r._mti = int(mti.value)
+    tr = Trace()
+    tr.st = st[:n][::-1].tolist()
+    tr.k = kk[:n][::-1].tolist()
+    tr.i = ii[:n][::-1].tolist()
+    tr.pp = [0.0] * n
+    tr.c = [0] * n
+    tr.sp = [-1] * n
+    tr.M, tr.L = M, L
+    return tr

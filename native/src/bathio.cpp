@@ -2680,4 +2680,99 @@ void bio_oa_fill(int64_t L, int M,
     }
 }
 
+// Standard stochastic traceback (ref: generic_stotrace.c
+// p7_GStochasticTrace :42 semantics; bit-exact transcription of
+// ensemble.stochastic_trace incl. the MT19937 stream).
+int64_t bio_stotrace(int64_t L, int M,
+    const float* mm, const float* im, const float* dm,
+    const float* xB, const float* xC, const float* xE,
+    const float* xN, const float* xJ, const float* scale,
+    const float* tBM, const float* tMM, const float* tIM,
+    const float* tDM, const float* tMD, const float* tDD,
+    const float* tMI, const float* tII,
+    const float* xff,
+    uint32_t* mt, int32_t* mti_io,
+    int32_t* o_st, int32_t* o_k, int32_t* o_i,
+    int64_t max_out) {
+    enum { T_M = 1, T_D = 2, T_I = 3, T_S = 4, T_N = 5, T_B = 6,
+           T_E = 7, T_C = 8, T_T = 9, T_J = 10 };
+    const double nloop = (double)xff[0], nmove = (double)xff[1];
+    const double jloop = (double)xff[2], jmove = (double)xff[3];
+    const double cloop = (double)xff[4];
+    const double eloop = (double)xff[6], emove = (double)xff[7];
+    const int W = M + 1;
+    int32_t mti = *mti_io;
+    int64_t n = 0;
+#define EMIT2(S, K, I) do { \
+    if (n >= max_out) return -1; \
+    o_st[n] = (S); o_k[n] = (K); o_i[n] = (I); n++; \
+} while (0)
+    EMIT2(T_T, 0, 0);
+    EMIT2(T_C, 0, 0);
+    int64_t i = L;
+    int k = 0;
+    int st = T_C, nxt = T_C;
+    while (st != T_S) {
+        if (st == T_C) {
+            double w[2];
+            w[0] = (i > 0) ? (double)xC[i - 1] * cloop
+                / (double)scale[i] : 0.0;
+            w[1] = (double)xE[i] * emove;
+            nxt = (bio_choose_d(mt, &mti, w, 2) == 0) ? T_C : T_E;
+            if (nxt == T_C) i -= 1;
+        } else if (st == T_E) {
+            int sel = bio_choose_e(mt, &mti, mm + i * W + 1,
+                                   dm + i * W + 1, M);
+            if (sel < M) { nxt = T_M; k = sel + 1; }
+            else { nxt = T_D; k = sel - M + 1; }
+        } else if (st == T_M) {
+            double w[4];
+            w[0] = (double)xB[i - 1] * (double)tBM[k];
+            w[1] = (double)mm[(i - 1) * W + k - 1] * (double)tMM[k];
+            w[2] = (double)im[(i - 1) * W + k - 1] * (double)tIM[k];
+            w[3] = (double)dm[(i - 1) * W + k - 1] * (double)tDM[k];
+            static const int nxts[4] = { T_B, T_M, T_I, T_D };
+            nxt = nxts[bio_choose_d(mt, &mti, w, 4)];
+            i -= 1;
+            k -= 1;
+        } else if (st == T_D) {
+            double w[2];
+            w[0] = (double)mm[i * W + k - 1] * (double)tMD[k];
+            w[1] = (double)dm[i * W + k - 1] * (double)tDD[k];
+            nxt = (bio_choose_d(mt, &mti, w, 2) == 0) ? T_M : T_D;
+            k -= 1;
+        } else if (st == T_I) {
+            double w[2];
+            w[0] = (double)mm[(i - 1) * W + k] * (double)tMI[k];
+            w[1] = (double)im[(i - 1) * W + k] * (double)tII[k];
+            nxt = (bio_choose_d(mt, &mti, w, 2) == 0) ? T_M : T_I;
+            i -= 1;
+        } else if (st == T_B) {
+            double w[2];
+            w[0] = (double)xN[i] * nmove;
+            w[1] = (double)xJ[i] * jmove;
+            nxt = (bio_choose_d(mt, &mti, w, 2) == 0) ? T_N : T_J;
+        } else if (st == T_J) {
+            double w[2];
+            w[0] = (i > 0) ? (double)xJ[i - 1] * jloop
+                / (double)scale[i] : 0.0;
+            w[1] = (double)xE[i] * eloop;
+            nxt = (bio_choose_d(mt, &mti, w, 2) == 0) ? T_J : T_E;
+            if (nxt == T_J) i -= 1;
+        } else if (st == T_N) {
+            nxt = (i == 0) ? T_S : T_N;
+            if (nxt == T_N) i -= 1;
+        } else {
+            return -2;
+        }
+        if (nxt == T_M || nxt == T_I) EMIT2(nxt, k, (int32_t)i);
+        else if (nxt == T_D) EMIT2(T_D, k, 0);
+        else EMIT2(nxt, 0, (nxt == T_S) ? 0 : (int32_t)i);
+        st = nxt;
+    }
+#undef EMIT2
+    *mti_io = mti;
+    return n;
+}
+
 }  // extern "C"

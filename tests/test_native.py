@@ -582,3 +582,37 @@ def test_native_oa_fill_bitexact(gcode):
                 assert np.array_equal(getattr(ox1, f),
                                       getattr(ox2, f),
                                       equal_nan=True), f
+
+
+def test_native_stotrace_std_bitexact(gcode):
+    """bio_stotrace vs the Python standard sampler: identical traces
+    and MT19937 stream over many samples."""
+    import bath_tpu.ensemble as ens
+    import bath_tpu.native as nat
+    import bath_tpu.ops.reference.fwdback as fb
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.profile import profile_config
+    from bath_tpu.rng import Randomness
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    om = oprofile_convert(profile_config(hmm, Background(), L=100))
+    rng = np.random.default_rng(5)
+    cons = np.argmax(hmm.mat[1:, :20], axis=1).astype(np.int32)
+    dsq = np.concatenate([rng.integers(0, 20, 30), cons[:90],
+                          rng.integers(0, 20, 30)]).astype(np.int32)
+    om.reconfig_multihit(len(dsq))
+    ox, _ = fb.forward(dsq, om, full=True)
+    r1, r2 = Randomness(4), Randomness(4)
+    orig = nat.stotrace_native
+    for t in range(30):
+        a = ens.stochastic_trace(r1, dsq, om, ox)
+        nat.stotrace_native = lambda *x: None
+        try:
+            b = ens.stochastic_trace(r2, dsq, om, ox)
+        finally:
+            nat.stotrace_native = orig
+        assert a.st == b.st and a.k == b.k and a.i == b.i
+        assert r1._mti == r2._mti
+        assert np.array_equal(r1._mt, r2._mt)
