@@ -224,6 +224,103 @@ class FSProfile:
         self.reconfig_length(L_amino)
 
 
+
+# ---------------------------------------------------------------------
+# Cached candidate enumeration for the fs codon tables: the (slot,
+# amino, indel) triples and penalty classes depend only on the genetic
+# code and codon system, not the model.  Candidate ORDER preserves the
+# reference's strict-'>' tie-breaking (first max wins).
+# ---------------------------------------------------------------------
+_FS_CAND_CACHE: dict = {}
+
+
+def _fs_candidates(gcode, codon_lengths: int, maxcodons: int, Kp: int):
+    key = (gcode.transl_table, codon_lengths)
+    hit = _FS_CAND_CACHE.get(key)
+    if hit is not None:
+        return hit
+    basic = gcode.basic
+    stop_aa = Kp - 2
+    per_ci: dict[int, list] = {}
+
+    def consider(ci, a, ind):
+        lst = per_ci.setdefault(ci, [])
+        # duplicates of the same amino can never win a strict-'>'
+        # comparison against the first occurrence — drop them
+        for aa, _ in lst:
+            if aa == a:
+                return
+        lst.append((a, ind))
+
+    c1 = C.codon1_fs5 if codon_lengths == 5 else None
+    c2 = C.codon2_fs5 if codon_lengths == 5 else C.codon2_fs3
+    c3 = C.codon3_fs5 if codon_lengths == 5 else C.codon3_fs3
+    c4 = C.codon4_fs5 if codon_lengths == 5 else C.codon4_fs3
+    # 0=none, 1=no_indel, 2=one_indel, 3=two_indel, 4=stop_codon
+    pen_class = np.zeros(maxcodons, np.int8)
+    for x in range(4):
+        if codon_lengths == 5:
+            pen_class[c1(x)] = 3
+        for w in range(4):
+            pen_class[c2(w, x)] = 2
+            for v in range(4):
+                a = int(basic[16 * v + 4 * w + x])
+                if codon_lengths == 5:
+                    consider(c1(x), a, C.I___X)
+                    consider(c1(v), a, C.I_X__)
+                consider(c2(w, x), a, C.I__XX)
+                consider(c2(v, x), a, C.I_X_X)
+                consider(c2(v, w), a, C.I_XX_)
+                ci3 = c3(v, w, x)
+                pen_class[ci3] = 4 if a == stop_aa else 1
+                if a == stop_aa:
+                    for subn in range(4):
+                        consider(ci3, int(basic[16 * subn + 4 * w + x]),
+                                 C.I_xXX)
+                        consider(ci3, int(basic[16 * v + 4 * subn + x]),
+                                 C.I_XxX)
+                        consider(ci3, int(basic[16 * v + 4 * w + subn]),
+                                 C.I_XXx)
+                else:
+                    consider(ci3, a, C.I_XXX)
+                for u in range(4):
+                    ci4 = c4(u, v, w, x)
+                    pen_class[ci4] = 2
+                    consider(ci4, int(basic[16 * u + 4 * v + x]),
+                             C.I_XXxX)
+                    consider(ci4, int(basic[16 * u + 4 * w + x]),
+                             C.I_XxXX)
+                    consider(ci4, int(basic[16 * v + 4 * w + x]),
+                             C.I_xXXX)
+                    if codon_lengths == 5:
+                        for tt in range(4):
+                            ci5 = C.codon5_fs5(tt, u, v, w, x)
+                            pen_class[ci5] = 3
+                            consider(ci5,
+                                     int(basic[16 * tt + 4 * u + x]),
+                                     C.I_XXxxX)
+                            consider(ci5,
+                                     int(basic[16 * tt + 4 * w + x]),
+                                     C.I_XxxXX)
+                            consider(ci5,
+                                     int(basic[16 * v + 4 * w + x]),
+                                     C.I_xxXXX)
+    cis = np.array(sorted(per_ci), np.int64)
+    width = max(len(v) for v in per_ci.values())
+    # pad with the nonresidue amino (score always -inf, after all real
+    # candidates, so first-max selection is unaffected)
+    cand = np.full((len(cis), width), stop_aa, np.int16)
+    ind = np.zeros((len(cis), width), np.int8)
+    for r, ci in enumerate(cis):
+        lst = per_ci[ci]
+        for j, (a, d) in enumerate(lst):
+            cand[r, j] = a
+            ind[r, j] = d
+    out = (cis, cand, ind, pen_class)
+    _FS_CAND_CACHE[key] = out
+    return out
+
+
 def profile_config_fs(hmm: HMM, bg: Background, gcode: GeneticCode,
                       codon_lengths: int, L_amino: int = 100,
                       mode: int = C.P7_LOCAL) -> FSProfile:
@@ -276,82 +373,75 @@ def profile_config_fs(hmm: HMM, bg: Background, gcode: GeneticCode,
     indel = np.zeros((maxcodons, M + 1), dtype=np.int8)
 
     # amino section of the emission table (rows maxcodons..maxcodons+Kp-1)
-    sc = np.full(Kp, NEG_INF, dtype=np.float32)
+    # — batched over k (np.sum rows reduce pairwise exactly like the
+    # per-k vectors of the scalar build)
     with np.errstate(divide="ignore"):
-        for k in range(1, M + 1):
-            sc[:K] = np.log(hmm.mat[k].astype(np.float64) / bg.f).astype(
-                np.float32)
-            sc[K] = sc[Kp - 2] = sc[Kp - 1] = NEG_INF
-            rsc[maxcodons:, k] = abc.expect_score_vec(sc, bg.f)
+        sc_all = np.log(hmm.mat[1:M + 1].astype(np.float64)
+                        / bg.f).astype(np.float32)       # [M, K]
+    asc_all = np.full((M, Kp), NEG_INF, np.float32)
+    asc_all[:, :K] = sc_all
+    fK = bg.f[:K].astype(np.float32)
+
+    def _pairwise_rows(A):
+        """numpy's 1-D pairwise f32 sum (n <= 128), vectorized over
+        rows — bit-identical to per-row np.sum of the 1-D slices."""
+        n = A.shape[1]
+        if n == 0:
+            return np.zeros(A.shape[0], np.float32)
+        if n < 8:
+            s = A[:, 0].copy()
+            for j in range(1, n):
+                s = s + A[:, j]
+            return s
+        r = [A[:, j].copy() for j in range(8)]
+        i = 8
+        while i + 8 <= n:
+            for j in range(8):
+                r[j] = r[j] + A[:, i + j]
+            i += 8
+        res = ((r[0] + r[1]) + (r[2] + r[3])) \
+            + ((r[4] + r[5]) + (r[6] + r[7]))
+        while i < n:
+            res = res + A[:, i]
+            i += 1
+        return res
+
+    for x in range(K + 1, Kp - 2):
+        mem = abc.degen[x, :K]
+        denom = np.float32(fK[mem].sum())
+        num = _pairwise_rows(
+            np.ascontiguousarray(sc_all[:, mem] * fK[mem]))
+        asc_all[:, x] = num / denom
+    rsc[maxcodons:, 1:M + 1] = asc_all.T
 
     asc = rsc[maxcodons:, :]          # [Kp, M+1] amino scores view
     basic = gcode.basic
     stop_aa = Kp - 2
 
-    def consider(ci: int, a: int, ind: int):
-        """Vector-over-k max update for codon slot ci (strict >)."""
-        cand = asc[a]                       # [M+1]
-        upd = cand > rsc[ci]
-        rsc[ci, upd] = cand[upd]
-        codons[ci, upd] = a
-        indel[ci, upd] = ind
-
     if codon_lengths in (5, 3):
-        c1 = C.codon1_fs5 if codon_lengths == 5 else None
-        c2 = C.codon2_fs5 if codon_lengths == 5 else C.codon2_fs3
-        c3 = C.codon3_fs5 if codon_lengths == 5 else C.codon3_fs3
-        c4 = C.codon4_fs5 if codon_lengths == 5 else C.codon4_fs3
-        for x in range(4):
-            for w in range(4):
-                for v in range(4):
-                    a = int(basic[16 * v + 4 * w + x])
-                    if codon_lengths == 5:
-                        consider(c1(x), a, C.I___X)
-                        consider(c1(v), a, C.I_X__)
-                    consider(c2(w, x), a, C.I__XX)
-                    consider(c2(v, x), a, C.I_X_X)
-                    consider(c2(v, w), a, C.I_XX_)
-                    ci3 = c3(v, w, x)
-                    if a == stop_aa:
-                        for subn in range(4):
-                            consider(ci3, int(basic[16 * subn + 4 * w + x]),
-                                     C.I_xXX)
-                            consider(ci3, int(basic[16 * v + 4 * subn + x]),
-                                     C.I_XxX)
-                            consider(ci3, int(basic[16 * v + 4 * w + subn]),
-                                     C.I_XXx)
-                    else:
-                        consider(ci3, a, C.I_XXX)
-                    for u in range(4):
-                        ci4 = c4(u, v, w, x)
-                        consider(ci4, int(basic[16 * u + 4 * v + x]), C.I_XXxX)
-                        consider(ci4, int(basic[16 * u + 4 * w + x]), C.I_XxXX)
-                        consider(ci4, int(basic[16 * v + 4 * w + x]), C.I_xXXX)
-                        if codon_lengths == 5:
-                            for tt in range(4):
-                                ci5 = C.codon5_fs5(tt, u, v, w, x)
-                                consider(ci5, int(basic[16 * tt + 4 * u + x]),
-                                         C.I_XXxxX)
-                                consider(ci5, int(basic[16 * tt + 4 * w + x]),
-                                         C.I_XxxXX)
-                                consider(ci5, int(basic[16 * v + 4 * w + x]),
-                                         C.I_xxXXX)
+        # vectorized max-over-candidates (ref loop order preserved in
+        # the cached candidate lists; np.argmax keeps the first max =
+        # the reference's strict-'>' tie-break)
+        cis, cand, ind_arr, pen_class = _fs_candidates(
+            gcode, codon_lengths, maxcodons, Kp)
+        n_ci, width = cand.shape
+        best = np.full((n_ci, M + 1), NEG_INF, np.float32)
+        ba = np.zeros((n_ci, M + 1), np.int16)
+        bi = np.zeros((n_ci, M + 1), np.int8)
+        for j in range(width):
+            cj = asc[cand[:, j]]            # [n_ci, M+1]
+            upd = cj > best
+            best = np.where(upd, cj, best)
+            ba = np.where(upd, cand[:, j:j + 1], ba)
+            bi = np.where(upd, ind_arr[:, j:j + 1], bi)
+        rsc[cis] = best
+        codons[cis] = ba
+        indel[cis] = bi
 
         # indel costs (ref: modelconfig.c:497-519 / :632-648)
-        for x in range(4):
-            if codon_lengths == 5:
-                rsc[c1(x)] += two_indel
-            for w in range(4):
-                rsc[c2(w, x)] += one_indel
-                for v in range(4):
-                    a = int(basic[16 * v + 4 * w + x])
-                    rsc[c3(v, w, x)] += (stop_codon if a == stop_aa
-                                         else no_indel)
-                    for u in range(4):
-                        rsc[c4(u, v, w, x)] += one_indel
-                        if codon_lengths == 5:
-                            for tt in range(4):
-                                rsc[C.codon5_fs5(tt, u, v, w, x)] += two_indel
+        pen_values = np.array([0.0, no_indel, one_indel, two_indel,
+                               stop_codon], np.float32)
+        rsc[:maxcodons] += pen_values[pen_class][:, None]
 
         # degenerate placeholders (ref: modelconfig.c:521-537 / :650-661)
         a = Kp - 3
