@@ -192,16 +192,17 @@ def oprofile_convert(gm: Profile) -> OProfile:
     twv = np.full((M + 1, C.NTRANS), -32768, dtype=np.int16)
     tsc = gm.tsc
     # k-order transition words with the same per-slot saturation rules:
-    # II capped at -1, everything else at 0 (vf_conversion maxval)
-    for k in range(M):
-        for s in range(C.NTRANS):
-            v = tsc[k, s]
-            if np.isinf(v):
-                val = -32768
-            else:
-                val = _wordify(scale_w, v)
-            maxval = -1 if s == C.P_II else 0
-            twv[k, s] = min(val, maxval)
+    # II capped at -1, everything else at 0 (vf_conversion maxval) —
+    # vectorized with the same f32 round-half-away quantization
+    with np.errstate(invalid="ignore"):
+        wq = _round_c(np.float32(scale_w)
+                      * tsc[:M].astype(np.float32)).astype(np.float64)
+    vals = np.where(wq >= 32767.0, 32767, np.where(
+        wq <= -32768.0, -32768, wq)).astype(np.int32)
+    vals = np.where(np.isinf(tsc[:M]), -32768, vals)
+    maxval = np.zeros(C.NTRANS, np.int32)
+    maxval[C.P_II] = -1
+    twv[:M] = np.minimum(vals, maxval[None, :]).astype(np.int16)
     om.rwv, om.twv = rwv, twv
 
     xw = np.zeros((4, 2), dtype=np.int16)
