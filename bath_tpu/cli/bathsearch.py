@@ -230,7 +230,8 @@ def load_queries(path, args):
     """Query open/autodetect: profile HMM file, MSA, or sequence(s)
     (ref: bathsearch.c :552-632, p7_search_builder.c :98 — MSA/seq
     queries are built + calibrated on the fly)."""
-    with open(path) as fh:
+    from ..sequence import _open_text
+    with _open_text(path) as fh:
         head = fh.read(256)
     qfmt = getattr(args, "qformat", None)
     if head.startswith(("BATH", "HMMER")):

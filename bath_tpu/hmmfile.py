@@ -35,7 +35,8 @@ def _prob_from_field(s: str) -> float:
 
 
 def read_hmms(path: str) -> Iterator[HMM]:
-    with open(path) as fh:
+    from .sequence import _open_text
+    with _open_text(path) as fh:
         while True:
             h = _read_one(fh)
             if h is None:

@@ -273,7 +273,8 @@ def read_stockholm(path: str, abc: Alphabet | None = None) -> list[MSA]:
     """Parse a (possibly multi-MSA) Stockholm file
     (ref: easel Stockholm format as consumed by bathbuild.c)."""
     out = []
-    with open(path) as fh:
+    from .sequence import _open_text
+    with _open_text(path) as fh:
         text = fh.read()
     blocks = text.split("\n//")
     for blk in blocks:
@@ -330,7 +331,8 @@ def read_afa(path: str, abc: Alphabet | None = None) -> list[MSA]:
     """Aligned FASTA: one MSA per file."""
     names, seqs = [], {}
     cur = None
-    with open(path) as fh:
+    from .sequence import _open_text
+    with _open_text(path) as fh:
         for ln in fh:
             ln = ln.strip()
             if not ln:
@@ -361,7 +363,8 @@ def guess_alphabet(sample: str) -> Alphabet:
 def read_msas(path: str, abc: Alphabet | None = None) -> list[MSA]:
     """Autodetect Stockholm vs aligned FASTA (ref: esl_msafile_Open
     format guessing)."""
-    with open(path) as fh:
+    from .sequence import _open_text
+    with _open_text(path) as fh:
         head = fh.read(64)
     if head.startswith("# STOCKHOLM"):
         return read_stockholm(path, abc)

@@ -62,12 +62,24 @@ class Sequence:
                         abc=self.abc)
 
 
+
+def _open_text(path: str):
+    """Open a (possibly gzip-compressed) text file (the reference
+    reads .gz inputs through a gzip pipe, esl_sqio/p7_hmmfile
+    do_gzip)."""
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        import gzip
+        return gzip.open(path, "rt")
+    return open(path)
+
 def parse_fasta(path: str, abc: Alphabet) -> Iterator[tuple[str, str, str]]:
     """Yield (name, desc, seqtext) records from a FASTA file."""
     name = None
     desc = ""
     chunks: list[str] = []
-    with open(path) as fh:
+    with _open_text(path) as fh:
         for line in fh:
             line = line.rstrip("\n")
             if line.startswith(">"):
@@ -91,7 +103,7 @@ def parse_embl(path: str) -> Iterator[tuple[str, str, str, str]]:
     name = acc = desc = ""
     in_seq = False
     chunks: list[str] = []
-    with open(path) as fh:
+    with _open_text(path) as fh:
         for line in fh:
             if line.startswith("//"):
                 if name:
@@ -124,7 +136,7 @@ def parse_genbank(path: str) -> Iterator[tuple[str, str, str, str]]:
     name = acc = desc = ""
     in_seq = False
     chunks: list[str] = []
-    with open(path) as fh:
+    with _open_text(path) as fh:
         for line in fh:
             if line.startswith("//"):
                 if name:
@@ -155,7 +167,7 @@ def parse_seqfile(path: str, abc: Alphabet | None = None
     """Autodetecting sequence reader: FASTA, EMBL/UniProt, or
     GenBank/DDBJ (ref: esl_sqio_Open format guessing).  Yields
     (name, acc, desc, seqtext)."""
-    with open(path) as fh:
+    with _open_text(path) as fh:
         head = ""
         for line in fh:
             if line.strip():

@@ -172,3 +172,23 @@ def test_corrupt_hmm_clean_errors(tmp_path):
             cwd="/root/repo")
         assert r.returncode == 1, name
         assert "Traceback" not in r.stderr, (name, r.stderr[-500:])
+
+
+def test_gzip_inputs(tmp_path):
+    """Gzip-compressed query/target/MSA files read transparently (the
+    reference pipes .gz through gzip; esl_sqio/p7_hmmfile do_gzip)."""
+    import gzip
+    import subprocess
+    import sys
+    hz = tmp_path / "q.bhmm.gz"
+    tz = tmp_path / "t.fa.gz"
+    hz.write_bytes(gzip.compress(
+        open("/root/reference/tutorial/AMP_N.bhmm", "rb").read()))
+    tz.write_bytes(gzip.compress(
+        open("/root/reference/tutorial/target-AMP_N.fa", "rb").read()))
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+         str(hz), str(tz)],
+        capture_output=True, text=True, timeout=900, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "47.8" in r.stdout
