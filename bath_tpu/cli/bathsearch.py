@@ -543,11 +543,9 @@ def run(argv=None) -> int:
             gm_tr = profile_config_fs(hmm, bg, gcode, 1, 100,
                                       C.P7_UNILOCAL)
             gm_tr.evparam = hmm.evparam.copy()
-            from ..sequence import read_fasta
+            from ..sequence import LazySeqLookup
             from ..alphabet import dna as dna_abc
-            seq_lookup = {}
-            for si, sq in enumerate(read_fasta(args.dbfile, dna_abc())):
-                seq_lookup[sq.name] = (sq.dsq, si, sq.n)
+            seq_lookup = LazySeqLookup(args.dbfile, dna_abc())
             pli.qname = hmm.name
             scfg = SpliceConfig(min_intron=args.min_intron,
                                 max_intron=args.max_intron,

@@ -194,6 +194,81 @@ def read_fasta(path: str, abc: Alphabet) -> list[Sequence]:
     return out
 
 
+class LazySeqLookup:
+    """Dict-like ``name -> (dsq, seqidx, L)`` view of a sequence
+    database for the --splice post-pass.
+
+    The reference reopens the target db and fetches sub-sequences via
+    an SSI index instead of holding the genome in memory (ref:
+    bathsearch.c:925ff, splice.c GetSubSequence).  Here a plain FASTA
+    file is byte-offset indexed in one streaming scan; each sequence
+    body is read and digitized only when a splice seed actually needs
+    it, with a small LRU so per-chromosome hit clusters reuse the
+    fetch.  Gzip or non-FASTA inputs fall back to eager loading.
+    """
+
+    def __init__(self, path: str, abc: Alphabet, max_cached: int = 4):
+        self.path = path
+        self.abc = abc
+        self.max_cached = max_cached
+        self._cache: dict[str, tuple[np.ndarray, int, int]] = {}
+        self._index: dict[str, tuple[int, int, int, int]] = {}
+        self._eager: dict[str, tuple[np.ndarray, int, int]] | None = None
+        with open(path, "rb") as probe:
+            head = probe.read(2)
+        if not head.startswith(b">"):
+            # gzip / EMBL / GenBank: no cheap random access — load all
+            self._eager = {}
+            for si, sq in enumerate(read_fasta(path, abc)):
+                self._eager[sq.name] = (sq.dsq, si, sq.n)
+            return
+        # streaming offset scan: name -> (body_start, body_end, L, si)
+        off = 0
+        name = None
+        body_start = 0
+        L = 0
+        si = 0
+        with open(path, "rb") as fh:
+            for line in fh:
+                if line.startswith(b">"):
+                    if name is not None:
+                        self._index[name] = (body_start, off, L, si)
+                        si += 1
+                    hdr = line[1:].strip()
+                    name = hdr.split(None, 1)[0].decode() if hdr else ""
+                    body_start = off + len(line)
+                    L = 0
+                elif name is not None:
+                    L += len(line.strip())
+                off += len(line)
+        if name is not None:
+            self._index[name] = (body_start, off, L, si)
+
+    def __contains__(self, name: str) -> bool:
+        if self._eager is not None:
+            return name in self._eager
+        return name in self._index
+
+    def __getitem__(self, name: str) -> tuple[np.ndarray, int, int]:
+        if self._eager is not None:
+            return self._eager[name]
+        ent = self._cache.get(name)
+        if ent is not None:
+            return ent
+        body_start, body_end, L, si = self._index[name]
+        with open(self.path, "rb") as fh:
+            fh.seek(body_start)
+            body = fh.read(body_end - body_start)
+        # same per-line strip as parse_fasta
+        text = "".join(ln.strip() for ln in
+                       body.decode("ascii", "replace").splitlines())
+        dsq = self.abc.digitize(text)
+        if len(self._cache) >= self.max_cached:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[name] = (dsq, si, L)
+        return self._cache[name]
+
+
 def read_windows(path: str, *, context: int,
                  block_length: int) -> Iterator[tuple[Sequence, bool]]:
     """Stream (window, is_last_window_of_seq) pairs over a DNA FASTA file,

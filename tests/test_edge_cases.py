@@ -192,3 +192,38 @@ def test_gzip_inputs(tmp_path):
         capture_output=True, text=True, timeout=900, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "47.8" in r.stdout
+
+
+def test_lazy_seq_lookup(tmp_path):
+    """LazySeqLookup fetches byte-identical dsq/idx/L vs eager
+    read_fasta, for plain and gzipped FASTA (the --splice pass uses it
+    to avoid holding the whole genome in memory; ref: splice.c
+    GetSubSequence via SSI)."""
+    import gzip
+
+    import numpy as np
+
+    from bath_tpu.alphabet import dna
+    from bath_tpu.sequence import LazySeqLookup, read_fasta
+
+    fa = (">chr1 first\nACGTACGTAC\nGTNNACGT\n"
+          ">chr2\nTTTTGGGGCCCCAAAA\n"
+          ">chr3 last\nacgt\n")
+    p = tmp_path / "db.fa"
+    p.write_text(fa)
+    pz = tmp_path / "db.fa.gz"
+    with gzip.open(pz, "wt") as fh:
+        fh.write(fa)
+
+    abc = dna()
+    eager = {sq.name: (sq.dsq, si, sq.n)
+             for si, sq in enumerate(read_fasta(str(p), abc))}
+    for path in (p, pz):
+        lazy = LazySeqLookup(str(path), abc, max_cached=2)
+        assert "chr2" in lazy and "nope" not in lazy
+        # access out of order to exercise the LRU
+        for name in ("chr3", "chr1", "chr2", "chr1", "chr3"):
+            dsq, si, L = lazy[name]
+            edsq, esi, eL = eager[name]
+            assert (si, L) == (esi, eL)
+            assert np.array_equal(dsq, edsq)
