@@ -38,6 +38,24 @@ TSC_P = float(np.log(np.float32(4.5e-5)))   # P->M cost (ref: p7_splice.h TSC_P)
 SIGNAL_SCORES = np.log(np.array([0.9921, 0.0073, 0.0006], dtype=np.float64))
 
 
+# grow-only DP matrix pool: a fresh multi-100MB np.full per call
+# costs seconds in page faults on lazily-backed VMs; pooled buffers
+# fault once per process.  Callers must not hold a returned view
+# across viterbi_spliced() calls (the splice pipeline never does:
+# each matrix dies before the next exon pair runs).
+_MAT_POOL: dict[str, np.ndarray] = {}
+
+
+def _pooled_mat(name: str, rows: int, cols: int) -> np.ndarray:
+    n = rows * cols
+    buf = _MAT_POOL.get(name)
+    if buf is None or buf.size < n:
+        buf = np.empty(max(n, 2 * len(_MAT_POOL.get(name, ()))),
+                       dtype=F32)
+        _MAT_POOL[name] = buf
+    return buf[:n].reshape(rows, cols)
+
+
 def _sig(a: int, b: int) -> int:
     return 4 * a + b
 
@@ -115,9 +133,18 @@ def viterbi_spliced(dsq: np.ndarray, gm: FSProfile, i_start: int,
                        d[k - 1] + tDDc[k - 1])
         return d
 
-    mmx = np.full((L + 1, M + 1), NEG_INF, F32)
-    imx = np.full((L + 1, M + 1), NEG_INF, F32)
-    dmx = np.full((L + 1, M + 1), NEG_INF, F32)
+    # The native fill writes every cell of rows 3..L (cols 1..M plus
+    # the col-0 sentinel) and only READS rows 0-2 — so the O(L*M)
+    # -inf prefill is wasted there.  Worse, on this class of VM a
+    # fresh 100MB+ allocation page-faults at ~100us/page, so the
+    # matrices come from a grow-only pool (pages fault once per
+    # process) and only the 3 boundary rows are seeded per call.
+    # The Python fallback below re-fills everything before running.
+    mmx = _pooled_mat("mmx", L + 1, M + 1)
+    imx = _pooled_mat("imx", L + 1, M + 1)
+    dmx = _pooled_mat("dmx", L + 1, M + 1)
+    for a in (mmx, imx, dmx):
+        a[:3] = NEG_INF
     xN = np.full(L + 1, NEG_INF, F32)
     xB = np.full(L + 1, NEG_INF, F32)
     xE = np.full(L + 1, NEG_INF, F32)
@@ -181,6 +208,11 @@ def viterbi_spliced(dsq: np.ndarray, gm: FSProfile, i_start: int,
             (mmx, imx, dmx, xN, xB, xE, xC)):
         return SplicedMatrix(L=L, M=M, mmx=mmx, imx=imx, dmx=dmx,
                              xN=xN, xB=xB, xE=xE, xC=xC)
+
+    # Python fallback: needs the full -inf prefill the lazy boundary
+    # init above skipped
+    for a in (mmx, imx, dmx):
+        a[3:] = NEG_INF
 
     # rows 3 .. min(L, min_intron+2): no donor lookbacks yet
     loop_end = min(L, min_intron + 2)

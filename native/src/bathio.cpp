@@ -2281,6 +2281,8 @@ int bio_spliced_vit_fill(
             float* mrow = mmx + i * Wl;
             float* irow = imx + i * Wl;
             float* drow = dmx + i * Wl;
+            mrow[0] = NEG;            // caller passes uninitialized
+            irow[0] = NEG;            // rows (pooled buffers)
             for (int k = 1; k <= M; k++) {
                 mrow[k] = m_new[k - 1];
                 irow[k] = i_new[k - 1];
