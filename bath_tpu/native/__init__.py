@@ -135,12 +135,15 @@ def extract_orfs_native(gcode, dsq: np.ndarray, *, minlen: int = 20,
 
 def _bind_filters(lib):
     F32P = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    # raw-pointer bindings for the per-ORF gate calls (thousands per
+    # window batch; ndpointer from_param + cast cost ~4us per array)
+    VP0 = ctypes.c_void_p
     lib.bio_bg_hmm_forward.restype = None
     lib.bio_bg_hmm_forward.argtypes = [
-        I32P, ctypes.c_int64, F32P, F32P, F32P, F32P,
+        VP0, ctypes.c_int64, VP0, VP0, VP0, VP0,
         ctypes.POINTER(ctypes.c_float)]
     lib.bio_f32_seq_sum.restype = ctypes.c_float
-    lib.bio_f32_seq_sum.argtypes = [F32P, ctypes.c_int64]
+    lib.bio_f32_seq_sum.argtypes = [VP0, ctypes.c_int64]
     lib.bio_msv_filter.restype = ctypes.c_int
     lib.bio_msv_filter.argtypes = [
         I32P, ctypes.c_int64,
@@ -186,7 +189,7 @@ def _bind_filters(lib):
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
     lib.bio_vit_filter.restype = ctypes.c_int
     lib.bio_vit_filter.argtypes = [
-        I32P, ctypes.c_int64, I32P, I32P, ctypes.c_int, ctypes.c_int,
+        VP0, ctypes.c_int64, VP0, VP0, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
     F64C = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
@@ -248,9 +251,17 @@ def _packed_filters(om):
         rbv = np.ascontiguousarray(om.rbv.astype(np.int32))
         rwv = np.ascontiguousarray(om.rwv.astype(np.int32))
         twv = np.ascontiguousarray(om.twv.astype(np.int32))
-        ent = (om.sbv, sbv, rbv, rwv, twv)
+        ent = (om.sbv, sbv, rbv, rwv, twv,
+               rwv.ctypes.data, twv.ctypes.data)
         _FILTER_CACHE[key] = ent
     return ent[1], ent[2], ent[3], ent[4]
+
+
+def _packed_filter_ptrs(om):
+    """(rwv_ptr, twv_ptr) raw addresses from the same cache entry."""
+    _packed_filters(om)
+    ent = _FILTER_CACHE[id(om)]
+    return ent[5], ent[6]
 
 
 def msv_filter_native(dsq: np.ndarray, om) -> float | None:
@@ -520,15 +531,19 @@ def bg_hmm_forward_native(dsq: np.ndarray, eo, pi, t) -> float | None:
     L = len(dsq)
     if L == 0:
         return 0.0
-    dsq = np.ascontiguousarray(dsq, dtype=np.int32)
+    if dsq.dtype != np.int32 or not dsq.flags.c_contiguous:
+        dsq = np.ascontiguousarray(dsq, dtype=np.int32)
+    if not eo.flags.c_contiguous:
+        eo = np.ascontiguousarray(eo)
+    if not t.flags.c_contiguous:
+        t = np.ascontiguousarray(t)
     scales = np.empty(L, dtype=np.float32)
     end = ctypes.c_float()
-    lib.bio_bg_hmm_forward(dsq, L, np.ascontiguousarray(eo),
-                           np.ascontiguousarray(pi),
-                           np.ascontiguousarray(t), scales,
-                           ctypes.byref(end))
+    lib.bio_bg_hmm_forward(dsq.ctypes.data, L, eo.ctypes.data,
+                           pi.ctypes.data, t.ctypes.data,
+                           scales.ctypes.data, ctypes.byref(end))
     ls = np.log(scales)
-    logsc = np.float32(lib.bio_f32_seq_sum(ls, L))
+    logsc = np.float32(lib.bio_f32_seq_sum(ls.ctypes.data, L))
     return float(logsc + np.float32(np.log(np.float32(end.value))))
 
 
@@ -541,11 +556,13 @@ def vit_filter_native(dsq: np.ndarray, om) -> float | None:
     if not hasattr(lib, "_filters_bound"):
         _bind_filters(lib)
         lib._filters_bound = True
-    _, _, rwv, twv = _packed_filters(om)
+    rwv_p, twv_p = _packed_filter_ptrs(om)
     out = ctypes.c_float()
-    dsq = np.ascontiguousarray(dsq, dtype=np.int32)
+    if dsq.dtype != np.int32 or not dsq.flags.c_contiguous:
+        dsq = np.ascontiguousarray(dsq, dtype=np.int32)
     from .. import constants as C
-    st = lib.bio_vit_filter(dsq, len(dsq), rwv, twv, om.Kp, om.M,
+    st = lib.bio_vit_filter(dsq.ctypes.data, len(dsq), rwv_p, twv_p,
+                            om.Kp, om.M,
                             int(om.base_w), float(om.scale_w),
                             int(om.xw[C.X_N, C.MOVE]),
                             int(om.xw[C.X_E, C.MOVE]),
