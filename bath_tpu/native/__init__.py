@@ -1157,7 +1157,57 @@ def _bind_spliced(lib):
         + [ctypes.c_float] * 4
         + [F64C, ctypes.c_float, ctypes.c_int]
         + [F32C] * 7)
+    I32C = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.bio_spliced_vit_trace.restype = ctypes.c_int
+    lib.bio_spliced_vit_trace.argtypes = (
+        [I32P, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+         F32C, ctypes.c_int, F32C]
+        + [ctypes.c_float] * 4 + [F64C]
+        + [F32C] * 7
+        + [ctypes.c_int] * 3 + [ctypes.c_double]
+        + [I32C] * 4
+        + [ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+           ctypes.POINTER(ctypes.c_double)])
     lib._spliced_bound = True
+
+
+def spliced_vit_trace_native(sub, L, M, Mfull, rsc, tsc, xvals, sigsc,
+                             gx_mats, k_start, i_start, min_intron,
+                             tsc_p):
+    """Spliced-Viterbi traceback in C, identical decisions to the
+    Python oracle (f64 math over the f32 matrices, same tolerance
+    comparator).  Returns (st, k, i, c, vitsc) lists-compatible
+    arrays, None if the library is absent, or raises RuntimeError on
+    an untraceable cell (as the oracle does)."""
+    lib = _fs5_lib()
+    if lib is None:
+        return None
+    _bind_spliced(lib)
+    if rsc.dtype != np.float32 or not rsc.flags.c_contiguous:
+        return None
+    mmx, imx, dmx, xN, xB, xE, xC = gx_mats
+    cap = int(L) + 2 * int(M) + 64
+    out_st = np.empty(cap, np.int32)
+    out_k = np.empty(cap, np.int32)
+    out_i = np.empty(cap, np.int32)
+    out_c = np.empty(cap, np.int32)
+    n = ctypes.c_int64()
+    vsc = ctypes.c_double()
+    st = lib.bio_spliced_vit_trace(
+        np.ascontiguousarray(sub, dtype=np.int32), int(L), int(M),
+        int(Mfull), rsc, rsc.shape[1],
+        np.ascontiguousarray(tsc, dtype=np.float32),
+        *[float(v) for v in xvals],
+        np.ascontiguousarray(sigsc, dtype=np.float64),
+        mmx, imx, dmx, xN, xB, xE, xC,
+        int(k_start), int(i_start), int(min_intron), float(tsc_p),
+        out_st, out_k, out_i, out_c, cap,
+        ctypes.byref(n), ctypes.byref(vsc))
+    if st != 0:
+        raise RuntimeError(f"spliced traceback failed (native) code={st}")
+    m = n.value
+    return (out_st[:m], out_k[:m], out_i[:m], out_c[:m],
+            float(vsc.value))
 
 
 def spliced_vit_fill_native(ntv, ci_arr, c1_base, accv, donv, L, M,

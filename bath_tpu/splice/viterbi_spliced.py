@@ -417,6 +417,24 @@ def viterbi_spliced_trace(dsq: np.ndarray, gm: FSProfile,
     mmx, imx, dmx = gx.mmx, gx.imx, gx.dmx
     sub = dsq[i_start - 1:i_end]
 
+    # native traceback (identical decisions; Python loop below is the
+    # parity oracle)
+    from ..native import spliced_vit_trace_native
+    if (rsc.dtype == F32 and tsc.dtype == F32
+            and tsc.flags.c_contiguous):
+        nat = spliced_vit_trace_native(
+            sub, L, M, gm.M, rsc, tsc,
+            (xsc[C.X_C, C.MOVE], xsc[C.X_C, C.LOOP],
+             xsc[C.X_E, C.MOVE], xsc[C.X_N, C.MOVE]),
+            sigsc, (mmx, imx, dmx, gx.xN, gx.xB, gx.xE, gx.xC),
+            k_start, i_start, min_intron, TSC_P)
+        if nat is not None:
+            nst, nk, ni, nc, nvsc = nat
+            return SplicedTrace(st=nst[::-1].tolist(),
+                                k=nk[::-1].tolist(),
+                                i=ni[::-1].tolist(),
+                                c=nc[::-1].tolist(), vitsc=nvsc)
+
     def nt(i_local):
         if i_local < 1 or i_local > L:
             return C.MAXCODONS1

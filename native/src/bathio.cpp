@@ -2777,4 +2777,250 @@ int64_t bio_stotrace(int64_t L, int M,
     return n;
 }
 
+// _close(r_tol=1e-5, a_tol=1e-4) from splice/viterbi_spliced.py
+static inline bool bio_sp_close(double a, double b) {
+    if (a == b) return true;
+    if (!std::isfinite(a) || !std::isfinite(b)) return false;
+    double d = fabs(a - b);
+    double fa = fabs(a), fb = fabs(b);
+    double m = fa > fb ? fa : fb;
+    return d <= 1e-4 || d <= 1e-5 * m;
+}
+
+// Spliced-Viterbi traceback (mirrors splice/viterbi_spliced.py
+// viterbi_spliced_trace; ref: p7_GViterbi_SplicedTrace
+// generic_viterbi_spliced.c:483).  All arithmetic in f64 on
+// f32-stored cells, identical op order to the Python oracle; the
+// tolerance comparator replicates _close(r_tol=1e-5, a_tol=1e-4).
+// Returns 0 on success, 1 on an untraceable cell (caller raises).
+int bio_spliced_vit_trace(
+    const int32_t* sub, int64_t L, int M, int Mfull,
+    const float* rsc, int W,
+    const float* tsc,
+    float xsc_cmove, float xsc_cloop, float xsc_emove, float xsc_nmove,
+    const double* sigsc,
+    const float* mmx, const float* imx, const float* dmx,
+    const float* xN, const float* xB, const float* xEv, const float* xCv,
+    int k_start, int i_start, int min_intron, double tsc_p,
+    int32_t* out_st, int32_t* out_k, int32_t* out_i, int32_t* out_c,
+    int64_t cap, int64_t* out_n, double* out_vsc) {
+    enum { T_M = 0, T_D = 1, T_I = 2, T_S = 3, T_N = 4, T_B = 5,
+           T_E = 6, T_C = 7, T_P = 8 };
+    enum { S_GTAG = 0, S_GCAG = 1, S_ATAC = 2,
+           ACCEPT_AG = 2, ACCEPT_AC = 1,
+           DONOR_GT = 11, DONOR_GC = 9, DONOR_AT = 3 };
+    const int Wl = M + 1;
+    const float NEGF = -HUGE_VALF;
+
+#define NTL(il) (((il) < 1 || (il) > L) ? 65 \
+                 : (sub[(il) - 1] < 4 ? sub[(il) - 1] : 65))
+#define CODON1(v, w, x) \
+    ({ int64_t _ci = (int64_t)(x) * 16 + (int64_t)(w) * 4 + (v); \
+       _ci < 64 ? _ci : 64; })
+#define TSCG(t, kg) (((kg) < 0 || (kg) >= Mfull) ? -HUGE_VAL \
+                     : (double)tsc[(int64_t)(kg) * 8 + (t)])
+#define CLOSE(a, b) bio_sp_close((a), (b))
+
+    int64_t i = L;
+    int k = 0;
+    double vsc = (double)xCv[L] + (double)xsc_cmove;
+    int64_t n = 0;
+#define APPEND(s, kk, ii, cc) do { \
+        if (n >= cap) return 10; \
+        out_st[n] = (s); \
+        out_k[n] = (kk) > 0 ? k_start + (kk) - 1 : 0; \
+        out_i[n] = (ii) > 0 ? (int32_t)(i_start + (ii) - 1) : 0; \
+        out_c[n] = (cc); \
+        n++; \
+    } while (0)
+
+    APPEND(9, 0, i, 0);          // T terminal marker
+    APPEND(T_C, 0, i, 0);
+    int sprv = T_C;
+    int64_t donor_i = -1;
+    int c = 0;
+    while (sprv != T_S) {
+        int scur = -1;
+        if (sprv == T_C) {
+            bool lt = (i >= 2 && xCv[i] < xCv[i - 2])
+                      || (i >= 1 && xCv[i] < xCv[i - 1]);
+            if (lt) {
+                scur = T_C;
+            } else if (xCv[i] == NEGF) {
+                return 11;
+            } else if (i >= 3 && CLOSE((double)xCv[i],
+                                       (double)xCv[i - 3]
+                                       + (double)xsc_cloop)) {
+                scur = T_C;
+            } else if (CLOSE((double)xCv[i],
+                             (double)xEv[i] + (double)xsc_emove)) {
+                scur = T_E;
+            } else {
+                return 12;
+            }
+        } else if (sprv == T_E) {
+            if (xEv[i] == NEGF) return 13;
+            scur = -1;
+            for (int kq = M; kq >= 1; kq--) {
+                if (CLOSE((double)xEv[i], (double)mmx[i * Wl + kq])) {
+                    scur = T_M; k = kq; break;
+                }
+                if (CLOSE((double)xEv[i], (double)dmx[i * Wl + kq])) {
+                    scur = T_D; k = kq; break;
+                }
+            }
+            if (scur < 0) return 14;
+        } else if (sprv == T_M) {
+            if (mmx[i * Wl + k] == NEGF) return 15;
+            if (i < 3) return 16;   // oracle would fail via row wrap
+            int v = NTL(i - 2), w = NTL(i - 1), x = NTL(i);
+            int sub_k = k_start + k - 1;
+            double emit = (double)rsc[CODON1(v, w, x) * W + sub_k];
+            double cur = (double)mmx[i * Wl + k];
+            if (CLOSE(cur, (double)mmx[(i - 3) * Wl + k - 1]
+                      + TSCG(0, sub_k - 1) + emit)) {          // P_MM
+                scur = T_M;
+            } else if (CLOSE(cur, (double)imx[(i - 3) * Wl + k - 1]
+                             + TSCG(1, sub_k - 1) + emit)) {   // P_IM
+                scur = T_I;
+            } else if (CLOSE(cur, (double)dmx[(i - 3) * Wl + k - 1]
+                             + TSCG(2, sub_k - 1) + emit)) {   // P_DM
+                scur = T_D;
+            } else if (CLOSE(cur, (double)xB[i - 3] + emit)) {
+                scur = T_B;
+            } else {
+                // P state: re-derive the donor site by scanning
+                if (i < min_intron + 7) return 17;
+                vsc -= tsc_p;
+                int acc[3] = {0, 0, 0};
+                static const int a_offs[3] = {7, 6, 5};
+                for (int slot = 0; slot < 3; slot++) {
+                    int aa = NTL(i - a_offs[slot]);
+                    int bb = NTL(i - a_offs[slot] + 1);
+                    if (aa <= 3 && bb <= 3) {
+                        int s = 4 * aa + bb;
+                        if (s == ACCEPT_AG) acc[slot] = 1;
+                        else if (s == ACCEPT_AC) acc[slot] = 2;
+                    }
+                }
+                if (!acc[0] && !acc[1] && !acc[2]) return 18;
+                scur = -1;
+                for (int64_t j = 0; j < i - min_intron - 4; j++) {
+                    int da = NTL(i - min_intron - j - 1);
+                    int db = NTL(i - min_intron - j);
+                    if (da > 3 || db > 3) continue;
+                    int s = 4 * da + db;
+                    int don_sig;
+                    if (s == DONOR_GT) don_sig = S_GTAG;
+                    else if (s == DONOR_GC) don_sig = S_GCAG;
+                    else if (s == DONOR_AT) don_sig = S_ATAC;
+                    else continue;
+                    int t_ = NTL(i - min_intron - j - 3);
+                    int u_ = NTL(i - min_intron - j - 2);
+                    int v_ = NTL(i - 5), w_ = NTL(i - 4),
+                        x_ = NTL(i - 3);
+                    double emit2 =
+                        (double)rsc[CODON1(t_, u_, x_) * W + sub_k - 1];
+                    double emit1 =
+                        (double)rsc[CODON1(u_, w_, x_) * W + sub_k - 1];
+                    double emit0 =
+                        (double)rsc[CODON1(v_, w_, x_) * W + sub_k - 1];
+                    int want = (don_sig == S_ATAC) ? 2 : 1;
+                    const double emxs[3] = {emit2, emit1, emit0};
+                    const int64_t dis[3] = {i - min_intron - j - 4,
+                                            i - min_intron - j - 3,
+                                            i - min_intron - j - 2};
+                    static const int ccs[3] = {2, 1, 0};
+                    // numpy wraps k-2 == -1 to the last column; the
+                    // oracle relies on that for (pathological) k==1
+                    int kc = k - 2 >= 0 ? k - 2 : k - 2 + Wl;
+                    for (int q = 0; q < 3; q++) {
+                        int cc = ccs[q];
+                        if (acc[cc] != want) continue;
+                        double m0 = (double)mmx[dis[q] * Wl + kc];
+                        double d0 = (double)dmx[dis[q] * Wl + kc];
+                        double ps = (m0 > d0 ? m0 : d0)
+                            + sigsc[don_sig] + emxs[q];
+                        if (CLOSE(cur, ps + tsc_p + emit)) {
+                            scur = T_P;
+                            c = cc;
+                            donor_i = dis[q];
+                            vsc -= sigsc[don_sig];
+                            break;
+                        }
+                    }
+                    if (scur == T_P) break;
+                }
+                if (scur != T_P) return 19;
+            }
+            k -= 1;
+            i -= 3;
+        } else if (sprv == T_D) {
+            if (dmx[i * Wl + k] == NEGF) return 20;
+            int sub_k = k_start + k - 1;
+            if (CLOSE((double)dmx[i * Wl + k],
+                      (double)mmx[i * Wl + k - 1]
+                      + TSCG(4, sub_k - 1))) {                 // P_MD
+                scur = T_M;
+            } else if (CLOSE((double)dmx[i * Wl + k],
+                             (double)dmx[i * Wl + k - 1]
+                             + TSCG(5, sub_k - 1))) {          // P_DD
+                scur = T_D;
+            } else {
+                return 21;
+            }
+            k -= 1;
+        } else if (sprv == T_I) {
+            if (imx[i * Wl + k] == NEGF) return 22;
+            if (i < 3) return 23;   // oracle would fail via row wrap
+            int sub_k = k_start + k - 1;
+            if (CLOSE((double)imx[i * Wl + k],
+                      (double)mmx[(i - 3) * Wl + k]
+                      + TSCG(6, sub_k))) {                     // P_MI
+                scur = T_M;
+            } else if (CLOSE((double)imx[i * Wl + k],
+                             (double)imx[(i - 3) * Wl + k]
+                             + TSCG(7, sub_k))) {              // P_II
+                scur = T_I;
+            } else {
+                return 24;
+            }
+            i -= 3;
+        } else if (sprv == T_P) {
+            scur = (mmx[donor_i * Wl + k - 1]
+                    > dmx[donor_i * Wl + k - 1]) ? T_M : T_D;
+            k -= 1;
+            i = donor_i;
+        } else if (sprv == T_N) {
+            if (xN[i] == NEGF) return 25;
+            scur = (i == 0) ? T_S : T_N;
+        } else if (sprv == T_B) {
+            vsc += TSCG(3, k_start + k - 1);                   // P_BM
+            if (xB[i] == NEGF) return 26;
+            if (CLOSE((double)xB[i],
+                      (double)xN[i] + (double)xsc_nmove)) {
+                scur = T_N;
+            } else {
+                return 27;
+            }
+        } else {
+            return 28;
+        }
+
+        if (scur == T_M) c = 3;
+        else if (scur != T_P) c = 0;
+        APPEND(scur, k, i, c);
+        if ((scur == T_N || scur == T_C) && scur == sprv) i -= 1;
+        sprv = scur;
+    }
+#undef APPEND
+#undef NTL
+#undef CODON1
+#undef TSCG
+#undef CLOSE
+    *out_n = n;
+    *out_vsc = vsc;
+    return 0;
+}
+
 }  // extern "C"

@@ -250,3 +250,60 @@ def test_splice_two_genes_same_sequence(tmp_path):
     assert all(h[6] == "2" for h in hits), out
     spans = sorted((int(h[4]), int(h[5])) for h in hits)
     assert spans[0][1] < spans[1][0]
+
+
+def test_native_trace_matches_python_oracle(monkeypatch):
+    """The C spliced-Viterbi traceback returns the identical trace
+    (st/k/i/c and bit-equal vitsc) as the Python oracle on every
+    trace of a real spliced drive."""
+    import bath_tpu.splice.splice as sp
+    import bath_tpu.splice.viterbi_spliced as vsm
+    from bath_tpu import native as nat
+
+    if nat.get_lib() is None:
+        pytest.skip("native library unavailable")
+    orig_fn = vsm.viterbi_spliced_trace
+    checked = [0]
+
+    def compare(dsq, gm, gx, i_start, i_end, k_start, k_end,
+                min_intron=30, signal_scores=vsm.SIGNAL_SCORES):
+        nat_exc = py_exc = None
+        tr_n = tr_p = None
+        try:
+            tr_n = orig_fn(dsq, gm, gx, i_start, i_end, k_start,
+                           k_end, min_intron, signal_scores)
+        except RuntimeError as e:
+            nat_exc = e
+        saved = nat.spliced_vit_trace_native
+        nat.spliced_vit_trace_native = lambda *a, **k: None
+        try:
+            tr_p = orig_fn(dsq, gm, gx, i_start, i_end, k_start,
+                           k_end, min_intron, signal_scores)
+        except RuntimeError as e:
+            py_exc = e
+        finally:
+            nat.spliced_vit_trace_native = saved
+        assert (tr_n is None) == (tr_p is None), (nat_exc, py_exc)
+        if tr_p is not None:
+            assert tr_n.st == tr_p.st
+            assert tr_n.k == tr_p.k
+            assert tr_n.i == tr_p.i
+            assert tr_n.c == tr_p.c
+            assert tr_n.vitsc == tr_p.vitsc
+        checked[0] += 1
+        if py_exc is not None:
+            raise py_exc
+        return tr_p
+
+    monkeypatch.setattr(sp, "viterbi_spliced_trace", compare)
+    # in-process drive (subprocess would not see the monkeypatch)
+    from bath_tpu.cli.bathsearch import main
+    monkeypatch.setattr(sys, "argv",
+                        ["bathsearch", "--splice", "-o", "/dev/null",
+                         f"{TUT}/PTHR37536.bhmm",
+                         f"{TUT}/target-PTHR37536.fa"])
+    try:
+        main()
+    except SystemExit:
+        pass
+    assert checked[0] >= 1
