@@ -1364,6 +1364,108 @@ def oa_fill_native(om, pp):
     return ox, float(ox.xC[L])
 
 
+def _bind_decoding_std(lib):
+    if getattr(lib, "_decoding_std_bound", False):
+        return
+    F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.bio_decoding.restype = ctypes.c_int
+    lib.bio_decoding.argtypes = (
+        [ctypes.c_int64, ctypes.c_int]
+        + [F32C] * 6                   # fwd: mm im xN xJ xC scale
+        + [F32C] * 6                   # bwd: mm im xN xJ xC scale
+        + [ctypes.c_int]               # b_own
+        + [ctypes.c_float] * 3         # nloop jloop cloop
+        + [F32C] * 5)                  # out: mm im xN xJ xC
+    lib.bio_oa_trace.restype = ctypes.c_int64
+    lib.bio_oa_trace.argtypes = (
+        [ctypes.c_int64, ctypes.c_int]
+        + [F32C] * 8                   # ox: mm im dm xE xN xJ xB xC
+        + [F32C] * 5                   # pp: mm im xN xJ xC
+        + [F32C, F32C]                 # tfv, xff
+        + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 3
+        + [F32C, ctypes.c_int64])
+    lib._decoding_std_bound = True
+
+
+def decoding_native(om, oxf, oxb):
+    """Standard posterior decoding; bit-identical to
+    fwdback.decoding.  None if unavailable; raises RangeError on
+    scaleproduct overflow (as the Python path does)."""
+    lib = _fs5_lib()
+    if lib is None or oxf.mm is None or oxb.mm is None:
+        return None
+    _bind_decoding_std(lib)
+    from .. import constants as C
+    from ..ops.reference.fwdback import PMatrix, RangeError
+    L, M = oxf.L, oxf.M
+    F32 = np.float32
+
+    def c32(a):
+        if a.dtype != np.float32 or not a.flags.c_contiguous:
+            return np.ascontiguousarray(a, dtype=np.float32)
+        return a
+
+    pp = PMatrix(L=L, M=M,
+                 xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
+                 xJ=np.zeros(L + 1, F32), xB=np.zeros(L + 1, F32),
+                 xC=np.zeros(L + 1, F32), scale=np.ones(L + 1, F32),
+                 mm=np.empty((L + 1, M + 1), F32),
+                 im=np.empty((L + 1, M + 1), F32),
+                 dm=np.zeros((L + 1, M + 1), F32))
+    pp.mm[0] = 0.0
+    pp.im[0] = 0.0
+    xf = om.xf
+    st = lib.bio_decoding(
+        L, M, c32(oxf.mm), c32(oxf.im), c32(oxf.xN), c32(oxf.xJ),
+        c32(oxf.xC), c32(oxf.scale),
+        c32(oxb.mm), c32(oxb.im), c32(oxb.xN), c32(oxb.xJ),
+        c32(oxb.xC), c32(oxb.scale), int(oxb.has_own_scales),
+        float(xf[C.X_N, C.LOOP]), float(xf[C.X_J, C.LOOP]),
+        float(xf[C.X_C, C.LOOP]),
+        pp.mm, pp.im, pp.xN, pp.xJ, pp.xC)
+    if st != 0:
+        raise RangeError("decoding scaleproduct overflow")
+    return pp
+
+
+def oa_trace_std_native(om, pp, ox):
+    """Standard OA traceback; bit-identical to fwdback.oa_trace.
+    None if unavailable."""
+    lib = _fs5_lib()
+    if lib is None or ox.mm is None:
+        return None
+    _bind_decoding_std(lib)
+    from ..ops.reference.fwdback import Trace
+    L, M = ox.L, ox.M
+
+    def c32(a):
+        if a.dtype != np.float32 or not a.flags.c_contiguous:
+            return np.ascontiguousarray(a, dtype=np.float32)
+        return a
+
+    cap = 2 * (L + M) + 64
+    st = np.empty(cap, np.int32)
+    kk = np.empty(cap, np.int32)
+    ii = np.empty(cap, np.int32)
+    ppv = np.empty(cap, np.float32)
+    n = lib.bio_oa_trace(
+        L, M, c32(ox.mm), c32(ox.im), c32(ox.dm),
+        c32(ox.xE), c32(ox.xN), c32(ox.xJ), c32(ox.xB), c32(ox.xC),
+        c32(pp.mm), c32(pp.im), c32(pp.xN), c32(pp.xJ), c32(pp.xC),
+        c32(om.tfv), _xff_of(om),
+        st, kk, ii, ppv, cap)
+    if n < 0:
+        return None
+    tr = Trace(M=M, L=L)
+    tr.st = st[:n][::-1].tolist()
+    tr.k = kk[:n][::-1].tolist()
+    tr.i = ii[:n][::-1].tolist()
+    tr.pp = [float(x) for x in ppv[:n][::-1]]
+    tr.c = [0] * n
+    tr.sp = [-1] * n
+    return tr
+
+
 def _bind_stotrace_std(lib):
     if getattr(lib, "_stotrace_std_bound", False):
         return

@@ -282,6 +282,10 @@ def backward(dsq: np.ndarray, om: OProfile, fwd: PMatrix,
 def decoding(om: OProfile, oxf: PMatrix, oxb: PMatrix) -> PMatrix:
     """Posterior decoding into a pp matrix (ref: p7_Decoding).
     Raises RangeError on scaleproduct overflow."""
+    from ...native import decoding_native
+    r = decoding_native(om, oxf, oxb)
+    if r is not None:
+        return r
     L, M = oxf.L, oxf.M
     pp = PMatrix(L=L, M=M,
                  xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
@@ -480,6 +484,10 @@ def oa_trace(om: OProfile, pp: PMatrix, ox: PMatrix) -> Trace:
     """Optimal accuracy traceback (ref: p7_OATrace :230).  Tie-breaks
     reproduce the reference's striped select_e traversal order
     (stripe width 4)."""
+    from ...native import oa_trace_std_native
+    r = oa_trace_std_native(om, pp, ox)
+    if r is not None:
+        return r
     L, M = ox.L, ox.M
     xf = om.xf
     tfv = om.tfv

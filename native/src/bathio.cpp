@@ -2777,6 +2777,170 @@ int64_t bio_stotrace(int64_t L, int M,
     return n;
 }
 
+// Standard posterior decoding (mirrors ops/reference/fwdback.py
+// decoding; ref: p7_Decoding decoding.c:55).  f32 op order identical
+// to the numpy rows: (f*b)*totr, ((f*b)*loop)*sp.  Returns 1 on
+// scaleproduct overflow (caller raises RangeError).
+int bio_decoding(int64_t L, int M,
+    const float* fmm, const float* fim,
+    const float* fxN, const float* fxJ, const float* fxC,
+    const float* fscale,
+    const float* bmm, const float* bim,
+    const float* bxN, const float* bxJ, const float* bxC,
+    const float* bscale, int b_own,
+    float nloop, float jloop, float cloop,
+    float* pmm, float* pim,
+    float* pxN, float* pxJ, float* pxC) {
+    const int W = M + 1;
+    float sp = 1.0f / bxN[0];
+    for (int64_t i = 1; i <= L; i++) {
+        float totr = sp * fscale[i];
+        const float* fm = fmm + i * W;
+        const float* bm = bmm + i * W;
+        const float* fi = fim + i * W;
+        const float* bi = bim + i * W;
+        float* pm = pmm + i * W;
+        float* pi = pim + i * W;
+        for (int k = 0; k < W; k++) pm[k] = (fm[k] * bm[k]) * totr;
+        for (int k = 0; k < W; k++) pi[k] = (fi[k] * bi[k]) * totr;
+        pxN[i] = ((fxN[i - 1] * bxN[i]) * nloop) * sp;
+        pxJ[i] = ((fxJ[i - 1] * bxJ[i]) * jloop) * sp;
+        pxC[i] = ((fxC[i - 1] * bxC[i]) * cloop) * sp;
+        if (b_own) sp = (sp * fscale[i]) / bscale[i];
+    }
+    return std::isinf(sp) ? 1 : 0;
+}
+
+// Standard OA traceback (mirrors ops/reference/fwdback.py oa_trace;
+// ref: p7_OATrace optacc.c:230).  Striped select_e traversal (stripe
+// width 4, M-pass >= then D-pass > per stripe), first-max argmax for
+// select_m, f32 adds converted to f64 for the C/J comparisons.
+// Returns the number of (reversed) steps, or -1 on overflow/error.
+int64_t bio_oa_trace(int64_t L, int M,
+    const float* omm, const float* oim, const float* odm,
+    const float* oxE, const float* oxN, const float* oxJ,
+    const float* oxB, const float* oxC,
+    const float* pmm, const float* pim,
+    const float* pxN, const float* pxJ, const float* pxC,
+    const float* tfv, const float* xff,
+    int32_t* o_st, int32_t* o_k, int32_t* o_i, float* o_pp,
+    int64_t max_out) {
+    enum { T_M = 1, T_D = 2, T_I = 3, T_S = 4, T_N = 5, T_B = 6,
+           T_E = 7, T_C = 8, T_T = 9, T_J = 10 };
+    enum { P_MM = 0, P_IM = 1, P_DM = 2, P_BM = 3, P_MD = 4,
+           P_DD = 5, P_MI = 6, P_II = 7 };
+    const double NEG = -HUGE_VAL;
+    const int W = M + 1;
+    const int Qf = (M + 3) / 4 > 1 ? (M + 3) / 4 : 1;
+    const float nmove = xff[1], jloop = xff[2], jmove = xff[3],
+        cloop = xff[4], eloop = xff[6], emove = xff[7];
+#define TPS(slot, t) (((slot) >= 0 && (slot) < M) \
+    ? tfv[(int64_t)(slot) * 8 + (t)] : 0.0f)
+#define EMITS(S, K, I, PP) do { \
+    if (n >= max_out) return -1; \
+    o_st[n] = (S); o_k[n] = (K); o_i[n] = (I); o_pp[n] = (PP); n++; \
+} while (0)
+    int64_t n = 0;
+    int64_t i = L;
+    int k = 0;
+    EMITS(T_T, 0, 0, 0.f);
+    EMITS(T_C, 0, 0, 0.f);
+    int s0 = T_C, s1 = T_C;
+    while (s0 != T_S) {
+        if (s0 == T_M) {
+            double p[4];
+            p[0] = (k >= 2 && TPS(k - 1, P_MM) > 0.f)
+                ? (double)omm[(i - 1) * W + k - 1] : NEG;
+            p[1] = (k >= 2 && TPS(k - 1, P_IM) > 0.f)
+                ? (double)oim[(i - 1) * W + k - 1] : NEG;
+            p[2] = (k >= 2 && TPS(k - 1, P_DM) > 0.f)
+                ? (double)odm[(i - 1) * W + k - 1] : NEG;
+            p[3] = (TPS(k - 1, P_BM) > 0.f)
+                ? (double)oxB[i - 1] : NEG;
+            int best = 0;
+            for (int a = 1; a < 4; a++) if (p[a] > p[best]) best = a;
+            static const int sts[4] = { T_M, T_I, T_D, T_B };
+            s1 = sts[best];
+            k -= 1;
+            i -= 1;
+        } else if (s0 == T_D) {
+            float p0 = (k >= 2 && TPS(k - 1, P_MD) > 0.f)
+                ? omm[i * W + k - 1] : -HUGE_VALF;
+            float p1 = (k >= 2 && TPS(k - 1, P_DD) > 0.f)
+                ? odm[i * W + k - 1] : -HUGE_VALF;
+            s1 = (p0 >= p1) ? T_M : T_D;
+            k -= 1;
+        } else if (s0 == T_I) {
+            float p0 = (TPS(k, P_MI) > 0.f)
+                ? omm[(i - 1) * W + k] : -HUGE_VALF;
+            float p1 = (TPS(k, P_II) > 0.f)
+                ? oim[(i - 1) * W + k] : -HUGE_VALF;
+            s1 = (p0 >= p1) ? T_M : T_I;
+            i -= 1;
+        } else if (s0 == T_N) {
+            s1 = (i == 0) ? T_S : T_N;
+        } else if (s0 == T_C) {
+            // numpy wraps xC[-1] to xC[L] when i==0
+            int64_t im1 = (i - 1 >= 0) ? i - 1 : L;
+            double p0 = (cloop != 0.f)
+                ? (double)(oxC[im1] + pxC[i]) : NEG;
+            double p1 = (emove != 0.f) ? (double)oxE[i] : NEG;
+            s1 = (p0 > p1) ? T_C : T_E;
+        } else if (s0 == T_J) {
+            int64_t im1 = (i - 1 >= 0) ? i - 1 : L;
+            double p0 = (jloop != 0.f)
+                ? (double)(oxJ[im1] + pxJ[i]) : NEG;
+            double p1 = (eloop != 0.f) ? (double)oxE[i] : NEG;
+            s1 = (p0 > p1) ? T_J : T_E;
+        } else if (s0 == T_E) {
+            double mx = NEG;
+            int smax = T_M, kmax = 1;
+            for (int q = 0; q < Qf; q++) {
+                for (int r = 0; r < 4; r++) {
+                    int kk = r * Qf + q + 1;
+                    double vM = (kk <= M)
+                        ? (double)omm[i * W + kk] : 0.0;
+                    if (vM >= mx) { mx = vM; smax = T_M; kmax = kk; }
+                }
+                for (int r = 0; r < 4; r++) {
+                    int kk = r * Qf + q + 1;
+                    double vD = (kk <= M)
+                        ? (double)odm[i * W + kk] : 0.0;
+                    if (vD > mx) { mx = vD; smax = T_D; kmax = kk; }
+                }
+            }
+            k = kmax;
+            s1 = smax;
+        } else if (s0 == T_B) {
+            double p0 = (nmove != 0.f) ? (double)oxN[i] : NEG;
+            double p1 = (jmove != 0.f) ? (double)oxJ[i] : NEG;
+            s1 = (p0 > p1) ? T_N : T_J;
+        } else {
+            return -1;
+        }
+
+        float postprob = 0.f;
+        if (s1 == T_M) postprob = pmm[i * W + k];
+        else if (s1 == T_I) postprob = pim[i * W + k];
+        else if (s1 == s0 && s1 == T_N) postprob = pxN[i];
+        else if (s1 == s0 && s1 == T_C) postprob = pxC[i];
+        else if (s1 == s0 && s1 == T_J) postprob = pxJ[i];
+
+        if (s1 == T_M || s1 == T_I) {
+            EMITS(s1, k, (int32_t)i, postprob);
+        } else if ((s1 == T_N || s1 == T_C || s1 == T_J) && s1 == s0) {
+            EMITS(s1, 0, (int32_t)i, postprob);
+        } else {
+            EMITS(s1, (s1 == T_D) ? k : 0, 0, postprob);
+        }
+        if ((s1 == T_N || s1 == T_J || s1 == T_C) && s1 == s0) i -= 1;
+        s0 = s1;
+    }
+#undef TPS
+#undef EMITS
+    return n;
+}
+
 // _close(r_tol=1e-5, a_tol=1e-4) from splice/viterbi_spliced.py
 static inline bool bio_sp_close(double a, double b) {
     if (a == b) return true;

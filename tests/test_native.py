@@ -616,3 +616,55 @@ def test_native_stotrace_std_bitexact(gcode):
         assert a.st == b.st and a.k == b.k and a.i == b.i
         assert r1._mti == r2._mti
         assert np.array_equal(r1._mt, r2._mt)
+
+
+def test_native_decoding_oa_trace_bitexact(gcode):
+    """bio_decoding / bio_oa_trace vs the numpy decoding and Python
+    OA traceback: matrices, trace steps and posteriors identical."""
+    import bath_tpu.native as nat
+    import bath_tpu.ops.reference.fwdback as fb
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.profile import profile_config
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    om = oprofile_convert(profile_config(hmm, bg, L=100))
+    rng = np.random.default_rng(11)
+    cons = np.argmax(hmm.mat[1:, :20], axis=1).astype(np.int32)
+    mut = cons.copy()
+    mut[::7] = rng.integers(0, 20, len(mut[::7]))
+    cases = [rng.integers(0, 20, L).astype(np.int32)
+             for L in (2, 40, 200)] + [cons.copy(), mut]
+    for dsq in cases:
+        for uni in (True, False):
+            (om.reconfig_unihit if uni
+             else om.reconfig_multihit)(len(dsq))
+            ox, _ = fb.forward(dsq, om, full=True)
+            bx, _ = fb.backward(dsq, om, ox, full=True)
+            pp1 = nat.decoding_native(om, ox, bx)
+            assert pp1 is not None
+            orig_d = nat.decoding_native
+            nat.decoding_native = lambda *a: None
+            try:
+                pp2 = fb.decoding(om, ox, bx)
+            finally:
+                nat.decoding_native = orig_d
+            for f in ("mm", "im", "dm", "xE", "xN", "xJ", "xB", "xC"):
+                assert np.array_equal(getattr(pp1, f),
+                                      getattr(pp2, f),
+                                      equal_nan=True), f
+            oxa, _ = fb.optimal_accuracy(om, pp2)
+            tr1 = nat.oa_trace_std_native(om, pp2, oxa)
+            assert tr1 is not None
+            orig_t = nat.oa_trace_std_native
+            nat.oa_trace_std_native = lambda *a: None
+            try:
+                tr2 = fb.oa_trace(om, pp2, oxa)
+            finally:
+                nat.oa_trace_std_native = orig_t
+            assert tr1.st == tr2.st
+            assert tr1.k == tr2.k
+            assert tr1.i == tr2.i
+            assert tr1.pp == tr2.pp
