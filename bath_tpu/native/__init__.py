@@ -163,16 +163,18 @@ def _bind_filters(lib):
     lib.bio_bwd_dd_f32.restype = None
     lib.bio_bwd_dd_f32.argtypes = [VP, VP, ctypes.c_int]
     F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    # raw-pointer bindings: these run once per surviving ORF, and the
+    # profile-constant views are pointer-cached per om
     lib.bio_fs3_parser_score.restype = ctypes.c_int
     lib.bio_fs3_parser_score.argtypes = (
-        [I32P, I32P, I32P, ctypes.c_int64, F32C, ctypes.c_int]
-        + [F32C] * 8
-        + [F32C, F32C, ctypes.POINTER(ctypes.c_float)])
+        [VP, VP, VP, ctypes.c_int64, VP, ctypes.c_int]
+        + [VP] * 8
+        + [VP, VP, ctypes.POINTER(ctypes.c_float)])
     lib.bio_fwd_parser_score.restype = ctypes.c_int
     lib.bio_fwd_parser_score.argtypes = (
-        [I32P, ctypes.c_int64, F32C, ctypes.c_int]
-        + [F32C] * 8
-        + [F32C, F32C, ctypes.POINTER(ctypes.c_float)])
+        [VP, ctypes.c_int64, VP, ctypes.c_int]
+        + [VP] * 8
+        + [VP, VP, ctypes.POINTER(ctypes.c_float)])
     lib.bio_fs5_forward_score.restype = ctypes.c_int
     lib.bio_fs5_forward_score.argtypes = (
         [I32P, I32P, I32P, I32P, I32P, ctypes.c_int64, F32C,
@@ -333,6 +335,23 @@ def bwd_dd_native(dc, tdd, M: int) -> bool:
 _FWD_VIEWS_CACHE: dict = {}
 
 
+def _fwd_views(om):
+    """(tv, rfv, tv_ptrs, rfv_ptr) contiguous transition/emission
+    views + raw addresses, cached per om (the concatenation copies
+    and ndpointer validation dominated the per-ORF call cost)."""
+    from ..ops.reference.fwdback import _trans_views
+    key = id(om)
+    ent = _FWD_VIEWS_CACHE.get(key)
+    if ent is None or ent[0] is not om.tfv:
+        tv = tuple(np.ascontiguousarray(v, dtype=np.float32)
+                   for v in _trans_views(om))
+        rfv = np.ascontiguousarray(om.rfv, dtype=np.float32)
+        ent = (om.tfv, tv, rfv,
+               tuple(t.ctypes.data for t in tv), rfv.ctypes.data)
+        _FWD_VIEWS_CACHE[key] = ent
+    return ent[1], ent[2], ent[3], ent[4]
+
+
 def fwd_parser_score_native(dsq: np.ndarray, om):
     """Bit-exact standard Forward parser score (F3/F4 gate path);
     same contract as fs3_parser_score_native."""
@@ -343,16 +362,8 @@ def fwd_parser_score_native(dsq: np.ndarray, om):
         _bind_filters(lib)
         lib._filters_bound = True
     from .. import constants as C
-    from ..ops.reference.fwdback import RangeError, _trans_views
-    key = id(om)
-    ent = _FWD_VIEWS_CACHE.get(key)
-    if ent is None or ent[0] is not om.tfv:
-        tv = tuple(np.ascontiguousarray(v, dtype=np.float32)
-                   for v in _trans_views(om))
-        rfv = np.ascontiguousarray(om.rfv, dtype=np.float32)
-        ent = (om.tfv, tv, rfv)
-        _FWD_VIEWS_CACHE[key] = ent
-    _, tv, rfv = ent
+    from ..ops.reference.fwdback import RangeError
+    _, _, tv_p, rfv_p = _fwd_views(om)
     L = len(dsq)
     xf = om.xf
     xff = np.array([xf[C.X_N, C.LOOP], xf[C.X_N, C.MOVE],
@@ -362,9 +373,12 @@ def fwd_parser_score_native(dsq: np.ndarray, om):
                    dtype=np.float32)
     scales = np.empty(L + 1, dtype=np.float32)
     xctot = ctypes.c_float()
-    dsq = np.ascontiguousarray(dsq, dtype=np.int32)
-    st = lib.bio_fwd_parser_score(dsq, L, rfv, om.M, *tv, xff,
-                                  scales, ctypes.byref(xctot))
+    if dsq.dtype != np.int32 or not dsq.flags.c_contiguous:
+        dsq = np.ascontiguousarray(dsq, dtype=np.int32)
+    st = lib.bio_fwd_parser_score(dsq.ctypes.data, L, rfv_p, om.M,
+                                  *tv_p, xff.ctypes.data,
+                                  scales.ctypes.data,
+                                  ctypes.byref(xctot))
     if st != 0:
         raise RangeError("forward score over/underflow")
     totscale = 0.0
@@ -398,9 +412,10 @@ def fs3_parser_score_native(dsq: np.ndarray, om_fs):
         tv = tuple(np.ascontiguousarray(v, dtype=np.float32)
                    for v in _trans_views_fs(om_fs))
         rfv = np.ascontiguousarray(om_fs.rfv, dtype=np.float32)
-        ent = (om_fs.tfv, tv, rfv)
+        ent = (om_fs.tfv, tv, rfv,
+               tuple(t.ctypes.data for t in tv), rfv.ctypes.data)
         _FS3_VIEWS_CACHE[key] = ent
-    _, tv, rfv = ent
+    _, tv, rfv, tv_p, rfv_p = ent
     ci = codon_indices(dsq, 3)
     ci2 = np.ascontiguousarray(ci[2], dtype=np.int32)
     ci3 = np.ascontiguousarray(ci[3], dtype=np.int32)
@@ -415,8 +430,11 @@ def fs3_parser_score_native(dsq: np.ndarray, om_fs):
                    dtype=np.float32)
     scales = np.empty(L + 1, dtype=np.float32)
     xctot = ctypes.c_float()
-    st = lib.bio_fs3_parser_score(ci2, ci3, ci4, L, rfv, M, *tv, xff,
-                                  scales, ctypes.byref(xctot))
+    st = lib.bio_fs3_parser_score(ci2.ctypes.data, ci3.ctypes.data,
+                                  ci4.ctypes.data, L, rfv_p, M,
+                                  *tv_p, xff.ctypes.data,
+                                  scales.ctypes.data,
+                                  ctypes.byref(xctot))
     if st != 0:
         raise RangeError("fs forward parser over/underflow")
     # numpy-log finish, same accumulation order as the reference
@@ -967,13 +985,13 @@ def fs5_stotrace_native(r, om_fs, fx):
 def _bind_fwdfill(lib):
     if getattr(lib, "_fwdfill_bound", False):
         return
-    F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    VP = ctypes.c_void_p
     lib.bio_fwd_fill.restype = ctypes.c_int
     lib.bio_fwd_fill.argtypes = (
-        [I32P, ctypes.c_int64, F32C, ctypes.c_int, ctypes.c_int]
-        + [F32C] * 8 + [F32C]          # transitions, xff
-        + [F32C] * 3                   # mm, im, dm
-        + [F32C] * 6                   # xE xN xJ xB xC scale
+        [VP, ctypes.c_int64, VP, ctypes.c_int, ctypes.c_int]
+        + [VP] * 8 + [VP]              # transitions, xff
+        + [VP] * 3                     # mm, im, dm
+        + [VP] * 6                     # xE xN xJ xB xC scale
         + [ctypes.POINTER(ctypes.c_double)])
     lib._fwdfill_bound = True
 
@@ -987,14 +1005,9 @@ def fwd_fill_native(dsq, om, full=True):
         return None
     _bind_fwdfill(lib)
     from ..ops.reference.fwdback import PMatrix, RangeError
-    from ..ops.reference.fwdback import _trans_views
     L, M = len(dsq), om.M
     F32 = np.float32
-    rfv = om.rfv
-    if rfv.dtype != np.float32 or not rfv.flags.c_contiguous:
-        rfv = np.ascontiguousarray(rfv, dtype=np.float32)
-    tv = [np.ascontiguousarray(t, dtype=np.float32)
-          for t in _trans_views(om)]
+    _, _, tv_p, rfv_p = _fwd_views(om)
     ox = PMatrix(L=L, M=M,
                  xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
                  xJ=np.zeros(L + 1, F32), xB=np.zeros(L + 1, F32),
@@ -1009,10 +1022,13 @@ def fwd_fill_native(dsq, om, full=True):
     out = ctypes.c_double()
     dsq32 = dsq if (dsq.dtype == np.int32 and dsq.flags.c_contiguous) \
         else np.ascontiguousarray(dsq, dtype=np.int32)
+    xff = _xff_of(om)
     st = lib.bio_fwd_fill(
-        dsq32, L, rfv, M, int(full), *tv, _xff_of(om),
-        mm, im_, dm,
-        ox.xE, ox.xN, ox.xJ, ox.xB, ox.xC, ox.scale,
+        dsq32.ctypes.data, L, rfv_p, M, int(full), *tv_p,
+        xff.ctypes.data,
+        mm.ctypes.data, im_.ctypes.data, dm.ctypes.data,
+        ox.xE.ctypes.data, ox.xN.ctypes.data, ox.xJ.ctypes.data,
+        ox.xB.ctypes.data, ox.xC.ctypes.data, ox.scale.ctypes.data,
         ctypes.byref(out))
     if st == 1:
         raise RangeError("forward score is NaN")
