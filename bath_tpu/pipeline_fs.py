@@ -233,6 +233,17 @@ def fs_create(tr: Trace, which: int, gm_fs5, sq: Sequence,
         amino_sc = gm_fs5.rsc_amino       # log space
     else:
         amino_sc = gm_fs5.rsc_fs[gm_fs5.maxcodons:, :]
+    # per-profile caches: the "+" mask (exp>1 in f32 — NOT the same as
+    # sc>0 near the rounding boundary) and the consensus digit map
+    cache = gm_fs5.__dict__.get("_fs_create_cache")
+    if cache is None or cache[0] is not amino_sc:
+        with np.errstate(over="ignore"):
+            amino_pos = np.exp(amino_sc) > 1.0
+        cons_dig = np.array([abc_a.inmap.get(ch, -1)
+                             for ch in gm_fs5.consensus], np.int32)
+        cache = (amino_sc, amino_pos, cons_dig)
+        gm_fs5.__dict__["_fs_create_cache"] = cache
+    _, amino_pos, cons_dig = cache
 
     model, mline, aseq, ntseq, ppl, codon = [], [], [], [], [], []
     exact = 0
@@ -247,11 +258,10 @@ def fs_create(tr: Trace, which: int, gm_fs5, sq: Sequence,
             aa = int(codons_tbl[ci, k])
             indel = int(indel_tbl[ci, k])
             ntseq.append(_codon_cell(c, indel, nts, abc_d.sym))
-            cons_digit = abc_a.inmap.get(consensus[k - 1], -1)
-            if aa == cons_digit:
+            if aa == cons_dig[k - 1]:
                 mline.append(consensus[k - 1])
                 exact += 1
-            elif np.exp(amino_sc[aa, k]) > 1.0:
+            elif amino_pos[aa, k]:
                 mline.append("+")
             else:
                 mline.append(" ")
