@@ -26,6 +26,13 @@ class Randomness:
     """MT19937 stream with Easel-style sampling helpers."""
 
     def __init__(self, seed: int = 42):
+        if seed == 0:
+            # one-time arbitrary seed (ref: esl_randomness_Create(0)
+            # -> choose_arbitrary_seed: time ^ pid based)
+            import os
+            import time
+            seed = ((int(time.time()) ^ (os.getpid() << 8))
+                    & 0x7FFFFFFF) or 42
         self.seed_value = seed
         self._mt = np.zeros(_N, dtype=np.uint64)
         self._mti = _N + 1

@@ -91,3 +91,15 @@ def test_long_sequence_window_boundaries(tmp_path):
         return re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
 
     assert run("--fs", "--cpu", "3") == run("--fs")
+
+
+def test_seed_reproducibility():
+    """--seed N twice is byte-identical; --seed 0 draws a one-time
+    arbitrary seed (ref: esl_randomness_Create(0)) and must still run
+    cleanly."""
+    a = _run("--fs", "--seed", "7")
+    assert a == _run("--fs", "--seed", "7")
+    _run("--fs", "--seed", "0")
+
+    from bath_tpu.rng import Randomness
+    assert Randomness(0).seed_value != 0
