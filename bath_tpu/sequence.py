@@ -75,25 +75,42 @@ def _open_text(path: str):
     return open(path)
 
 def parse_fasta(path: str, abc: Alphabet) -> Iterator[tuple[str, str, str]]:
-    """Yield (name, desc, seqtext) records from a FASTA file."""
-    name = None
-    desc = ""
-    chunks: list[str] = []
+    """Yield (name, desc, seqtext) records from a FASTA file.
+
+    Chunked record reader (the per-line loop was the second-largest
+    cost of a hitless 100MB scan); per-line edge-strip semantics are
+    identical to a line loop's `line.strip()`."""
+    CHUNK = 8 << 20
     with _open_text(path) as fh:
-        for line in fh:
-            line = line.rstrip("\n")
-            if line.startswith(">"):
-                if name is not None:
-                    yield name, desc, "".join(chunks)
-                hdr = line[1:].strip()
+        pending = fh.read(CHUNK)
+        if not pending:
+            return
+        more = True
+        while True:
+            nxt = pending.find("\n>")
+            if nxt < 0:
+                if more:
+                    chunk = fh.read(CHUNK)
+                    if chunk:
+                        pending += chunk
+                        continue
+                    more = False
+                rec, pending = pending, ""
+            else:
+                rec = pending[:nxt]
+                pending = pending[nxt + 1:]
+            if rec.startswith(">"):
+                nl = rec.find("\n")
+                hdr = (rec[1:nl] if nl >= 0 else rec[1:]).strip()
                 parts = hdr.split(None, 1)
                 name = parts[0] if parts else ""
                 desc = parts[1] if len(parts) > 1 else ""
-                chunks = []
-            elif line and name is not None:
-                chunks.append(line.strip())
-    if name is not None:
-        yield name, desc, "".join(chunks)
+                body = rec[nl + 1:] if nl >= 0 else ""
+                yield (name, desc,
+                       "".join(ln.strip() for ln in body.split("\n")))
+            # else: content before the first '>' header is ignored
+            if not pending and not more:
+                return
 
 
 def parse_embl(path: str) -> Iterator[tuple[str, str, str, str]]:
