@@ -1143,6 +1143,63 @@ def ssv_filter_bath_native(dsq, om, data, sc_thresh):
             for i in range(n)]
 
 
+def _bind_vitbath(lib):
+    if getattr(lib, "_vitbath_bound", False):
+        return
+    lib.bio_vit_filter_bath.restype = ctypes.c_int64
+    lib.bio_vit_filter_bath.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+         ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+         ctypes.c_void_p, ctypes.c_int,
+         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+         ctypes.c_int64,
+         ctypes.POINTER(ctypes.c_float),
+         ctypes.POINTER(ctypes.c_int32)])
+    lib._vitbath_bound = True
+
+
+def vit_filter_bath_native(dsq, om, data, sc_thresh, sc_ext_thresh):
+    """Window-capturing ViterbiFilter (ref: impl_sse/vitfilter.c
+    p7_ViterbiFilter_BATH :286); bit-identical to the Python
+    filters.viterbi_filter capture mode.  Returns (score, [(n, k,
+    length), ...]) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_filters_bound"):
+        _bind_filters(lib)
+        lib._filters_bound = True
+    _bind_vitbath(lib)
+    ssv = data.ssv_scores
+    if ssv.dtype != np.uint8 or not ssv.flags.c_contiguous:
+        return None
+    rwv_p, twv_p = _packed_filter_ptrs(om)
+    if dsq.dtype != np.int32 or not dsq.flags.c_contiguous:
+        dsq = np.ascontiguousarray(dsq, dtype=np.int32)
+    from .. import constants as C
+    cap = 4096
+    wn = np.empty(cap, np.int32)
+    wk = np.empty(cap, np.int32)
+    wl = np.empty(cap, np.int32)
+    out = ctypes.c_float()
+    status = ctypes.c_int32()
+    n = lib.bio_vit_filter_bath(
+        dsq.ctypes.data, len(dsq), rwv_p, twv_p, om.Kp, om.M,
+        int(om.base_w), float(om.scale_w),
+        int(om.xw[C.X_N, C.MOVE]), int(om.xw[C.X_E, C.MOVE]),
+        int(om.xw[C.X_E, C.LOOP]),
+        int(sc_thresh), int(sc_ext_thresh),
+        ssv.ctypes.data, int(om.bias_b),
+        wn.ctypes.data, wk.ctypes.data, wl.ctypes.data, cap,
+        ctypes.byref(out), ctypes.byref(status))
+    if n < 0:
+        return None
+    sc = float("inf") if status.value == 1 else float(out.value)
+    return sc, [(int(wn[i]), int(wk[i]), int(wl[i])) for i in range(n)]
+
+
 def bind_d_max_chain():
     """Raw binding for the spliced-Viterbi D max-chain (per-row hot
     call; c_void_p args to skip ndpointer validation)."""

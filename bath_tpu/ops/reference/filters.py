@@ -274,6 +274,17 @@ def viterbi_filter(dsq: np.ndarray, om: OProfile, data: ScoreData | None = None,
             + om.base_b + om.tec_b + om.tjb_b
         sc_ext_thresh = int(math.ceil(val)) if math.isfinite(val) \
             else -(1 << 30)
+        from ...native import vit_filter_bath_native
+        res = vit_filter_bath_native(dsq, om, data, sc_thresh,
+                                     sc_ext_thresh)
+        if res is not None:
+            nsc, wins = res
+            for wn, wk, wl in wins:
+                windows.append(Window(id=0, n=wn, k=wk, length=wl,
+                                      score=0.0,
+                                      complementarity=C.NOCOMPLEMENT,
+                                      target_len=L))
+            return nsc
         skip_until = 0
         Qw = max(2, (M + 7) // 8)
 

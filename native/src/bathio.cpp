@@ -2163,6 +2163,135 @@ int64_t bio_ssv_filter_bath(const int32_t* dsq, int64_t L,
     return nw;
 }
 
+// ViterbiFilter with diagonal-window capture (ref: impl_sse/
+// vitfilter.c p7_ViterbiFilter_BATH :286; bit-exact transcription of
+// filters.viterbi_filter's capture mode).  All-integer int16-saturated
+// DP in int32; the eager D closure gives the same M rows / xE as the
+// Python lazy-F form (Farrar's lazy-F invariant), so captures and the
+// final score are identical.  Returns the number of captured windows,
+// or -1 if max_w would be exceeded (caller falls back to Python).
+// out_status: 1 = xE overflow (score is a certain hit; Python returns
+// +inf immediately, keeping windows captured so far).
+int64_t bio_vit_filter_bath(const int32_t* dsq, int64_t L,
+    const int32_t* rwv, const int32_t* twv, int Kp, int M,
+    int base, double scale, int move_w, int e_move, int e_loop,
+    int64_t sc_thresh, int64_t sc_ext_thresh,
+    const uint8_t* ssv_scores, int bias_b,
+    int32_t* w_n, int32_t* w_k, int32_t* w_len, int64_t max_w,
+    float* out_sc, int32_t* out_status) {
+    const int NEG = -32768;
+    const int P_MM = 0, P_IM = 1, P_DM = 2, P_BM = 3, P_MD = 4,
+        P_DD = 5, P_MI = 6, P_II = 7;
+    int stride = M + 1;
+    auto sat = [](int x) {
+        if (x < -32768) return -32768;
+        if (x > 32767) return 32767;
+        return x;
+    };
+    static thread_local int32_t *dm = nullptr, *di = nullptr,
+        *dd = nullptr, *nm = nullptr, *ni = nullptr;
+    static thread_local int64_t cap = 0;
+    if (cap < stride) {
+        delete[] dm; delete[] di; delete[] dd;
+        delete[] nm; delete[] ni;
+        dm = new int32_t[stride]; di = new int32_t[stride];
+        dd = new int32_t[stride]; nm = new int32_t[stride];
+        ni = new int32_t[stride];
+        cap = stride;
+    }
+    for (int k = 0; k <= M; k++) dm[k] = di[k] = dd[k] = NEG;
+    int xN = base;
+    int xB = sat(xN + move_w);
+    int xJ = NEG, xC = NEG;
+    const int Qw = ((M + 7) / 8) > 2 ? ((M + 7) / 8) : 2;
+    int64_t skip_until = 0;
+    int64_t nw = 0;
+    *out_status = 0;
+    for (int64_t i = 1; i <= L; i++) {
+        const int32_t* row = rwv + (int64_t)dsq[i - 1] * stride;
+        int xE = NEG;
+        nm[0] = ni[0] = NEG;
+        for (int k = 1; k <= M; k++) {
+            const int32_t* tin = twv + (k - 1) * 8;
+            int sv = sat(xB + tin[P_BM]);
+            int v = sat(dm[k - 1] + tin[P_MM]); if (v > sv) sv = v;
+            v = sat(di[k - 1] + tin[P_IM]); if (v > sv) sv = v;
+            v = sat(dd[k - 1] + tin[P_DM]); if (v > sv) sv = v;
+            sv = sat(sv + row[k]);
+            nm[k] = sv;
+            if (sv > xE) xE = sv;
+            if (k < M) {
+                const int32_t* tout = twv + k * 8;
+                int iv = sat(dm[k] + tout[P_MI]);
+                int iv2 = sat(di[k] + tout[P_II]);
+                ni[k] = iv > iv2 ? iv : iv2;
+            } else ni[k] = NEG;
+        }
+        if (xE >= 32767) {
+            *out_sc = 1.0f / 0.0f;
+            *out_status = 1;
+            return nw;
+        }
+        dd[0] = dd[1] = NEG;
+        for (int k = 2; k <= M; k++) {
+            const int32_t* tin = twv + (k - 1) * 8;
+            int v1 = sat(nm[k - 1] + tin[P_MD]);
+            int v2 = sat(dd[k - 1] + tin[P_DD]);
+            dd[k] = v1 > v2 ? v1 : v2;
+        }
+        int xC2 = xC > sat(xE + e_move) ? xC : sat(xE + e_move);
+        int xJ2 = xJ > sat(xE + e_loop) ? xJ : sat(xE + e_loop);
+        int b1 = sat(xJ2 + move_w), b2 = sat(xN + move_w);
+        xB = b1 > b2 ? b1 : b2;
+        xJ = xJ2; xC = xC2;
+        int32_t* t = dm; dm = nm; nm = t;
+        t = di; di = ni; ni = t;
+
+        if (i > skip_until && (int64_t)xE >= sc_thresh) {
+            // striped-order scan for the first k with M(i,k) == xE
+            int k_start = 0;
+            for (int q = 0; q < Qw && !k_start; q++)
+                for (int z = 0; z < 8; z++) {
+                    int k = q + Qw * z + 1;
+                    if (k <= M && dm[k] == xE) { k_start = k; break; }
+                }
+            int max_k_end = k_start;
+            int64_t max_i_end = i;
+            int64_t sc_ext = sc_ext_thresh;
+            int64_t max_sc_ext = sc_ext;
+            int pos_since_max = 0;
+            int64_t kk = k_start + 1, nn = i + 1;
+            while (kk <= M && nn <= L) {
+                sc_ext += bias_b
+                    - (int)ssv_scores[kk * (int64_t)Kp + dsq[nn - 1]];
+                if (sc_ext >= max_sc_ext) {
+                    max_sc_ext = sc_ext;
+                    max_k_end = (int)kk;
+                    max_i_end = nn;
+                    pos_since_max = 0;
+                } else {
+                    pos_since_max += 1;
+                    if (pos_since_max == 5) break;
+                }
+                kk += 1;
+                nn += 1;
+            }
+            if (nw >= max_w) return -1;
+            w_n[nw] = (int32_t)i;
+            w_k[nw] = max_k_end;
+            w_len[nw] = max_k_end - k_start + 1;
+            nw++;
+            skip_until = max_i_end;
+        }
+    }
+    if (xC > NEG)
+        *out_sc = (float)((((double)(xC + move_w)) - (double)base)
+                          / scale - 3.0);
+    else
+        *out_sc = -1.0f / 0.0f;
+    return nw;
+}
+
 // Max-plus D-chain for the spliced Viterbi row (ref: the sequential
 // D recursion of generic_viterbi_spliced.c):
 //   d[k] = max(m[k-2] + tMD[k-1], d[k-1] + tDD[k-1]),  k = 2..M

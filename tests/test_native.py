@@ -453,6 +453,60 @@ def test_native_ssv_filter_bath_bitexact(gcode):
             assert a == b, (L, P)
 
 
+def test_native_vit_filter_bath_bitexact(gcode):
+    """bio_vit_filter_bath vs the Python window-capturing ViterbiFilter
+    (ref: impl_sse/vitfilter.c p7_ViterbiFilter_BATH :286): identical
+    f32 score and window records on hot ORFs and random/degenerate
+    aminos, at normal and --max (P=1) thresholds."""
+    import bath_tpu.native as nat
+    from bath_tpu.bg import Background
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.ops.reference import filters as flt
+    from bath_tpu.profile import profile_config
+    from bath_tpu.scoredata import score_data_create
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    om = oprofile_convert(profile_config(hmm, bg, L=100))
+    data = score_data_create(om)
+    rng = np.random.default_rng(23)
+    seq = "".join(l.strip()
+                  for l in open("/root/reference/tutorial/"
+                                "target-AMP_N.fa")
+                  if not l.startswith(">"))
+    mp = {"A": 0, "C": 1, "G": 2, "T": 3}
+    hot = np.array([mp[c] for c in seq], np.int32)
+    from bath_tpu.gencode import GeneticCode, extract_orfs
+    gc = GeneticCode.create(1)
+    gc.set_initiator_any()
+    cases = [orf.dsq for orf in extract_orfs(gc, hot, minlen=20)]
+    cases.append(rng.integers(0, 20, 200).astype(np.int32))
+    cases.append(rng.integers(0, om.Kp, 150).astype(np.int32))
+    assert cases
+    orig = nat.vit_filter_bath_native
+    assert orig(cases[0], om, data, -100, -100) is not None
+    for dsq in cases:
+        L = len(dsq)
+        om.reconfig_length(L)
+        bg.set_length(L)
+        filtersc = bg.null_one(L)
+        for P in (0.5, 1.0):
+            w1: list = []
+            sc1 = flt.viterbi_filter(dsq, om, data, filtersc, P, w1)
+            nat.vit_filter_bath_native = lambda *a: None
+            try:
+                w2: list = []
+                sc2 = flt.viterbi_filter(dsq, om, data, filtersc, P,
+                                         w2)
+            finally:
+                nat.vit_filter_bath_native = orig
+            assert repr(sc1) == repr(sc2), (L, P)
+            a = [(w.n, w.k, w.length, w.score) for w in w1]
+            b = [(w.n, w.k, w.length, w.score) for w in w2]
+            assert a == b, (L, P)
+
+
 def test_native_spliced_vit_fill_bitexact(gcode):
     """bio_spliced_vit_fill vs the Python spliced-Viterbi loops: every
     matrix and specials array bit-identical, across global/local modes
