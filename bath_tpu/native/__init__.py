@@ -535,6 +535,106 @@ def msv_filter_native_batch(orf_dsqs: list, om) -> np.ndarray | None:
     return out
 
 
+def _bind_gatebatch(lib):
+    if getattr(lib, "_gatebatch_bound", False):
+        return
+    VP = ctypes.c_void_p
+    lib.bio_bg_hmm_forward_batch.restype = None
+    lib.bio_bg_hmm_forward_batch.argtypes = [
+        VP, VP, VP, VP, ctypes.c_int64, VP, VP,
+        ctypes.c_float, VP, VP, VP]
+    lib.bio_f32_seq_sum_batch.restype = None
+    lib.bio_f32_seq_sum_batch.argtypes = [
+        VP, VP, VP, ctypes.c_int64, VP]
+    lib.bio_vit_filter_batch.restype = None
+    lib.bio_vit_filter_batch.argtypes = [
+        VP, VP, VP, VP, ctypes.c_int64, VP, VP,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, VP]
+    lib._gatebatch_bound = True
+
+
+def bg_filter_score_batch(orfs, idxs, bg) -> np.ndarray | None:
+    """Batched p7_bg_FilterScore over ORFs <idxs> of a LazyOrfList
+    with the currently-set filter: bit-identical to per-ORF
+    set_length(L) + filter_score(dsq).  Returns a float64 array
+    aligned with idxs, or None if unavailable."""
+    lib = get_lib()
+    flat = getattr(orfs, "flat", None)
+    if lib is None or flat is None or not len(idxs):
+        return None
+    _bind_gatebatch(lib)
+    n = len(idxs)
+    in_offs = np.ascontiguousarray(orfs.offs[idxs], dtype=np.int64)
+    lens = np.ascontiguousarray(orfs.lens[idxs], dtype=np.int32)
+    lens64 = lens.astype(np.int64)
+    out_offs = np.zeros(n, np.int64)
+    np.cumsum(lens64[:-1], out=out_offs[1:])
+    scales = np.empty(int(lens64.sum()), np.float32)
+    ends = np.empty(n, np.float32)
+    eo = np.ascontiguousarray(bg._eo, np.float32)
+    pi = np.ascontiguousarray(bg._pi, np.float32)
+    t = np.ascontiguousarray(bg._t, np.float32)
+    row1 = np.ascontiguousarray(t[1])
+    lib.bio_bg_hmm_forward_batch(
+        flat.ctypes.data, in_offs.ctypes.data, out_offs.ctypes.data,
+        lens.ctypes.data, n, eo.ctypes.data, pi.ctypes.data,
+        float(t[0, 2]), row1.ctypes.data,
+        scales.ctypes.data, ends.ctypes.data)
+    # logs stay numpy-side (scalar path does np.log over the f32
+    # scales buffer then a strict-sequential f32 sum)
+    ls = np.log(scales)
+    sums = np.empty(n, np.float32)
+    lib.bio_f32_seq_sum_batch(ls.ctypes.data, out_offs.ctypes.data,
+                              lens.ctypes.data, n, sums.ctypes.data)
+    nullsc = sums + np.log(ends)
+    # filter_score's exact f32 association: ((nullsc + L*log p1) + log(1-p1))
+    p1v = lens.astype(np.float32) / (lens64 + 1).astype(np.float32)
+    a = lens.astype(np.float32) * np.log(p1v)
+    b = np.log(np.float32(1.0) - p1v)
+    return ((nullsc + a) + b).astype(np.float64)
+
+
+def vit_filter_score_batch(orfs, idxs, om) -> np.ndarray | None:
+    """Batched ViterbiFilter scores over ORFs <idxs> of a LazyOrfList:
+    bit-identical to per-ORF reconfig_length(L) + vit_filter_native.
+    +inf marks the 16-bit overflow (certain hit).  Returns a float64
+    array aligned with idxs, or None if unavailable."""
+    lib = get_lib()
+    flat = getattr(orfs, "flat", None)
+    if lib is None or flat is None or not len(idxs):
+        return None
+    if not hasattr(lib, "_filters_bound"):
+        _bind_filters(lib)
+        lib._filters_bound = True
+    _bind_gatebatch(lib)
+    from .. import constants as C
+    n = len(idxs)
+    in_offs = np.ascontiguousarray(orfs.offs[idxs], dtype=np.int64)
+    lens = np.ascontiguousarray(orfs.lens[idxs], dtype=np.int32)
+    rwv_p, twv_p = _packed_filter_ptrs(om)
+    mcache = om.__dict__.setdefault("_movew_cache", {})
+    ulens, inv = np.unique(lens.astype(np.int64), return_inverse=True)
+    umove = np.empty(len(ulens), dtype=np.int32)
+    for u, L in enumerate(ulens):
+        L = int(L)
+        v = mcache.get(L)
+        if v is None:
+            om.reconfig_length(L)
+            v = int(om.xw[C.X_N, C.MOVE])
+            mcache[L] = v
+        umove[u] = v
+    move_ws = np.ascontiguousarray(umove[inv], dtype=np.int32)
+    out = np.empty(n, np.float32)
+    lib.bio_vit_filter_batch(
+        flat.ctypes.data, in_offs.ctypes.data, lens.ctypes.data,
+        move_ws.ctypes.data, n, rwv_p, twv_p, om.Kp, om.M,
+        int(om.base_w), float(om.scale_w),
+        int(om.xw[C.X_E, C.MOVE]), int(om.xw[C.X_E, C.LOOP]),
+        out.ctypes.data)
+    return out.astype(np.float64)
+
+
 def bg_hmm_forward_native(dsq: np.ndarray, eo, pi, t) -> float | None:
     """Bit-exact native 2-state bias-filter forward (ref: bg.py
     _hmm_forward): the f32 recurrence runs in C, the per-step max

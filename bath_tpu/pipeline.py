@@ -272,6 +272,7 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
         P1_pre = stats.gumbel_surv(seqscv, om.evparam[C.EV_MMU],
                                    om.evparam[C.EV_MLAMBDA])
 
+    filtersc_pre = vitsc_pre = None
     if P1_pre is not None and getattr(orfs, "starts", None) is not None:
         # vectorized context-skip + F1 gate over the lazy ORF arrays:
         # at scale ~99% of ORFs die here without ever materializing
@@ -282,6 +283,27 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
         cand = np.nonzero(~ctx & (orfs.lens > 0)
                           & ~(P1_pre > pli.F1))[0]
         orf_iter = ((int(i), orfs[int(i)]) for i in cand)
+        # batched bias + Viterbi score gates over the F1 survivors
+        # (bit-identical to the per-ORF calls; one OpenMP library
+        # call per stage instead of thousands of transitions)
+        if pli.do_biasfilter and vfsc_pre is None and len(cand):
+            from .native import (bg_filter_score_batch,
+                                 vit_filter_score_batch)
+            bg.set_filter(om.M, om.compo)
+            fsc = bg_filter_score_batch(orfs, cand, bg)
+            if fsc is not None:
+                filtersc_pre = np.full(n_orfs, np.nan)
+                filtersc_pre[cand] = fsc
+                seqscv = (np.asarray(usc_pre, np.float64)[cand]
+                          - fsc) / C.CONST_LOG2
+                P2 = stats.gumbel_surv(seqscv,
+                                       om.evparam[C.EV_MMU],
+                                       om.evparam[C.EV_MLAMBDA])
+                vit_idx = cand[~(P2 > pli.F1) & (P2 > pli.F2)]
+                vsc = vit_filter_score_batch(orfs, vit_idx, om)
+                if vsc is not None and len(vit_idx):
+                    vitsc_pre = np.full(n_orfs, np.nan)
+                    vitsc_pre[vit_idx] = vsc
     else:
         orf_iter = enumerate(orfs)
     for idx, orfsq in orf_iter:
@@ -316,7 +338,10 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
         if pli.do_biasfilter:
             bg.set_filter(om.M, om.compo)
             bg.set_length(orfsq.n)
-            filtersc = bg.filter_score(orfsq.dsq)
+            if filtersc_pre is not None:
+                filtersc = float(filtersc_pre[idx])
+            else:
+                filtersc = bg.filter_score(orfsq.dsq)
             seqsc = (usc - filtersc) / C.CONST_LOG2
             P = float(stats.gumbel_surv(seqsc, om.evparam[C.EV_MMU],
                                         om.evparam[C.EV_MLAMBDA]))
@@ -329,8 +354,12 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
         old_window_cnt = len(hit_windows)
         if P > pli.F2:
             if vfsc_pre is None:
-                from .native import vit_filter_native
-                nv = vit_filter_native(orfsq.dsq, om)
+                if vitsc_pre is not None and \
+                        not np.isnan(vitsc_pre[idx]):
+                    nv = float(vitsc_pre[idx])
+                else:
+                    from .native import vit_filter_native
+                    nv = vit_filter_native(orfsq.dsq, om)
                 if nv is not None:
                     # native gate first; scalar capture only for
                     # survivors (bit-identical scores)

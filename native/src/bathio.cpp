@@ -360,6 +360,26 @@ int bio_vit_filter(const int32_t* dsq, int64_t L, const int32_t* rwv,
     return 0;
 }
 
+// Batched ViterbiFilter scores over the bias-surviving ORFs of a
+// window (OpenMP; one call per window batch).  move_ws[i] is the
+// per-ORF-length wordified N->B move score (reconfig_length result);
+// the E scores and base/scale are length-independent.
+void bio_vit_filter_batch(const int32_t* dsq_cat, const int64_t* offs,
+                          const int32_t* lens, const int32_t* move_ws,
+                          int64_t n, const int32_t* rwv,
+                          const int32_t* twv, int Kp, int M, int base,
+                          double scale, int e_move, int e_loop,
+                          float* out) {
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int64_t i = 0; i < n; i++) {
+        float sc = 0.0f;
+        int st = bio_vit_filter(dsq_cat + offs[i], lens[i], rwv, twv,
+                                Kp, M, base, scale, move_ws[i],
+                                e_move, e_loop, &sc);
+        out[i] = st == 1 ? 1.0f / 0.0f : sc;
+    }
+}
+
 // Batched MSV over concatenated ORFs: one library call per window
 // batch instead of one per ORF (the Python->C transition dominated
 // the e2e profile).  offs[i] is the start of ORF i in dsq_cat;
@@ -1052,6 +1072,39 @@ float bio_f32_seq_sum(const float* x, int64_t n) {
     float acc = 0.0f;
     for (int64_t i = 0; i < n; i++) acc += x[i];
     return acc;
+}
+
+// Batched bias-filter forward over the F1-surviving ORFs of a window
+// (one OpenMP call instead of one Python->C transition per ORF).
+// Per-ORF length model folded in: t00 = f32(L)/f32(L+1) (identical to
+// numpy set_length), t01 = 1 - t00; t02 and row 1 of t are the
+// set_filter constants.  scales go to scales_cat at out_offs[i] for
+// the caller's single vectorized np.log.
+void bio_bg_hmm_forward_batch(const int32_t* dsq_cat,
+                              const int64_t* in_offs,
+                              const int64_t* out_offs,
+                              const int32_t* lens, int64_t n,
+                              const float* eo, const float* pi,
+                              float t02, const float* t_row1,
+                              float* scales_cat, float* ends) {
+#pragma omp parallel for schedule(dynamic, 32)
+    for (int64_t i = 0; i < n; i++) {
+        int64_t L = lens[i];
+        float p1 = (float)L / (float)(L + 1);
+        float t[6] = {p1, 1.0f - p1, t02,
+                      t_row1[0], t_row1[1], t_row1[2]};
+        bio_bg_hmm_forward(dsq_cat + in_offs[i], L, eo, pi, t,
+                           scales_cat + out_offs[i], ends + i);
+    }
+}
+
+// Per-ORF strict-sequential f32 sums over a concatenated buffer.
+void bio_f32_seq_sum_batch(const float* x, const int64_t* offs,
+                           const int32_t* lens, int64_t n,
+                           float* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++)
+        out[i] = bio_f32_seq_sum(x + offs[i], lens[i]);
 }
 
 

@@ -453,6 +453,42 @@ def test_native_ssv_filter_bath_bitexact(gcode):
             assert a == b, (L, P)
 
 
+def test_native_gate_batches_bitexact(gcode):
+    """bio_bg_hmm_forward_batch / bio_vit_filter_batch vs the per-ORF
+    scalar gates: identical f64 scores over random-DNA ORF sets."""
+    import bath_tpu.native as nat
+    from bath_tpu.bg import Background
+    from bath_tpu.gencode import GeneticCode
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.profile import profile_config
+
+    hmm = read_hmm("/root/reference/tutorial/PTH2.bhmm")
+    bg = Background()
+    om = oprofile_convert(profile_config(hmm, bg, L=100))
+    gc = GeneticCode.create(1)
+    gc.set_initiator_any()
+    rng = np.random.default_rng(31)
+    dna = rng.integers(0, 4, 120000).astype(np.int32)
+    orfs = nat.extract_orfs_native(gc, dna, minlen=20)
+    assert orfs is not None and len(orfs)
+    idxs = np.sort(rng.choice(len(orfs),
+                              size=min(200, len(orfs)),
+                              replace=False)).astype(np.int64)
+    bg.set_filter(om.M, om.compo)
+    fsc = nat.bg_filter_score_batch(orfs, idxs, bg)
+    vsc = nat.vit_filter_score_batch(orfs, idxs, om)
+    assert fsc is not None and vsc is not None
+    for j, i in enumerate(idxs):
+        o = orfs[int(i)]
+        bg.set_filter(om.M, om.compo)
+        bg.set_length(o.n)
+        assert repr(bg.filter_score(o.dsq)) == repr(float(fsc[j]))
+        om.reconfig_length(o.n)
+        assert repr(nat.vit_filter_native(o.dsq, om)) == \
+            repr(float(vsc[j]))
+
+
 def test_native_vit_filter_bath_bitexact(gcode):
     """bio_vit_filter_bath vs the Python window-capturing ViterbiFilter
     (ref: impl_sse/vitfilter.c p7_ViterbiFilter_BATH :286): identical
