@@ -304,6 +304,31 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
                 if vsc is not None and len(vit_idx):
                     vitsc_pre = np.full(n_orfs, np.nan)
                     vitsc_pre[vit_idx] = vsc
+                if vsc is not None or not len(vit_idx):
+                    # fully-batched cascade: ORFs dying at the bias
+                    # or Viterbi gate contribute their filter-stage
+                    # residue counters here and never materialize;
+                    # the loop handles only capture-stage survivors
+                    lens3 = orfs.lens.astype(np.int64) * 3
+                    surv2 = cand[~(P2 > pli.F1)]
+                    Pv = np.empty(0)
+                    if len(vit_idx):
+                        seqv = (vsc - filtersc_pre[vit_idx]) \
+                            / C.CONST_LOG2
+                        Pv = stats.gumbel_surv(
+                            seqv, om.evparam[C.EV_VMU],
+                            om.evparam[C.EV_VLAMBDA])
+                    dead_vit = (vit_idx[Pv > pli.F2]
+                                if len(vit_idx) else vit_idx)
+                    pli.pos_past_msv += int(
+                        lens3[cand].sum() - lens3[surv2].sum()
+                        + lens3[dead_vit].sum())
+                    pli.pos_past_bias += int(lens3[dead_vit].sum())
+                    keep = np.ones(n_orfs, dtype=bool)
+                    keep[dead_vit] = False
+                    final_idx = surv2[keep[surv2]]
+                    orf_iter = ((int(i), orfs[int(i)])
+                                for i in final_idx)
     else:
         orf_iter = enumerate(orfs)
     for idx, orfsq in orf_iter:
