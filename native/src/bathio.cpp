@@ -79,78 +79,115 @@ static inline int translate_codon(int x1, int x2, int x3,
 //   meta_out caller buffer >= 4*(L/3+3) ints: per ORF
 //            (start, end, frame, len); aa offsets are cumulative.
 // Returns number of ORFs.
-int bio_extract_orfs(const int32_t* dsq, int64_t L,
-                     const int32_t* basic, const uint8_t* masks,
-                     const uint8_t* is_init, int stop_code, int any_aa,
-                     int minlen, int require_init, int is_revcomp,
-                     int32_t* aa_out, int32_t* meta_out) {
-    int norf = 0;
-    int64_t aa_pos = 0;
-    // per-frame open-ORF state
-    int64_t fstart[3] = {0, 0, 0};
-    int64_t fbegin[3] = {0, 0, 0};   // index into aa_out
-    int64_t flen[3] = {0, 0, 0};
-    bool fin[3] = {false, false, false};
-    // each frame appends into its own region?  We must buffer per
-    // frame because frames interleave.  Use separate scratch heads:
-    // allocate on the fly into aa_out is unsafe when interleaved, so
-    // buffer per frame in stack-allocated growing chunks is complex;
-    // instead do two passes: frame-sequential emission but record
-    // ORFs in codon-end order.  Simpler: per-frame temporary buffers.
-    static thread_local int32_t* tmp[3] = {nullptr, nullptr, nullptr};
-    static thread_local int64_t tmpcap[3] = {0, 0, 0};
-    for (int f = 0; f < 3; f++) {
-        int64_t need = L / 3 + 2;
-        if (tmpcap[f] < need) {
-            delete[] tmp[f];
-            tmp[f] = new int32_t[need];
-            tmpcap[f] = need;
-        }
-    }
+// One frame's ORFs in codon-end order.  Writes aminos contiguously
+// into aa_buf (one open ORF per frame, rewound when it dies below
+// minlen), per-ORF meta (start, end, frame, len) and the finish-event
+// position ev (the stop codon's e; the end-of-sequence flush gets
+// L+1+f so flushes sort after every stop, in frame order) — the keys
+// that let the three frames be scanned in parallel and merged back
+// into the exact interleaved codon-end order of the serial walk.
+static int64_t extract_orfs_frame(
+    const int32_t* dsq, int64_t L, int f,
+    const int32_t* basic, const uint8_t* masks, const uint8_t* is_init,
+    int stop_code, int any_aa, int minlen, int require_init,
+    int is_revcomp, int32_t* aa_buf, int32_t* meta_buf,
+    int64_t* ev_buf) {
+    int64_t norf = 0, aa_pos = 0;
+    int64_t fstart = 0, flen = 0;
+    bool fin = false;
 
-    auto finish = [&](int f, int64_t apos_last) {
-        if (fin[f] && flen[f] >= minlen) {
-            int64_t s = fstart[f], e = apos_last;
+    auto finish = [&](int64_t apos_last, int64_t ev) {
+        if (fin && flen >= minlen) {
+            int64_t s = fstart, e = apos_last;
             if (is_revcomp) { s = L - s + 1; e = L - e + 1; }
-            memcpy(aa_out + aa_pos, tmp[f], flen[f] * sizeof(int32_t));
-            meta_out[4 * norf + 0] = (int32_t)s;
-            meta_out[4 * norf + 1] = (int32_t)e;
-            meta_out[4 * norf + 2] = f;
-            meta_out[4 * norf + 3] = (int32_t)flen[f];
-            aa_pos += flen[f];
+            meta_buf[4 * norf + 0] = (int32_t)s;
+            meta_buf[4 * norf + 1] = (int32_t)e;
+            meta_buf[4 * norf + 2] = f;
+            meta_buf[4 * norf + 3] = (int32_t)flen;
+            ev_buf[norf] = ev;
+            aa_pos += flen;
             norf++;
         }
-        flen[f] = 0;
-        fin[f] = false;
+        flen = 0;
+        fin = false;
     };
 
-    for (int64_t e = 3; e <= L; e++) {
-        int f = (int)(e % 3);
+    for (int64_t e = 3 + f; e <= L; e += 3) {
         int x1 = dsq[e - 3], x2 = dsq[e - 2], x3 = dsq[e - 1];
         bool canonical = x1 < 4 && x2 < 4 && x3 < 4;
         int aa = canonical ? basic[16 * x1 + 4 * x2 + x3]
                            : translate_codon(x1, x2, x3, basic, masks,
                                              any_aa);
         if (aa == stop_code) {
-            finish(f, e - 3);
-        } else if (!fin[f]) {
+            finish(e - 3, e);
+        } else if (!fin) {
             bool ok = true;
             if (require_init)
                 ok = canonical && is_init[16 * x1 + 4 * x2 + x3];
             if (ok) {
-                fin[f] = true;
-                fstart[f] = e - 2;
-                tmp[f][0] = aa;
-                flen[f] = 1;
+                fin = true;
+                fstart = e - 2;
+                aa_buf[aa_pos] = aa;
+                flen = 1;
             }
         } else {
-            tmp[f][flen[f]++] = aa;
+            aa_buf[aa_pos + flen++] = aa;
         }
     }
-    for (int f = 0; f < 3; f++) {
-        int64_t e_last = L - ((L - f) % 3);
-        finish(f, e_last);
+    int64_t e_last = L - ((L - f) % 3);
+    finish(e_last, L + 1 + f);
+    return norf;
+}
+
+int bio_extract_orfs(const int32_t* dsq, int64_t L,
+                     const int32_t* basic, const uint8_t* masks,
+                     const uint8_t* is_init, int stop_code, int any_aa,
+                     int minlen, int require_init, int is_revcomp,
+                     int32_t* aa_out, int32_t* meta_out) {
+    if (L < 3) return 0;
+    // per-frame scratch (heap per call: shared across the OMP team
+    // and the merging thread, so thread_local won't do)
+    int64_t fc = L / 3 + 2;
+    int32_t* aa_b = new int32_t[3 * fc];
+    int32_t* meta_b = new int32_t[3 * 4 * fc];
+    int64_t* ev_b = new int64_t[3 * fc];
+    int64_t cnt[3];
+#pragma omp parallel for num_threads(3) schedule(static, 1)
+    for (int f = 0; f < 3; f++)
+        cnt[f] = extract_orfs_frame(dsq, L, f, basic, masks, is_init,
+                                    stop_code, any_aa, minlen,
+                                    require_init, is_revcomp,
+                                    aa_b + f * fc, meta_b + f * 4 * fc,
+                                    ev_b + f * fc);
+    // 3-way merge by finish-event position (each frame ascending;
+    // events never tie across frames) = the serial interleaved order
+    int norf = 0;
+    int64_t aa_pos = 0;
+    int64_t hd[3] = {0, 0, 0};
+    int64_t ap[3] = {0, 0, 0};
+    while (true) {
+        int best = -1;
+        int64_t bev = 0;
+        for (int f = 0; f < 3; f++)
+            if (hd[f] < cnt[f]
+                && (best < 0 || ev_b[f * fc + hd[f]] < bev)) {
+                best = f;
+                bev = ev_b[f * fc + hd[f]];
+            }
+        if (best < 0) break;
+        const int32_t* m = meta_b + best * 4 * fc + 4 * hd[best];
+        int32_t len = m[3];
+        memcpy(meta_out + 4 * norf, m, 4 * sizeof(int32_t));
+        memcpy(aa_out + aa_pos, aa_b + best * fc + ap[best],
+               len * sizeof(int32_t));
+        aa_pos += len;
+        ap[best] += len;
+        hd[best]++;
+        norf++;
     }
+    delete[] aa_b;
+    delete[] meta_b;
+    delete[] ev_b;
     return norf;
 }
 
