@@ -110,13 +110,15 @@ def test_backend_jax_golden_identical():
     import sys
 
     def run(backend):
+        import os
+        env = dict(os.environ, BATH_JAX_PLATFORM="cpu")
         r = subprocess.run(
             [sys.executable, "-m", "bath_tpu.cli.bathsearch",
              "--backend", backend,
              "/root/reference/tutorial/AMP_N.bhmm",
              "/root/reference/tutorial/target-AMP_N.fa"],
             capture_output=True, text=True, timeout=900,
-            cwd="/root/repo")
+            cwd="/root/repo", env=env)
         assert r.returncode == 0, r.stderr[-2000:]
         return re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
 
