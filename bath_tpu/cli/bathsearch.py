@@ -10,6 +10,7 @@ threshold, and output.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -480,8 +481,14 @@ def run(argv=None) -> int:
                          om_fs5=om_fs5, gm_fs5=gm_fs5, data=data,
                          bg=bg, gcode=gcode, minlen=args.minlen,
                          require_init=require_init, fs_funcs=fs_funcs)
+            # N workers share the machine: cap each worker's OpenMP
+            # team so the native batch kernels don't oversubscribe
+            from ..native import set_native_threads
+            _wthreads = max(1, (os.cpu_count() or 1) // ncpu)
             try:
-                with mp.get_context("fork").Pool(ncpu) as pool:
+                with mp.get_context("fork").Pool(
+                        ncpu, initializer=set_native_threads,
+                        initargs=(_wthreads,)) as pool:
                     for _tid, hits, hws, deltas in pool.imap(
                             _pool_task, window_specs(), chunksize=1):
                         th.unsrt.extend(hits)

@@ -535,6 +535,19 @@ def msv_filter_native_batch(orf_dsqs: list, om) -> np.ndarray | None:
     return out
 
 
+def set_native_threads(n: int) -> None:
+    """Cap the OpenMP team used by the batch kernels (forked workers
+    divide the cores among themselves; no-op without the library)."""
+    lib = get_lib()
+    if lib is None:
+        return
+    if not getattr(lib, "_setthreads_bound", False):
+        lib.bio_set_threads.restype = None
+        lib.bio_set_threads.argtypes = [ctypes.c_int]
+        lib._setthreads_bound = True
+    lib.bio_set_threads(max(1, int(n)))
+
+
 def _bind_gatebatch(lib):
     if getattr(lib, "_gatebatch_bound", False):
         return

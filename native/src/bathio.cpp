@@ -17,6 +17,7 @@
 #include <cstring>
 #include <cmath>
 #include <cstdio>
+#include <omp.h>
 
 extern "C" {
 
@@ -1102,6 +1103,10 @@ void bio_bg_hmm_forward(const int32_t* dsq, int64_t L,
     }
     *end_out = d0 * t[2] + d1 * t[5];
 }
+
+// Cap the OpenMP team size (forked bathsearch workers divide the
+// machine's cores among themselves; results are schedule-invariant).
+void bio_set_threads(int n) { omp_set_num_threads(n); }
 
 // strict sequential f32 accumulation (bit-equal to the numpy loop's
 // `acc += np.float32(x)`; numpy's own reductions are pairwise)
