@@ -23,8 +23,35 @@ import numpy as np
 REF_BASELINE_GCUPS = 0.31018
 
 
+def _tpu_alive(timeout_s: float = 120.0) -> bool:
+    """Probe the TPU in a subprocess (the axon tunnel can stall with
+    jax blocked at 0% CPU — a hang here would lose the whole bench
+    run).  Probing out-of-process keeps this process's jax clean."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); import jax.numpy as jnp; "
+             "float(jnp.ones(8).sum())"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    fallback = ""
+    if "--cpu" not in sys.argv:
+        for attempt in range(3):
+            if _tpu_alive():
+                break
+            time.sleep(30)
+        else:
+            # record a clearly-labeled CPU number rather than hanging
+            fallback = " (CPU FALLBACK: TPU tunnel unreachable)"
     import jax
+    if fallback or "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
 
@@ -50,6 +77,8 @@ def main():
     rng = np.random.default_rng(0)
     # distinct inputs per iteration so no layer can cache executions
     n_iter = 6
+    if fallback or "--cpu" in sys.argv:
+        B, L, n_iter = 64, 1536, 2      # CPU-sized
     batches = [jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int32))
                for _ in range(n_iter)]
     lens = jnp.asarray(np.full(B, L, np.int32))
@@ -80,7 +109,7 @@ def main():
     cells = B * L * hmm.M               # nres x nodes (reference unit)
     gcups = cells / dt / 1e9
     print(json.dumps({
-        "metric": "fs3-forward-gate GCUPS/chip",
+        "metric": "fs3-forward-gate GCUPS/chip" + fallback,
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / REF_BASELINE_GCUPS, 2),
