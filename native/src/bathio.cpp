@@ -18,6 +18,9 @@
 #include <cmath>
 #include <cstdio>
 #include <omp.h>
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
 
 extern "C" {
 
@@ -213,15 +216,163 @@ void bio_translate_frame(const int32_t* dsq, int64_t L, int frame,
 
 extern "C" {
 
+#if defined(__AVX512BW__)
+// SSV DP in the offset-u8 domain: u = d + 128, so the int16 clamp at
+// -128 becomes unsigned saturating subtraction, and the scalar path's
+// unsigned row max over (d & 0xFF) is max_epu8 over (u XOR 0x80).
+// One pass, 64 lanes; the k-1 diagonal shift is a 1-byte-unaligned
+// load.  Tail lanes (row padded with 255) produce u=0 -> 128, the
+// same value every dead cell contributes in the scalar path (cells
+// start at d=-128, so the running xE_u is always >= 128 after row 1).
+static int ssv_xe_u8_avx512(const int32_t* dsq, int64_t L,
+                            const uint8_t* sbv8, int spad, int M) {
+    static thread_local uint8_t* ubuf = nullptr;
+    static thread_local int64_t ucap = 0;
+    if (ucap < 2 * spad) {
+        delete[] ubuf;
+        ubuf = new uint8_t[2 * spad];
+        ucap = 2 * spad;
+    }
+    memset(ubuf, 0, 2 * spad);
+    uint8_t* u0 = ubuf;
+    uint8_t* u1 = ubuf + spad;
+    const __m512i x80 = _mm512_set1_epi8((char)0x80);
+    __m512i vmax = _mm512_setzero_si512();
+    for (int64_t i = 0; i < L; i++) {
+        const uint8_t* row = sbv8 + (int64_t)dsq[i] * spad;
+        const uint8_t* up = (i & 1) ? u1 : u0;
+        uint8_t* un = (i & 1) ? u0 : u1;
+        for (int kb = 0; kb < M; kb += 64) {
+            __m512i p = _mm512_loadu_si512(
+                (const void*)(up + kb));
+            __m512i r = _mm512_loadu_si512(
+                (const void*)(row + kb + 1));
+            __m512i v = _mm512_subs_epu8(p, r);
+            _mm512_storeu_si512((void*)(un + kb + 1), v);
+            vmax = _mm512_max_epu8(vmax,
+                                   _mm512_xor_si512(v, x80));
+        }
+    }
+    // horizontal max_epu8
+    __m256i a = _mm256_max_epu8(_mm512_castsi512_si256(vmax),
+                                _mm512_extracti64x4_epi64(vmax, 1));
+    __m128i b = _mm_max_epu8(_mm256_castsi256_si128(a),
+                             _mm256_extracti128_si256(a, 1));
+    b = _mm_max_epu8(b, _mm_srli_si128(b, 8));
+    b = _mm_max_epu8(b, _mm_srli_si128(b, 4));
+    b = _mm_max_epu8(b, _mm_srli_si128(b, 2));
+    b = _mm_max_epu8(b, _mm_srli_si128(b, 1));
+    return _mm_extract_epi8(b, 0) & 0xFF;
+}
+#endif
+
+#if defined(__AVX512VBMI__)
+}  // pause extern "C" (templates need C++ linkage)
+// Register-resident SSV: the whole DP row lives in NB zmm registers
+// across positions (no store -> shifted-reload round trip, which
+// stalls on failed store-forwarding); the k-1 diagonal shift is a
+// cross-lane byte permute.  Bit-identical xE_u to the scalar loop.
+// shift index: out[0] = a[63] (previous block's last), else b[j-1]
+static const __m512i SSV_SHIFT_IDX = []() {
+    alignas(64) uint8_t sidx[64];
+    sidx[0] = 63;
+    for (int j = 1; j < 64; j++) sidx[j] = (uint8_t)(64 + j - 1);
+    return _mm512_load_si512((const void*)sidx);
+}();
+
+template <int NB>
+static int ssv_xe_u8_avx512_reg(const int32_t* dsq, int64_t L,
+                                const uint8_t* sbv8, int spad) {
+    const __m512i idx = SSV_SHIFT_IDX;
+    const __m512i x80 = _mm512_set1_epi8((char)0x80);
+    const __m512i zero = _mm512_setzero_si512();
+    __m512i v[NB], vmax = zero;
+    for (int b = 0; b < NB; b++) v[b] = zero;
+    for (int64_t i = 0; i < L; i++) {
+        const uint8_t* row = sbv8 + (int64_t)dsq[i] * spad + 1;
+        __m512i carry = zero;      // u[0] = 0 (column 0 never moves)
+        for (int b = 0; b < NB; b++) {
+            __m512i sh = _mm512_permutex2var_epi8(carry, idx, v[b]);
+            carry = v[b];
+            __m512i r = _mm512_loadu_si512(
+                (const void*)(row + b * 64));
+            v[b] = _mm512_subs_epu8(sh, r);
+            vmax = _mm512_max_epu8(vmax,
+                                   _mm512_xor_si512(v[b], x80));
+        }
+    }
+    __m256i a = _mm256_max_epu8(_mm512_castsi512_si256(vmax),
+                                _mm512_extracti64x4_epi64(vmax, 1));
+    __m128i b = _mm_max_epu8(_mm256_castsi256_si128(a),
+                             _mm256_extracti128_si256(a, 1));
+    b = _mm_max_epu8(b, _mm_srli_si128(b, 8));
+    b = _mm_max_epu8(b, _mm_srli_si128(b, 4));
+    b = _mm_max_epu8(b, _mm_srli_si128(b, 2));
+    b = _mm_max_epu8(b, _mm_srli_si128(b, 1));
+    return _mm_extract_epi8(b, 0) & 0xFF;
+}
+extern "C" {  // resume
+#endif
+
 // returns 0 = score valid, 1 = +inf (overflow / certain hit)
 // sbv: [Kp][M+1] int16 byte costs; rbv: [Kp][M+1] int32 (uint8 costs)
+// sbv8/spad: optional padded uint8 view of sbv (per-batch precompute;
+// enables the SIMD SSV inner loop — bit-identical xE_u)
 int bio_msv_filter(const int32_t* dsq, int64_t L, const int16_t* sbv,
                    const int32_t* rbv, int Kp, int M, int base,
                    int tec, int tjb, int tbm, int bias, double scale,
+                   const uint8_t* sbv8, int spad,
                    float* out_sc) {
     int stride = M + 1;
     // ---- SSV fast path ----
     bool ssv_ok = (tjb + tbm + tec + bias) < 127;
+#if defined(__AVX512BW__)
+    if (ssv_ok && sbv8) {
+        int xE_u;
+#if defined(__AVX512VBMI__)
+        switch ((M + 63) / 64) {
+        case 1: xE_u = ssv_xe_u8_avx512_reg<1>(dsq, L, sbv8, spad);
+            break;
+        case 2: xE_u = ssv_xe_u8_avx512_reg<2>(dsq, L, sbv8, spad);
+            break;
+        case 3: xE_u = ssv_xe_u8_avx512_reg<3>(dsq, L, sbv8, spad);
+            break;
+        case 4: xE_u = ssv_xe_u8_avx512_reg<4>(dsq, L, sbv8, spad);
+            break;
+        case 5: xE_u = ssv_xe_u8_avx512_reg<5>(dsq, L, sbv8, spad);
+            break;
+        case 6: xE_u = ssv_xe_u8_avx512_reg<6>(dsq, L, sbv8, spad);
+            break;
+        default:
+            xE_u = ssv_xe_u8_avx512(dsq, L, sbv8, spad, M);
+        }
+#else
+        xE_u = ssv_xe_u8_avx512(dsq, L, sbv8, spad, M);
+#endif
+        unsigned xE = (unsigned)xE_u & 0xFFFF;
+        bool fell_through = false;
+        if (xE >= (unsigned)(255 - bias)) {
+            if (base - tjb - tbm < 128) fell_through = true;
+            else { *out_sc = 0.0f; return 1; }
+        }
+        if (!fell_through) {
+            xE = (xE + base - tjb - tbm) & 0xFFFF;
+            xE = (xE - 128) & 0xFFFF;
+            if (xE >= (unsigned)(255 - bias)) {
+                *out_sc = 0.0f;
+                return 1;
+            }
+            unsigned xJ = (xE - tec) & 0xFFFF;
+            if (xJ > (unsigned)base) fell_through = true;
+            else {
+                *out_sc = (float)((((double)((int)xJ - tjb))
+                                   - (double)base) / scale - 3.0);
+                return 0;
+            }
+        }
+        ssv_ok = false;         // fell through -> full MSV below
+    }
+#endif
     if (ssv_ok) {
         // two alternating rows so the diagonal recurrence
         // d_new[k] = d_old[k-1] - row[k] is a straight out-of-place
@@ -429,6 +580,22 @@ void bio_msv_filter_batch(const int32_t* dsq_cat, const int64_t* offs,
                           const int32_t* rbv, int Kp, int M, int base,
                           int tec, int tbm, int bias, double scale,
                           float* out) {
+    // padded uint8 view of sbv for the SIMD SSV inner loop (per-batch
+    // precompute, ~4KB); values outside [0,255] disable it
+    int stride = M + 1;
+    int spad = ((stride + 64 + 63) / 64) * 64;
+    uint8_t* sbv8 = new uint8_t[(size_t)Kp * spad];
+    bool ok8 = true;
+    for (int x = 0; x < Kp && ok8; x++) {
+        for (int k = 0; k < stride; k++) {
+            int v = sbv[x * stride + k];
+            if (v < 0 || v > 255) { ok8 = false; break; }
+            sbv8[(size_t)x * spad + k] = (uint8_t)v;
+        }
+        for (int k = stride; k < spad; k++)
+            sbv8[(size_t)x * spad + k] = 255;
+    }
+    const uint8_t* s8 = ok8 ? sbv8 : nullptr;
     // host analogue of the reference's pthread worker pool over
     // sequence blocks (ref: bathsearch.c thread_loop): ORFs are
     // independent, scores deterministic regardless of schedule
@@ -437,9 +604,10 @@ void bio_msv_filter_batch(const int32_t* dsq_cat, const int64_t* offs,
         float sc = 0.0f;
         int st = bio_msv_filter(dsq_cat + offs[i], lens[i], sbv, rbv,
                                 Kp, M, base, tec, tjbs[i], tbm, bias,
-                                scale, &sc);
+                                scale, s8, spad, &sc);
         out[i] = st == 1 ? 1.0f / 0.0f : sc;
     }
+    delete[] sbv8;
 }
 
 // Sequential prob-space DD closure, same IEEE f32 op order as the
