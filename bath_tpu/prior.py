@@ -17,8 +17,15 @@ import math
 import numpy as np
 
 
+# one ufunc built once: per-element math.lgamma with none of
+# np.vectorize's per-call type-resolution overhead (bit-identical —
+# the same math.lgamma evaluates every element)
+_LGAMMA_UF = np.frompyfunc(math.lgamma, 1, 1)
+
+
 def _gammaln(x):
-    return np.vectorize(math.lgamma)(np.asarray(x, dtype=np.float64))
+    x = np.asarray(x, dtype=np.float64)
+    return _LGAMMA_UF(x).astype(np.float64)
 
 
 @dataclass
@@ -34,11 +41,17 @@ class Dirichlet:
         responsibility-weighted posterior means."""
         c = np.asarray(c, dtype=np.float64)
         a = self.alpha                                  # [n, K]
-        asum = a.sum(axis=1)
+        cache = self.__dict__.get("_lg_cache")
+        if cache is None:
+            # alpha-only terms are constant across calls
+            asum = a.sum(axis=1)
+            cache = (asum, _gammaln(asum), _gammaln(a))
+            self.__dict__["_lg_cache"] = cache
+        asum, lg_asum, lg_a = cache
         csum = c.sum()
         # log marginal likelihood of c under each component
-        ll = (_gammaln(asum) - _gammaln(csum + asum)
-              + (_gammaln(c[None, :] + a) - _gammaln(a)).sum(axis=1))
+        ll = (lg_asum - _gammaln(csum + asum)
+              + (_gammaln(c[None, :] + a) - lg_a).sum(axis=1))
         ll += np.log(self.q)
         ll -= ll.max()
         resp = np.exp(ll)
