@@ -208,7 +208,15 @@ def cluster_segments(samples, nsamples, min_overlap, of_smaller,
     # vectorized pairwise _link (same float-division comparisons as
     # the scalar predicate, so boundary cases agree bit-for-bit)
     arr = np.asarray([s[:5] for s in samples], dtype=np.int64)
-    iv, jv, kv, mv = arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4]
+    iv, jv, kv, mv = (np.ascontiguousarray(arr[:, c])
+                      for c in (1, 2, 3, 4))
+    from .native import cluster_components_native
+    nc = cluster_components_native(iv, jv, kv, mv, min_overlap,
+                                   of_smaller, max_diagdiff, fs)
+    if nc is not None:
+        labels, ncomp = nc
+        return _consensus_clusters(arr, labels, nsamples,
+                                   min_posterior, min_endpointp)
     len_s = jv - iv + 1
     nov_s = (np.minimum.outer(jv, jv)
              - np.maximum.outer(iv, iv) + 1).astype(np.float64)
@@ -246,8 +254,16 @@ def cluster_segments(samples, nsamples, min_overlap, of_smaller,
             frontier = nxt
         labels[seen] = ncomp
         ncomp += 1
+    return _consensus_clusters(arr, labels, nsamples, min_posterior,
+                               min_endpointp)
+
+
+def _consensus_clusters(arr, labels, nsamples, min_posterior,
+                        min_endpointp):
+    """Per-cluster posterior gate + consensus coordinates (the tail
+    of p7_spensemble_Cluster)."""
     clusters: dict[int, list[int]] = {}
-    for a in range(n):
+    for a in range(len(labels)):
         clusters.setdefault(int(labels[a]), []).append(a)
 
     sigc = []

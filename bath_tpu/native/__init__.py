@@ -549,6 +549,30 @@ def set_native_threads(n: int) -> None:
     lib.bio_set_threads(max(1, int(n)))
 
 
+def cluster_components_native(iv, jv, kv, mv, min_overlap,
+                              of_smaller, max_diagdiff, fs):
+    """Single-linkage component labels over segment arrays (identical
+    to the numpy pairwise-link + BFS in ensemble.cluster_segments).
+    Returns (labels, ncomp) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_cluster_bound", False):
+        VP = ctypes.c_void_p
+        lib.bio_cluster_components.restype = ctypes.c_int64
+        lib.bio_cluster_components.argtypes = [
+            VP, VP, VP, VP, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int, VP]
+        lib._cluster_bound = True
+    n = len(iv)
+    labels = np.empty(n, np.int64)
+    ncomp = lib.bio_cluster_components(
+        iv.ctypes.data, jv.ctypes.data, kv.ctypes.data,
+        mv.ctypes.data, n, float(min_overlap), int(of_smaller),
+        int(max_diagdiff), int(fs), labels.ctypes.data)
+    return labels, int(ncomp)
+
+
 def _bind_gatebatch(lib):
     if getattr(lib, "_gatebatch_bound", False):
         return

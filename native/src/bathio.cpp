@@ -1276,6 +1276,78 @@ void bio_bg_hmm_forward(const int32_t* dsq, int64_t L,
 // machine's cores among themselves; results are schedule-invariant).
 void bio_set_threads(int n) { omp_set_num_threads(n); }
 
+// Single-linkage components over sampled trace segments (ref:
+// p7_spensemble_Cluster / esl_cluster_SingleLinkage; numpy reference
+// ensemble.cluster_segments).  Same f64 division comparisons as the
+// numpy predicate, pairwise union-find instead of six [n,n]
+// matrices.  labels_out gets component ids numbered by first
+// appearance (the BFS order of the numpy version).  Returns ncomp.
+int64_t bio_cluster_components(const int64_t* iv, const int64_t* jv,
+                               const int64_t* kv, const int64_t* mv,
+                               int64_t n, double min_overlap,
+                               int of_smaller, int64_t max_diagdiff,
+                               int fs, int64_t* labels_out) {
+    static thread_local int64_t* uf = nullptr;
+    static thread_local int64_t ufcap = 0;
+    if (ufcap < n) {
+        delete[] uf;
+        uf = new int64_t[n];
+        ufcap = n;
+    }
+    for (int64_t a = 0; a < n; a++) uf[a] = a;
+    auto find = [&](int64_t a) {
+        while (uf[a] != a) {
+            uf[a] = uf[uf[a]];
+            a = uf[a];
+        }
+        return a;
+    };
+    for (int64_t a = 0; a < n; a++) {
+        int64_t la = jv[a] - iv[a] + 1;
+        int64_t lka = mv[a] - kv[a] + 1;
+        int64_t d1a = fs ? iv[a] / 3 - kv[a] : iv[a] - kv[a];
+        int64_t d2a = fs ? jv[a] / 3 - mv[a] : jv[a] - mv[a];
+        int64_t ra = find(a);
+        for (int64_t b = a + 1; b < n; b++) {
+            int64_t rb = find(b);
+            if (ra == rb) continue;
+            int64_t lb = jv[b] - iv[b] + 1;
+            double ns = (double)(of_smaller
+                                 ? (la < lb ? la : lb)
+                                 : (la > lb ? la : lb));
+            if (!(ns > 0)) continue;
+            double nov = (double)((jv[a] < jv[b] ? jv[a] : jv[b])
+                                  - (iv[a] > iv[b] ? iv[a] : iv[b])
+                                  + 1);
+            if (nov / ns < min_overlap) continue;
+            int64_t lkb = mv[b] - kv[b] + 1;
+            double nk = (double)(of_smaller
+                                 ? (lka < lkb ? lka : lkb)
+                                 : (lka > lkb ? lka : lkb));
+            if (!(nk > 0)) continue;
+            double novk = (double)((mv[a] < mv[b] ? mv[a] : mv[b])
+                                   - (kv[a] > kv[b] ? kv[a] : kv[b]));
+            if (novk / nk < min_overlap) continue;
+            int64_t d1b = fs ? iv[b] / 3 - kv[b] : iv[b] - kv[b];
+            int64_t d2b = fs ? jv[b] / 3 - mv[b] : jv[b] - mv[b];
+            int64_t e1 = d1a > d1b ? d1a - d1b : d1b - d1a;
+            int64_t e2 = d2a > d2b ? d2a - d2b : d2b - d2a;
+            if (e1 > max_diagdiff && e2 > max_diagdiff) continue;
+            uf[rb] = ra;        // union (b's root under a's root)
+        }
+    }
+    // label components by first-appearance order (matches the numpy
+    // BFS that scans s0 ascending)
+    int64_t ncomp = 0;
+    for (int64_t a = 0; a < n; a++) labels_out[a] = -1;
+    for (int64_t a = 0; a < n; a++) {
+        int64_t r = find(a);
+        if (labels_out[r] < 0) labels_out[r] = ncomp++;
+        if (r != a) labels_out[a] = labels_out[r];
+    }
+    return ncomp;
+}
+
 // strict sequential f32 accumulation (bit-equal to the numpy loop's
 // `acc += np.float32(x)`; numpy's own reductions are pairwise)
 float bio_f32_seq_sum(const float* x, int64_t n) {
