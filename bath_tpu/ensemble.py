@@ -518,7 +518,11 @@ def region_trace_ensemble_fs(ddef, om_fs5, windowsq, ireg: int,
     om_fs5.reconfig_multihit(saveL)
     try:
         sub = windowsq.dsq[ireg - 1:jreg]
-        fx, _ = ffs.forward_fs5(sub, om_fs5, fast=True)
+        # non-fast: the native sequential-closure fill (bit-equal to
+        # the numpy loop); the matmul-closure 'fast' variant differs
+        # in float summation order, and sampling must see the same
+        # matrix on every backend
+        fx, _ = ffs.forward_fs5(sub, om_fs5)
     except ffs.RangeError:
         om_fs5.reconfig_unihit(saveL)
         return None
