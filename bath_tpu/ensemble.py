@@ -527,13 +527,23 @@ def region_trace_ensemble_fs(ddef, om_fs5, windowsq, ireg: int,
         om_fs5.reconfig_unihit(saveL)
         return None
     samples = []
+    from .native import fs5_stotrace_domains_native, fs5_stotrace_prep
+    prep = None
+    try:
+        prep = fs5_stotrace_prep(om_fs5, fx)
+    except Exception:
+        prep = None
     for t in range(ddef.nsamples):
-        tr = stochastic_trace_fs5(r, sub, om_fs5, fx)
-        tr.index()
-        for d in range(tr.ndom):
-            samples.append((t, tr.sqfrom[d] + ireg - 1,
-                            tr.sqto[d] + ireg - 1,
-                            tr.hmmfrom[d], tr.hmmto[d]))
+        doms = (fs5_stotrace_domains_native(r, om_fs5, fx, prep)
+                if prep is not None else None)
+        if doms is None:
+            # python path (identical stream + Trace.index semantics)
+            tr = stochastic_trace_fs5(r, sub, om_fs5, fx)
+            tr.index()
+            doms = list(zip(tr.sqfrom, tr.sqto, tr.hmmfrom, tr.hmmto))
+        for sqf, sqt, hmf, hmt in doms:
+            samples.append((t, sqf + ireg - 1, sqt + ireg - 1,
+                            hmf, hmt))
     sigc = cluster_segments(samples, ddef.nsamples, ddef.min_overlap,
                             ddef.of_smaller, ddef.max_diagdiff,
                             ddef.min_posterior, ddef.min_endpointp,

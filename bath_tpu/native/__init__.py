@@ -1071,7 +1071,63 @@ def _bind_stotrace(lib):
         + [F32C] * 8 + [F32C]          # transitions, xff
         + [U32C, ctypes.POINTER(ctypes.c_int32)]
         + [I32P] * 4 + [ctypes.c_int64])
+    VP = ctypes.c_void_p
+    lib.bio_fs5_stotrace_domains.restype = ctypes.c_int64
+    # raw pointers: this runs nsamples (200) times per region with
+    # arrays hoisted by fs5_stotrace_prep
+    lib.bio_fs5_stotrace_domains.argtypes = (
+        [ctypes.c_int64, ctypes.c_int]
+        + [VP] * 18
+        + [U32C, ctypes.POINTER(ctypes.c_int32)]
+        + [np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+           ctypes.c_int64])
     lib._stotrace_bound = True
+
+
+def fs5_stotrace_domains_native(r, om_fs, fx, prep=None):
+    """One sampled fs5 trace reduced to its domain table in C:
+    [(sqfrom, sqto, hmmfrom, hmmto), ...] — identical to
+    stochastic_trace_fs5 + Trace.index() and the same consumed
+    MT19937 stream.  <prep> (from fs5_stotrace_prep) hoists the
+    om/fx-constant array prep out of the per-sample loop.  None if
+    unavailable or the sampler errored (RNG state untouched)."""
+    lib = _fs5_lib()
+    if lib is None:
+        return None
+    _bind_stotrace(lib)
+    if prep is None:
+        prep = fs5_stotrace_prep(om_fs, fx)
+    ptrs, _keep, L, M = prep
+    mt32 = r._mt.astype(np.uint32)
+    mti = ctypes.c_int32(r._mti)
+    max_dom = L + 8
+    dom = np.empty(4 * max_dom, np.int64)
+    n = lib.bio_fs5_stotrace_domains(
+        L, M, *ptrs, mt32, ctypes.byref(mti), dom, max_dom)
+    if n < 0:
+        return None
+    r._mt[:] = mt32
+    r._mti = int(mti.value)
+    d = dom[:4 * n].reshape(n, 4)
+    return [(int(a), int(b), int(c), int(e)) for a, b, c, e in d]
+
+
+def fs5_stotrace_prep(om_fs, fx):
+    """Hoisted constant prep for repeated fs5 stotrace sampling over
+    one (om_fs, fx) pair (one region samples ddef.nsamples times)."""
+    from ..ops.reference import fwdback_fs as ffs
+
+    def c32(a):
+        if a.dtype != np.float32 or not a.flags.c_contiguous:
+            return np.ascontiguousarray(a, dtype=np.float32)
+        return a
+
+    tv = tuple(c32(t) for t in ffs._trans_views_fs(om_fs))
+    arrs = (c32(fx.mc), c32(fx.im), c32(fx.dm), c32(fx.xB),
+            c32(fx.xC), c32(fx.xE), c32(fx.xN), c32(fx.xJ),
+            c32(fx.scale)) + tv + (_xff_of(om_fs),)
+    ptrs = tuple(a.ctypes.data for a in arrs)
+    return ptrs, arrs, fx.L, fx.M
 
 
 def fs5_stotrace_native(r, om_fs, fx):

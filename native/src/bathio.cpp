@@ -2161,6 +2161,74 @@ int64_t bio_fs5_stotrace(int64_t L, int M,
     return n;
 }
 
+// Sampled fs5 trace reduced directly to its domain table (ref:
+// p7_trace_Index semantics over the sampled path; the ensemble only
+// consumes sq/hmm domain coordinates, so the per-trace Python list
+// round trip is skipped).  dom_out: [ndom][4] = sqfrom, sqto,
+// hmmfrom, hmmto.  Returns ndom, or -1 on sampler overflow/error
+// (RNG state untouched by the caller contract of bio_fs5_stotrace).
+int64_t bio_fs5_stotrace_domains(int64_t L, int M,
+    const float* mc, const float* im, const float* dm,
+    const float* xB, const float* xC, const float* xE,
+    const float* xN, const float* xJ, const float* scale,
+    const float* tBM, const float* tMM, const float* tIM,
+    const float* tDM, const float* tMD, const float* tDD,
+    const float* tMI, const float* tII,
+    const float* xff,
+    uint32_t* mt, int32_t* mti_io,
+    int64_t* dom_out, int64_t max_dom) {
+    enum { T_M = 1, T_B = 6, T_E = 7 };
+    static thread_local int32_t* buf = nullptr;
+    static thread_local int64_t cap = 0;
+    int64_t need = 2 * (L + 8);
+    if (cap < need) {
+        delete[] buf;
+        buf = new int32_t[4 * need];
+        cap = need;
+    }
+    int32_t* st = buf;
+    int32_t* kk = buf + cap;
+    int32_t* ii = buf + 2 * cap;
+    int32_t* cc = buf + 3 * cap;
+    int64_t n = bio_fs5_stotrace(L, M, mc, im, dm, xB, xC, xE, xN,
+                                 xJ, scale, tBM, tMM, tIM, tDM, tMD,
+                                 tDD, tMI, tII, xff, mt, mti_io,
+                                 st, kk, ii, cc, cap);
+    if (n < 0) return -1;
+    // arrays are emitted in traceback (reverse) order; forward index
+    // z maps to array slot n-1-z.  Mirrors Trace.index().
+    int64_t ndom = 0;
+    int64_t z = 0;
+    while (z < n) {
+        if (st[n - 1 - z] == T_B) {
+            int64_t sqfrom = 0, sqto = 0, hmmfrom = 0, hmmto = 0;
+            int64_t zz = z + 1;
+            while (zz < n && st[n - 1 - zz] != T_E) {
+                int64_t s = n - 1 - zz;
+                if (st[s] == T_M) {
+                    if (sqfrom == 0) {
+                        int64_t cm1 = cc[s] - 1;
+                        sqfrom = ii[s] - (cm1 > 0 ? cm1 : 0);
+                        hmmfrom = kk[s];
+                    }
+                    sqto = ii[s];
+                    hmmto = kk[s];
+                }
+                zz++;
+            }
+            if (ndom >= max_dom) return -1;
+            dom_out[4 * ndom + 0] = sqfrom;
+            dom_out[4 * ndom + 1] = sqto;
+            dom_out[4 * ndom + 2] = hmmfrom;
+            dom_out[4 * ndom + 3] = hmmto;
+            ndom++;
+            z = zz;
+        }
+        z++;
+    }
+    return ndom;
+}
+
 // Standard (amino) Forward full fill — bit-exact transcription of
 // fwdback.py forward(full=True, fast=False) (ref: fwdback.c
 // forward_engine): f32 elementwise row ops, sequential DD closure,
