@@ -135,9 +135,12 @@ def fs_tau(r: Randomness, om_fs, ct: CodonTable, bg: Background, L: int,
     bg.set_length(L)
     xv = np.empty(N)
     i = 0
+    from .native import sample_dna_native
     while i < N:
-        amino = r.sample_iid(bg.f, L)
-        dna = ct.reverse_translate(r, amino)
+        dna = sample_dna_native(r, bg.f, ct, L)
+        if dna is None:
+            amino = r.sample_iid(bg.f, L)
+            dna = ct.reverse_translate(r, amino)
         try:
             if om_fs.codon_lengths == 3:
                 from .native import fs3_parser_score_native

@@ -118,6 +118,11 @@ class HMM:
             return
         t = self.t.astype(np.float64)
         bound = max(M, min(20 * M, 100000))
+        from .native import hmm_max_length_native
+        ml = hmm_max_length_native(t, M, bound, emit_thresh)
+        if ml is not None:
+            self.max_length = ml
+            return
         self.max_length = bound
         Mv = np.zeros((M + 1, 2)); Iv = np.zeros((M + 1, 2)); Dv = np.zeros((M + 1, 2))
         # column 1

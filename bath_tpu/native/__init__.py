@@ -1084,6 +1084,91 @@ def _bind_stotrace(lib):
     lib._stotrace_bound = True
 
 
+def _bind_maxlen(lib):
+    if getattr(lib, "_maxlen_bound", False):
+        return
+    VP = ctypes.c_void_p
+    U32C = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.bio_hmm_max_length.restype = ctypes.c_int64
+    lib.bio_hmm_max_length.argtypes = [
+        VP, ctypes.c_int, ctypes.c_int64, ctypes.c_double]
+    lib.bio_sample_dna.restype = ctypes.c_int
+    lib.bio_sample_dna.argtypes = [
+        VP, ctypes.c_int, VP, VP, VP, ctypes.c_int64,
+        U32C, ctypes.POINTER(ctypes.c_int32), VP]
+    lib.bio_sample_iid.restype = None
+    lib.bio_sample_iid.argtypes = [
+        VP, ctypes.c_int, ctypes.c_int64,
+        U32C, ctypes.POINTER(ctypes.c_int32), VP]
+    lib._maxlen_bound = True
+
+
+def sample_iid_native(r, cum, L):
+    """L iid draws from cumulative <cum> with the exact MT19937
+    stream of the Python loop.  None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_maxlen(lib)
+    cum = np.ascontiguousarray(cum, dtype=np.float64)
+    mt32 = r._mt.astype(np.uint32)
+    mti = ctypes.c_int32(r._mti)
+    out = np.empty(L, np.int32)
+    lib.bio_sample_iid(cum.ctypes.data, len(cum), L, mt32,
+                       ctypes.byref(mti), out.ctypes.data)
+    r._mt[:] = mt32
+    r._mti = int(mti.value)
+    return out
+
+
+def hmm_max_length_native(t, M, bound, emit_thresh):
+    """p7_Builder_MaxLength DP (bit-exact f64 transcription of
+    hmm.set_max_length's loops).  None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_maxlen(lib)
+    t = np.ascontiguousarray(t, dtype=np.float64)
+    return int(lib.bio_hmm_max_length(t.ctypes.data, int(M),
+                                      int(bound), float(emit_thresh)))
+
+
+def sample_dna_native(r, f, ct, L):
+    """Calibration DNA emission (sample_iid aminos + random synonymous
+    codons) with the exact two-pass MT19937 draw order of the Python
+    path.  Returns an int32 [3L] array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_maxlen(lib)
+    prep = getattr(ct, "_flat_cache", None)
+    if prep is None:
+        K = len(ct.codons)
+        cnt = np.array([len(ct.codons[a]) for a in range(K)], np.int32)
+        off = np.zeros(K, np.int32)
+        np.cumsum(cnt[:-1], out=off[1:])
+        flat = (np.concatenate([np.stack(ct.codons[a])
+                                for a in range(K) if len(ct.codons[a])])
+                .astype(np.int32) if cnt.sum() else
+                np.empty((0, 3), np.int32))
+        flat = np.ascontiguousarray(flat)
+        prep = (flat, off, cnt, K)
+        ct._flat_cache = prep
+    flat, off, cnt, K = prep
+    cum = np.cumsum(np.asarray(f, dtype=np.float64))
+    mt32 = r._mt.astype(np.uint32)
+    mti = ctypes.c_int32(r._mti)
+    out = np.empty(3 * L, np.int32)
+    st = lib.bio_sample_dna(cum.ctypes.data, K, flat.ctypes.data,
+                            off.ctypes.data, cnt.ctypes.data, L,
+                            mt32, ctypes.byref(mti), out.ctypes.data)
+    if st != 0:
+        return None
+    r._mt[:] = mt32
+    r._mti = int(mti.value)
+    return out
+
+
 def fs5_stotrace_domains_native(r, om_fs, fx, prep=None):
     """One sampled fs5 trace reduced to its domain table in C:
     [(sqfrom, sqto, hmmfrom, hmmto), ...] — identical to

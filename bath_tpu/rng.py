@@ -97,6 +97,10 @@ class Randomness:
     def sample_iid(self, p: np.ndarray, L: int) -> np.ndarray:
         """L iid draws from p (esl_rsq_xfIID), digital residues."""
         cum = np.cumsum(np.asarray(p, dtype=np.float64))
+        from .native import sample_iid_native
+        out = sample_iid_native(self, cum, L)
+        if out is not None:
+            return out
         rolls = np.array([self.random() for _ in range(L)])
         idx = np.searchsorted(cum, rolls, side="right")
         return np.minimum(idx, len(cum) - 1).astype(np.int32)

@@ -2161,6 +2161,120 @@ int64_t bio_fs5_stotrace(int64_t L, int M,
     return n;
 }
 
+// p7_Builder_MaxLength emitted-length DP (ref: p7_builder.c :572;
+// numpy reference hmm.set_max_length) — exact f64 transcription,
+// same accumulation order.  t: [M+1][7] doubles in H_MM..H_DD slot
+// order.  Returns the max_length.
+int64_t bio_hmm_max_length(const double* t, int M, int64_t bound,
+                           double emit_thresh) {
+    enum { H_MM = 0, H_MI = 1, H_MD = 2, H_IM = 3, H_II = 4,
+           H_DM = 5, H_DD = 6 };
+    const int W = M + 1;
+    double* Mv = new double[2 * W]();
+    double* Iv = new double[2 * W]();
+    double* Dv = new double[2 * W]();
+#define AT(a, k, c) a[(k) * 2 + (c)]
+    AT(Mv, 1, 0) = 1.0;
+    if (M >= 2) AT(Dv, 2, 0) = t[1 * 7 + H_MD];
+    for (int k = 3; k <= M; k++)
+        AT(Dv, k, 0) = t[(k - 1) * 7 + H_DD] * AT(Dv, k - 1, 0);
+    AT(Iv, 1, 1) = t[1 * 7 + H_MI] * AT(Mv, 1, 0);
+    if (M >= 2) AT(Mv, 2, 1) = t[1 * 7 + H_MM] * AT(Mv, 1, 0);
+    for (int k = 3; k <= M; k++) {
+        AT(Mv, k, 1) = t[(k - 1) * 7 + H_DM] * AT(Dv, k - 1, 0);
+        AT(Dv, k, 1) = t[(k - 1) * 7 + H_MD] * AT(Mv, k - 1, 1)
+            + t[(k - 1) * 7 + H_DD] * AT(Dv, k - 1, 1);
+    }
+    double p_sum = AT(Mv, M, 0) + AT(Mv, M, 1) + AT(Dv, M, 0)
+        + AT(Dv, M, 1);
+    int64_t result = bound;
+    int cp = 0;
+    for (int64_t col = 3; col <= bound; col++) {
+        int pp = 1 - cp;
+        double surv = 0.0;
+        AT(Mv, 1, cp) = AT(Dv, 1, cp) = 0.0;
+        AT(Iv, 1, cp) = t[1 * 7 + H_II] * AT(Iv, 1, pp);
+        surv += AT(Iv, 1, cp);
+        for (int k = 2; k <= M; k++) {
+            AT(Mv, k, cp) = t[(k - 1) * 7 + H_MM] * AT(Mv, k - 1, pp)
+                + t[(k - 1) * 7 + H_DM] * AT(Dv, k - 1, pp)
+                + t[(k - 1) * 7 + H_IM] * AT(Iv, k - 1, pp);
+            AT(Iv, k, cp) = t[k * 7 + H_MI] * AT(Mv, k, pp)
+                + t[k * 7 + H_II] * AT(Iv, k, pp);
+            AT(Dv, k, cp) = t[(k - 1) * 7 + H_MD] * AT(Mv, k - 1, cp)
+                + t[(k - 1) * 7 + H_DD] * AT(Dv, k - 1, cp);
+            surv += AT(Iv, k, cp)
+                + AT(Mv, k, cp) * (1 - t[k * 7 + H_MD])
+                + AT(Dv, k, cp) * (1 - t[k * 7 + H_DD]);
+        }
+        surv += AT(Mv, M, cp) * t[M * 7 + H_MD]
+            + AT(Dv, M, cp) * t[M * 7 + H_DD] - AT(Iv, M, cp);
+        p_sum += AT(Mv, M, cp) + AT(Dv, M, cp);
+        surv /= surv + p_sum;
+        if (surv < emit_thresh) {
+            result = col;
+            break;
+        }
+        cp = pp;
+    }
+#undef AT
+    delete[] Mv; delete[] Iv; delete[] Dv;
+    return result;
+}
+
+// Calibration DNA emission: L iid aminos from cumulative f (pass 1,
+// esl_rsq_xfIID draw order), then a random synonymous codon per
+// amino (pass 2, esl_rnd_Roll) — the exact two-pass MT19937 draw
+// order of evalues.fs_tau's sample_iid + reverse_translate.
+// codon_flat: concatenated [cnt_a][3] nt triples per amino;
+// codon_off[a] start (in triples); codon_cnt[a] count.
+// Returns 0, or -1 if an amino has no codons.
+int bio_sample_dna(const double* cum, int K,
+                   const int32_t* codon_flat, const int32_t* codon_off,
+                   const int32_t* codon_cnt, int64_t L,
+                   uint32_t* mt, int32_t* mti_io, int32_t* out) {
+    int32_t mti = *mti_io;
+    static thread_local int32_t* am = nullptr;
+    static thread_local int64_t amcap = 0;
+    if (amcap < L) {
+        delete[] am;
+        am = new int32_t[L];
+        amcap = L;
+    }
+    for (int64_t i = 0; i < L; i++) {
+        double u = bio_mt_rand(mt, &mti);
+        int j = 0;
+        while (j < K - 1 && !(cum[j] > u)) j++;
+        am[i] = j;
+    }
+    for (int64_t i = 0; i < L; i++) {
+        int a = am[i];
+        int n = codon_cnt[a];
+        if (n <= 0) return -1;
+        int64_t pick = (int64_t)(bio_mt_rand(mt, &mti) * n);
+        const int32_t* c = codon_flat + 3 * (codon_off[a] + pick);
+        out[3 * i] = c[0];
+        out[3 * i + 1] = c[1];
+        out[3 * i + 2] = c[2];
+    }
+    *mti_io = mti;
+    return 0;
+}
+
+// esl_rsq_xfIID: L iid draws from the cumulative distribution (the
+// searchsorted-right + clip semantics of rng.sample_iid).
+void bio_sample_iid(const double* cum, int K, int64_t L,
+                    uint32_t* mt, int32_t* mti_io, int32_t* out) {
+    int32_t mti = *mti_io;
+    for (int64_t i = 0; i < L; i++) {
+        double u = bio_mt_rand(mt, &mti);
+        int j = 0;
+        while (j < K - 1 && !(cum[j] > u)) j++;
+        out[i] = j;
+    }
+    *mti_io = mti;
+}
+
 // Sampled fs5 trace reduced directly to its domain table (ref:
 // p7_trace_Index semantics over the sampled path; the ensemble only
 // consumes sq/hmm domain coordinates, so the per-trace Python list
