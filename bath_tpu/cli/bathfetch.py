@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-O", dest="keynamed", action="store_true",
                    help="output HMM to file named <key>")
     p.add_argument("--index", action="store_true",
-                   help="index the <hmmfile>, creating <hmmfile>.bsi")
+                   help="index the <hmmfile>, creating <hmmfile>.ssi")
     p.add_argument("--ct", type=int, default=None,
                    help="use alt genetic code of NCBI transl table "
                         "<n> (recalibrates frameshift taus)")

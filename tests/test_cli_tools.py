@@ -71,6 +71,40 @@ def test_bathfetch_roundtrip(tmp_path, capsys):
     assert h.name == "PTH2"
 
 
+def test_esl_ssi_interop(tmp_path):
+    """Easel binary SSI interop: read the reference's shipped .ssi
+    files directly, and our --index writes byte-identical indexes
+    (hmm: NAME primaries + ACC secondaries; fasta: bpl/rpl +
+    fast-subseq flag)."""
+    import filecmp
+    import shutil
+
+    from bath_tpu.ssi import (fetch_hmm_text, index_fasta_file,
+                              read_esl_ssi)
+
+    # fetch through the REFERENCE's own index (no .bsi fallback)
+    ref = f"{TUT}/tRNA-proteins.bhmm"
+    txt = fetch_hmm_text(ref, "PTH2")
+    assert "NAME  PTH2" in txt[:200] and txt.rstrip().endswith("//")
+    # accession secondary key resolves too
+    ssi = read_esl_ssi(ref + ".ssi")
+    acc = next(iter(ssi["secondary"]))
+    assert fetch_hmm_text(ref, acc)
+
+    # writer round-trips byte-identically against both shipped files
+    # (the index embeds the basename, so keep it)
+    cp = tmp_path / "tRNA-proteins.bhmm"
+    shutil.copy(ref, cp)
+    assert bathfetch.main(["--index", str(cp)]) == 0
+    assert filecmp.cmp(f"{cp}.ssi", ref + ".ssi", shallow=False)
+    fa = tmp_path / "t.fa"
+    shutil.copy(f"{TUT}/target-PTHR37536.fa", fa)
+    index_fasta_file(str(fa))
+    assert filecmp.cmp(f"{fa}.ssi",
+                       f"{TUT}/target-PTHR37536.fa.ssi",
+                       shallow=False)
+
+
 def test_hmm_format_sweep():
     """Every committed .hmm fixture (HMMER3/e and 3/f, amino and DNA)
     parses (ref: p7_hmmfile.c format autodetect chain)."""
