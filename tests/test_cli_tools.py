@@ -97,7 +97,7 @@ def test_esl_ssi_interop(tmp_path):
     shutil.copy(ref, cp)
     assert bathfetch.main(["--index", str(cp)]) == 0
     assert filecmp.cmp(f"{cp}.ssi", ref + ".ssi", shallow=False)
-    fa = tmp_path / "t.fa"
+    fa = tmp_path / "target-PTHR37536.fa"
     shutil.copy(f"{TUT}/target-PTHR37536.fa", fa)
     index_fasta_file(str(fa))
     assert filecmp.cmp(f"{fa}.ssi",
