@@ -9,6 +9,7 @@ between windows, eslEOD at the end of each sequence).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -239,6 +240,23 @@ class LazySeqLookup:
             for si, sq in enumerate(read_fasta(path, abc)):
                 self._eager[sq.name] = (sq.dsq, si, sq.n)
             return
+        # an Easel SSI index skips the offset scan entirely (the
+        # reference's GetSubSequence path); seqidx is file order =
+        # ascending record offset, body_end = next record's header
+        ix = path + ".ssi"
+        if os.path.exists(ix):
+            from .ssi import read_esl_ssi
+            ssi = read_esl_ssi(ix)
+            if ssi and ssi["files"] and ssi["files"][0][1] == 1 \
+                    and ssi["primary"]:
+                ents = sorted(ssi["primary"].items(),
+                              key=lambda kv: kv[1][1])
+                fsize = os.path.getsize(path)
+                for si, (k, (_fn, r_off, d_off, L)) in enumerate(ents):
+                    end = (ents[si + 1][1][1] if si + 1 < len(ents)
+                           else fsize)
+                    self._index[k] = (d_off, end, L, si)
+                return
         # streaming offset scan: name -> (body_start, body_end, L, si)
         off = 0
         name = None
