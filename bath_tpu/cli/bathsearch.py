@@ -451,7 +451,10 @@ def run(argv=None) -> int:
                     db_seqs_done += 1
                 if window.n < 15:
                     if is_last:
-                        id_lengths[window.idx] = window.L
+                        # the last window always ends at the source's
+                        # final residue, so this is the true length
+                        id_lengths[window.idx] = \
+                            window.start + window.n - 1
                         pli.nseqs += 1
                         seqidx += 1
                     continue

@@ -310,26 +310,138 @@ def read_windows(path: str, *, context: int,
     replicating esl_sqio_ReadWindow semantics (ref: bathsearch.c:1060,
     1099): the first window of each sequence has no context; subsequent
     windows carry the trailing <context> residues of the previous
-    window; W counts only the new residues."""
+    window; W counts only the new residues.
+
+    FASTA input is streamed — memory stays O(context + block_length)
+    regardless of chromosome size (a window's L field is the residues
+    seen so far; bathsearch derives the true source length from the
+    last window's coordinates, exactly as the reference does after
+    esl_sqio_ReadWindow).  EMBL/GenBank fall back to whole-record
+    reads."""
     abc = dna()
-    for idx, (name, acc, desc, text) in enumerate(
-            parse_seqfile(path, abc)):
-        full = abc.digitize(text)
-        L = len(full)
-        pos = 0              # residues consumed so far
-        first = True
-        while pos < L:
-            if first:
-                c = 0
-                s = 0
-            else:
-                c = min(context, pos)
-                s = pos - c
-            e = min(L, pos + block_length)
-            w = Sequence(name=name, acc=acc, desc=desc,
-                         dsq=full[s:e].copy(),
-                         start=s + 1, end=e, L=L, W=e - pos, C=c,
+    with _open_text(path) as probe:
+        head = ""
+        for line in probe:
+            if line.strip():
+                head = line
+                break
+    if not head.startswith(">"):
+        for idx, (name, acc, desc, text) in enumerate(
+                parse_seqfile(path, abc)):
+            yield from _windows_of(abc, idx, name, acc, desc,
+                                   abc.digitize(text), context,
+                                   block_length)
+        return
+
+    # --- streaming FASTA ---
+    CHUNK = 8 << 20
+    idx = -1
+    name = desc = None
+    pend: np.ndarray | None = None   # buffered residues
+    s_buf = 0                        # absolute index of pend[0]
+    pos = 0                          # new residues consumed so far
+    first = True
+    pieces: list[str] = []           # undigitized line batch
+    npiece = 0
+
+    def flush():
+        nonlocal pend, pieces, npiece
+        if pieces:
+            pend = np.concatenate([pend,
+                                   abc.digitize("".join(pieces))])
+            pieces = []
+            npiece = 0
+
+    def emit(last: bool):
+        """Yield ready windows from the buffer; all remaining on
+        <last>."""
+        nonlocal pend, s_buf, pos, first
+        while True:
+            avail = s_buf + len(pend)       # residues seen so far
+            # in mid-stream mode keep one residue beyond the block:
+            # a sequence ending exactly on a block boundary must get
+            # is_last=True on that final window
+            if not last and avail < pos + block_length + 1:
+                return
+            if last and avail <= pos:
+                return
+            c = 0 if first else min(context, pos)
+            s = pos - c
+            e = min(avail, pos + block_length)
+            w = Sequence(name=name, acc="", desc=desc,
+                         dsq=pend[s - s_buf:e - s_buf].copy(),
+                         start=s + 1, end=e, L=avail, W=e - pos, C=c,
                          idx=idx, abc=abc)
             pos = e
             first = False
-            yield w, pos >= L
+            yield w, last and pos >= avail
+            # drop residues no longer reachable as context
+            keep_from = pos - min(context, pos)
+            if keep_from > s_buf:
+                pend = pend[keep_from - s_buf:]
+                s_buf = keep_from
+
+    with _open_text(path) as fh:
+        rest = ""
+        while True:
+            chunk = fh.read(CHUNK)
+            data = rest + chunk
+            if not chunk:
+                lines = data.split("\n") if data else []
+                rest = ""
+            else:
+                lines = data.split("\n")
+                rest = lines.pop()
+            for line in lines:
+                if line.startswith(">"):
+                    if name is not None:
+                        flush()
+                        yield from emit(last=True)
+                    hdr = line[1:].strip()
+                    parts = hdr.split(None, 1)
+                    name = parts[0] if parts else ""
+                    desc = parts[1] if len(parts) > 1 else ""
+                    idx += 1
+                    pend = np.empty(0, np.int32)
+                    s_buf = pos = 0
+                    first = True
+                    pieces = []
+                    npiece = 0
+                elif name is not None:
+                    t = line.strip()
+                    if t:
+                        pieces.append(t)
+                        npiece += len(t)
+                        if s_buf + len(pend) + npiece \
+                                >= pos + block_length:
+                            flush()
+                            yield from emit(last=False)
+            if not chunk:
+                break
+        if name is not None:
+            flush()
+            yield from emit(last=True)
+
+
+def _windows_of(abc, idx, name, acc, desc, full, context,
+                block_length):
+    """Window a fully-materialized digital sequence (the original
+    read_windows loop, kept for the non-FASTA formats)."""
+    L = len(full)
+    pos = 0
+    first = True
+    while pos < L:
+        if first:
+            c = 0
+            s = 0
+        else:
+            c = min(context, pos)
+            s = pos - c
+        e = min(L, pos + block_length)
+        w = Sequence(name=name, acc=acc, desc=desc,
+                     dsq=full[s:e].copy(),
+                     start=s + 1, end=e, L=L, W=e - pos, C=c,
+                     idx=idx, abc=abc)
+        pos = e
+        first = False
+        yield w, pos >= L

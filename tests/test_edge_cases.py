@@ -194,6 +194,48 @@ def test_gzip_inputs(tmp_path):
     assert "47.8" in r.stdout
 
 
+def test_streaming_windows_identical(tmp_path):
+    """The streaming FASTA window reader reproduces the materializing
+    loop exactly: coords, context, dsq, and the is_last flag — across
+    line wraps, block-boundary sequence ends, and empty records."""
+    import random
+
+    import numpy as np
+
+    from bath_tpu.alphabet import dna
+    from bath_tpu.sequence import (_windows_of, parse_seqfile,
+                                   read_windows)
+
+    abc = dna()
+    rng = random.Random(13)
+    for trial in range(25):
+        text = []
+        for s in range(rng.randint(1, 4)):
+            L = rng.choice([0, 1, 100, 256, 512, 999, 1000, 3000])
+            seq = "".join(rng.choice("ACGTN") for _ in range(L))
+            text.append(f">s{s} d{s}\n")
+            w = rng.choice([1, 60, 10000])
+            for i in range(0, len(seq), w):
+                text.append(seq[i:i + w] + "\n")
+        path = tmp_path / f"t{trial}.fa"
+        path.write_text("".join(text))
+        ctx, blk = rng.choice([(0, 256), (10, 100), (402, 1000)])
+        got = list(read_windows(str(path), context=ctx,
+                                block_length=blk))
+        want = []
+        for idx, (nm, acc, de, t) in enumerate(
+                parse_seqfile(str(path), abc)):
+            want.extend(_windows_of(abc, idx, nm, acc, de,
+                                    abc.digitize(t), ctx, blk))
+        assert len(got) == len(want)
+        for (gw, gl), (ww, wl) in zip(got, want):
+            assert gl == wl
+            assert (gw.name, gw.start, gw.end, gw.W, gw.C,
+                    gw.idx) == (ww.name, ww.start, ww.end, ww.W,
+                                ww.C, ww.idx)
+            assert np.array_equal(gw.dsq, ww.dsq)
+
+
 def test_lazy_seq_lookup(tmp_path):
     """LazySeqLookup fetches byte-identical dsq/idx/L vs eager
     read_fasta, for plain and gzipped FASTA (the --splice pass uses it
