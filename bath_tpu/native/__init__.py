@@ -150,7 +150,7 @@ def _bind_filters(lib):
         np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
         I32P, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
-        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float)]
     # raw-pointer bindings: these run once per DP row, so the
     # ndpointer validation cost matters — callers guarantee
@@ -282,7 +282,7 @@ def msv_filter_native(dsq: np.ndarray, om) -> float | None:
                             int(om.base_b), int(om.tec_b),
                             int(om.tjb_b), int(om.tbm_b),
                             int(om.bias_b), float(om.scale_b),
-                            None, 0, ctypes.byref(out))
+                            None, None, 0, ctypes.byref(out))
     return float("inf") if st == 1 else float(out.value)
 
 

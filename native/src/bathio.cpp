@@ -217,15 +217,21 @@ void bio_translate_frame(const int32_t* dsq, int64_t L, int frame,
 extern "C" {
 
 #if defined(__AVX512BW__)
-// SSV DP in the offset-u8 domain: u = d + 128, so the int16 clamp at
-// -128 becomes unsigned saturating subtraction, and the scalar path's
-// unsigned row max over (d & 0xFF) is max_epu8 over (u XOR 0x80).
-// One pass, 64 lanes; the k-1 diagonal shift is a 1-byte-unaligned
-// load.  Tail lanes (row padded with 255) produce u=0 -> 128, the
-// same value every dead cell contributes in the scalar path (cells
-// start at d=-128, so the running xE_u is always >= 128 after row 1).
+// SSV DP in the offset-u8 domain: u = d + 128.  Signed byte costs
+// are split into positive / negative-magnitude u8 tables so the
+// int16 clamps become saturating u8 ops:
+//   v = clamp(d - row, -128, 127)  ==  subs_epu8(adds_epu8(u, r-), r+)
+// (adds saturating at 255 == the +127 clamp; subs at 0 == -128; for
+// |row| >= 255 both still agree because d is in [-128,127]).  The
+// scalar path's unsigned row max over (d & 0xFF) is max_epu8 over
+// (u XOR 0x80).  One pass, 64 lanes; the k-1 diagonal shift is a
+// 1-byte-unaligned load.  Tail lanes (r+ padded 255, r- padded 0)
+// produce u=0 -> 128, the same value every dead cell contributes in
+// the scalar path (cells start at d=-128, so the running xE_u is
+// always >= 128 after row 1).
 static int ssv_xe_u8_avx512(const int32_t* dsq, int64_t L,
-                            const uint8_t* sbv8, int spad, int M) {
+                            const uint8_t* sbv8p,
+                            const uint8_t* sbv8n, int spad, int M) {
     static thread_local uint8_t* ubuf = nullptr;
     static thread_local int64_t ucap = 0;
     if (ucap < 2 * spad) {
@@ -239,15 +245,19 @@ static int ssv_xe_u8_avx512(const int32_t* dsq, int64_t L,
     const __m512i x80 = _mm512_set1_epi8((char)0x80);
     __m512i vmax = _mm512_setzero_si512();
     for (int64_t i = 0; i < L; i++) {
-        const uint8_t* row = sbv8 + (int64_t)dsq[i] * spad;
+        const uint8_t* rowp = sbv8p + (int64_t)dsq[i] * spad;
+        const uint8_t* rown = sbv8n + (int64_t)dsq[i] * spad;
         const uint8_t* up = (i & 1) ? u1 : u0;
         uint8_t* un = (i & 1) ? u0 : u1;
         for (int kb = 0; kb < M; kb += 64) {
             __m512i p = _mm512_loadu_si512(
                 (const void*)(up + kb));
-            __m512i r = _mm512_loadu_si512(
-                (const void*)(row + kb + 1));
-            __m512i v = _mm512_subs_epu8(p, r);
+            __m512i rp = _mm512_loadu_si512(
+                (const void*)(rowp + kb + 1));
+            __m512i rn = _mm512_loadu_si512(
+                (const void*)(rown + kb + 1));
+            __m512i v = _mm512_subs_epu8(
+                _mm512_adds_epu8(p, rn), rp);
             _mm512_storeu_si512((void*)(un + kb + 1), v);
             vmax = _mm512_max_epu8(vmax,
                                    _mm512_xor_si512(v, x80));
@@ -282,21 +292,25 @@ static const __m512i SSV_SHIFT_IDX = []() {
 
 template <int NB>
 static int ssv_xe_u8_avx512_reg(const int32_t* dsq, int64_t L,
-                                const uint8_t* sbv8, int spad) {
+                                const uint8_t* sbv8p,
+                                const uint8_t* sbv8n, int spad) {
     const __m512i idx = SSV_SHIFT_IDX;
     const __m512i x80 = _mm512_set1_epi8((char)0x80);
     const __m512i zero = _mm512_setzero_si512();
     __m512i v[NB], vmax = zero;
     for (int b = 0; b < NB; b++) v[b] = zero;
     for (int64_t i = 0; i < L; i++) {
-        const uint8_t* row = sbv8 + (int64_t)dsq[i] * spad + 1;
+        const uint8_t* rowp = sbv8p + (int64_t)dsq[i] * spad + 1;
+        const uint8_t* rown = sbv8n + (int64_t)dsq[i] * spad + 1;
         __m512i carry = zero;      // u[0] = 0 (column 0 never moves)
         for (int b = 0; b < NB; b++) {
             __m512i sh = _mm512_permutex2var_epi8(carry, idx, v[b]);
             carry = v[b];
-            __m512i r = _mm512_loadu_si512(
-                (const void*)(row + b * 64));
-            v[b] = _mm512_subs_epu8(sh, r);
+            __m512i rp = _mm512_loadu_si512(
+                (const void*)(rowp + b * 64));
+            __m512i rn = _mm512_loadu_si512(
+                (const void*)(rown + b * 64));
+            v[b] = _mm512_subs_epu8(_mm512_adds_epu8(sh, rn), rp);
             vmax = _mm512_max_epu8(vmax,
                                    _mm512_xor_si512(v[b], x80));
         }
@@ -314,62 +328,79 @@ static int ssv_xe_u8_avx512_reg(const int32_t* dsq, int64_t L,
 extern "C" {  // resume
 #endif
 
+// Shared SSV score epilogue (uint16-wraparound post-processing of
+// the row max, ref: filters.py ssv fast path).  Returns 1 = certain
+// hit (+inf), 0 = score written, -1 = fell through to full MSV.
+static int ssv_postprocess(int xE_u, int base, int tec, int tjb,
+                           int tbm, int bias, double scale,
+                           float* out_sc) {
+    unsigned xE = (unsigned)xE_u & 0xFFFF;
+    if (xE >= (unsigned)(255 - bias)) {
+        if (base - tjb - tbm < 128) return -1;
+        *out_sc = 0.0f;
+        return 1;
+    }
+    xE = (xE + base - tjb - tbm) & 0xFFFF;
+    xE = (xE - 128) & 0xFFFF;
+    if (xE >= (unsigned)(255 - bias)) { *out_sc = 0.0f; return 1; }
+    unsigned xJ = (xE - tec) & 0xFFFF;
+    if (xJ > (unsigned)base) return -1;
+    *out_sc = (float)((((double)((int)xJ - tjb)) - (double)base)
+                      / scale - 3.0);
+    return 0;
+}
+
 // returns 0 = score valid, 1 = +inf (overflow / certain hit)
 // sbv: [Kp][M+1] int16 byte costs; rbv: [Kp][M+1] int32 (uint8 costs)
-// sbv8/spad: optional padded uint8 view of sbv (per-batch precompute;
-// enables the SIMD SSV inner loop — bit-identical xE_u)
+// sbv8p/sbv8n/spad: optional padded positive/negative-magnitude u8
+// views of sbv (per-batch precompute; enable the SIMD SSV inner
+// loop — bit-identical xE_u)
 int bio_msv_filter(const int32_t* dsq, int64_t L, const int16_t* sbv,
                    const int32_t* rbv, int Kp, int M, int base,
                    int tec, int tjb, int tbm, int bias, double scale,
-                   const uint8_t* sbv8, int spad,
-                   float* out_sc) {
+                   const uint8_t* sbv8p, const uint8_t* sbv8n,
+                   int spad, float* out_sc) {
     int stride = M + 1;
     // ---- SSV fast path ----
     bool ssv_ok = (tjb + tbm + tec + bias) < 127;
 #if defined(__AVX512BW__)
-    if (ssv_ok && sbv8) {
+    if (ssv_ok && sbv8p) {
         int xE_u;
 #if defined(__AVX512VBMI__)
         switch ((M + 63) / 64) {
-        case 1: xE_u = ssv_xe_u8_avx512_reg<1>(dsq, L, sbv8, spad);
+        case 1:
+            xE_u = ssv_xe_u8_avx512_reg<1>(dsq, L, sbv8p, sbv8n,
+                                           spad);
             break;
-        case 2: xE_u = ssv_xe_u8_avx512_reg<2>(dsq, L, sbv8, spad);
+        case 2:
+            xE_u = ssv_xe_u8_avx512_reg<2>(dsq, L, sbv8p, sbv8n,
+                                           spad);
             break;
-        case 3: xE_u = ssv_xe_u8_avx512_reg<3>(dsq, L, sbv8, spad);
+        case 3:
+            xE_u = ssv_xe_u8_avx512_reg<3>(dsq, L, sbv8p, sbv8n,
+                                           spad);
             break;
-        case 4: xE_u = ssv_xe_u8_avx512_reg<4>(dsq, L, sbv8, spad);
+        case 4:
+            xE_u = ssv_xe_u8_avx512_reg<4>(dsq, L, sbv8p, sbv8n,
+                                           spad);
             break;
-        case 5: xE_u = ssv_xe_u8_avx512_reg<5>(dsq, L, sbv8, spad);
+        case 5:
+            xE_u = ssv_xe_u8_avx512_reg<5>(dsq, L, sbv8p, sbv8n,
+                                           spad);
             break;
-        case 6: xE_u = ssv_xe_u8_avx512_reg<6>(dsq, L, sbv8, spad);
+        case 6:
+            xE_u = ssv_xe_u8_avx512_reg<6>(dsq, L, sbv8p, sbv8n,
+                                           spad);
             break;
         default:
-            xE_u = ssv_xe_u8_avx512(dsq, L, sbv8, spad, M);
+            xE_u = ssv_xe_u8_avx512(dsq, L, sbv8p, sbv8n, spad, M);
         }
 #else
-        xE_u = ssv_xe_u8_avx512(dsq, L, sbv8, spad, M);
+        xE_u = ssv_xe_u8_avx512(dsq, L, sbv8p, sbv8n, spad, M);
 #endif
-        unsigned xE = (unsigned)xE_u & 0xFFFF;
-        bool fell_through = false;
-        if (xE >= (unsigned)(255 - bias)) {
-            if (base - tjb - tbm < 128) fell_through = true;
-            else { *out_sc = 0.0f; return 1; }
-        }
-        if (!fell_through) {
-            xE = (xE + base - tjb - tbm) & 0xFFFF;
-            xE = (xE - 128) & 0xFFFF;
-            if (xE >= (unsigned)(255 - bias)) {
-                *out_sc = 0.0f;
-                return 1;
-            }
-            unsigned xJ = (xE - tec) & 0xFFFF;
-            if (xJ > (unsigned)base) fell_through = true;
-            else {
-                *out_sc = (float)((((double)((int)xJ - tjb))
-                                   - (double)base) / scale - 3.0);
-                return 0;
-            }
-        }
+        int st = ssv_postprocess(xE_u, base, tec, tjb, tbm, bias,
+                                 scale, out_sc);
+        if (st >= 0) return st;
         ssv_ok = false;         // fell through -> full MSV below
     }
 #endif
@@ -406,26 +437,9 @@ int bio_msv_filter(const int32_t* dsq, int64_t L, const int16_t* sbv,
             }
             if (rmax > xE_u) xE_u = rmax;
         }
-        // post-processing with uint16 wraparound (ref: filters.py)
-        unsigned xE = (unsigned)xE_u & 0xFFFF;
-        bool fell_through = false;
-        if (xE >= (unsigned)(255 - bias)) {
-            if (base - tjb - tbm < 128) fell_through = true;
-            else { *out_sc = 0.0f; return 1; }
-        }
-        if (!fell_through) {
-            xE = (xE + base - tjb - tbm) & 0xFFFF;
-            xE = (xE - 128) & 0xFFFF;
-            if (xE >= (unsigned)(255 - bias)) { *out_sc = 0.0f; return 1; }
-            unsigned xJ = (xE - tec) & 0xFFFF;
-            if (xJ > (unsigned)base) fell_through = true;
-            else {
-                // float64 math then cast, matching the numpy ref
-                *out_sc = (float)((((double)((int)xJ - tjb))
-                                   - (double)base) / scale - 3.0);
-                return 0;
-            }
-        }
+        int st = ssv_postprocess(xE_u, base, tec, tjb, tbm, bias,
+                                 scale, out_sc);
+        if (st >= 0) return st;
         // fell through -> full MSV below
     }
     // ---- full MSV ----
@@ -580,22 +594,31 @@ void bio_msv_filter_batch(const int32_t* dsq_cat, const int64_t* offs,
                           const int32_t* rbv, int Kp, int M, int base,
                           int tec, int tbm, int bias, double scale,
                           float* out) {
-    // padded uint8 view of sbv for the SIMD SSV inner loop (per-batch
-    // precompute, ~4KB); values outside [0,255] disable it
+    // padded positive/negative-magnitude u8 views of sbv for the
+    // SIMD SSV inner loop (per-batch precompute, ~8KB)
     int stride = M + 1;
     int spad = ((stride + 64 + 63) / 64) * 64;
-    uint8_t* sbv8 = new uint8_t[(size_t)Kp * spad];
-    bool ok8 = true;
-    for (int x = 0; x < Kp && ok8; x++) {
+    uint8_t* sbv8p = nullptr;
+    uint8_t* sbv8n = nullptr;
+#if defined(__AVX512BW__)
+    sbv8p = new uint8_t[2 * (size_t)Kp * spad];
+    sbv8n = sbv8p + (size_t)Kp * spad;
+    for (int x = 0; x < Kp; x++) {
         for (int k = 0; k < stride; k++) {
             int v = sbv[x * stride + k];
-            if (v < 0 || v > 255) { ok8 = false; break; }
-            sbv8[(size_t)x * spad + k] = (uint8_t)v;
+            int p = v > 0 ? v : 0;
+            int m = v < 0 ? -v : 0;
+            sbv8p[(size_t)x * spad + k] =
+                (uint8_t)(p > 255 ? 255 : p);
+            sbv8n[(size_t)x * spad + k] =
+                (uint8_t)(m > 255 ? 255 : m);
         }
-        for (int k = stride; k < spad; k++)
-            sbv8[(size_t)x * spad + k] = 255;
+        for (int k = stride; k < spad; k++) {
+            sbv8p[(size_t)x * spad + k] = 255;
+            sbv8n[(size_t)x * spad + k] = 0;
+        }
     }
-    const uint8_t* s8 = ok8 ? sbv8 : nullptr;
+#endif
     // host analogue of the reference's pthread worker pool over
     // sequence blocks (ref: bathsearch.c thread_loop): ORFs are
     // independent, scores deterministic regardless of schedule
@@ -604,10 +627,10 @@ void bio_msv_filter_batch(const int32_t* dsq_cat, const int64_t* offs,
         float sc = 0.0f;
         int st = bio_msv_filter(dsq_cat + offs[i], lens[i], sbv, rbv,
                                 Kp, M, base, tec, tjbs[i], tbm, bias,
-                                scale, s8, spad, &sc);
+                                scale, sbv8p, sbv8n, spad, &sc);
         out[i] = st == 1 ? 1.0f / 0.0f : sc;
     }
-    delete[] sbv8;
+    delete[] sbv8p;
 }
 
 // Sequential prob-space DD closure, same IEEE f32 op order as the
