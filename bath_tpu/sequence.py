@@ -247,8 +247,13 @@ class LazySeqLookup:
         if os.path.exists(ix):
             from .ssi import read_esl_ssi
             ssi = read_esl_ssi(ix)
-            if ssi and ssi["files"] and ssi["files"][0][1] == 1 \
-                    and ssi["primary"]:
+            # single-FASTA-file indexes only: every offset must refer
+            # to <path> (a multi-file SSI's fnum>0 records would be
+            # applied to the wrong file)
+            if ssi and len(ssi["files"]) == 1 \
+                    and ssi["files"][0][1] == 1 and ssi["primary"] \
+                    and all(v[0] == 0
+                            for v in ssi["primary"].values()):
                 ents = sorted(ssi["primary"].items(),
                               key=lambda kv: kv[1][1])
                 fsize = os.path.getsize(path)
@@ -383,9 +388,29 @@ def read_windows(path: str, *, context: int,
 
     with _open_text(path) as fh:
         rest = ""
+        cont = False    # rest continues an already-consumed body line
         while True:
             chunk = fh.read(CHUNK)
             data = rest + chunk
+            if chunk and "\n" not in data and name is not None \
+                    and (cont or not data.startswith(">")):
+                # unwrapped mega-line FASTA (one sequence per line):
+                # consume body bytes eagerly so memory stays
+                # O(block+context); hold back trailing whitespace —
+                # it may be the line's end-trim
+                frag = data if cont else data.lstrip()
+                keep = len(frag.rstrip())
+                rest = frag[keep:]
+                frag = frag[:keep]
+                if frag:
+                    pieces.append(frag)
+                    npiece += len(frag)
+                    cont = True
+                    if s_buf + len(pend) + npiece \
+                            >= pos + block_length:
+                        flush()
+                        yield from emit(last=False)
+                continue
             if not chunk:
                 lines = data.split("\n") if data else []
                 rest = ""
@@ -393,6 +418,18 @@ def read_windows(path: str, *, context: int,
                 lines = data.split("\n")
                 rest = lines.pop()
             for line in lines:
+                if cont:
+                    # remainder of an eagerly-consumed body line
+                    cont = False
+                    t = line.strip()
+                    if t:
+                        pieces.append(t)
+                        npiece += len(t)
+                        if s_buf + len(pend) + npiece \
+                                >= pos + block_length:
+                            flush()
+                            yield from emit(last=False)
+                    continue
                 if line.startswith(">"):
                     if name is not None:
                         flush()

@@ -76,7 +76,15 @@ def read_esl_ssi(ixpath: str) -> dict | None:
     """Parse an Easel binary SSI file into
     {"files": [(name, fmt, flags, bpl, rpl)],
      "primary": {key: (fnum, r_off, d_off, L)},
-     "secondary": {key: primary_key}} or None if not SSI."""
+     "secondary": {key: primary_key}} or None if not SSI / corrupt
+    (a truncated index falls back to scanning, never crashes)."""
+    try:
+        return _read_esl_ssi(ixpath)
+    except (struct.error, OSError, UnicodeDecodeError):
+        return None
+
+
+def _read_esl_ssi(ixpath: str) -> dict | None:
     with open(ixpath, "rb") as fh:
         hdr = fh.read(78)
         if len(hdr) < 78:
@@ -165,8 +173,8 @@ def index_fasta_file(path: str) -> str:
                     if bpl < 0:
                         bpl, rpl = len(line), n_res
                     else:
-                        # a short line is only allowed as the last
-                        # line of its record
+                        # a short (or blank) line is only allowed as
+                        # the last line of its record
                         if last_was_short:
                             uniform = False
                         if len(line) != bpl or n_res != rpl:
@@ -175,6 +183,10 @@ def index_fasta_file(path: str) -> str:
                                 uniform = False
                     rec = primary[cur]
                     primary[cur] = (rec[0], rec[1], rec[2] + n_res)
+                elif bpl >= 0:
+                    # blank line: its bytes break the subseq offset
+                    # arithmetic for any residues that follow it
+                    last_was_short = True
             off += len(line)
     if not uniform or bpl < 0:
         bpl = rpl = 0

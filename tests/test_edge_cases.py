@@ -236,6 +236,55 @@ def test_streaming_windows_identical(tmp_path):
             assert np.array_equal(gw.dsq, ww.dsq)
 
 
+def test_streaming_windows_megaline(tmp_path):
+    """Single-line (unwrapped) FASTA streams identically — the eager
+    body consumption must match the line-based path exactly."""
+    import random
+
+    import numpy as np
+
+    from bath_tpu.alphabet import dna
+    from bath_tpu.sequence import (_windows_of, parse_seqfile,
+                                   read_windows)
+
+    rng = random.Random(3)
+    seq = "".join(rng.choice("ACGT") for _ in range(50000))
+    p = tmp_path / "mega.fa"
+    p.write_text(f">one\n{seq}\n>two x\nACGTACGT\n")
+    abc = dna()
+    got = list(read_windows(str(p), context=30, block_length=999))
+    want = []
+    for idx, (nm, acc, de, t) in enumerate(parse_seqfile(str(p),
+                                                         abc)):
+        want.extend(_windows_of(abc, idx, nm, acc, de,
+                                abc.digitize(t), 30, 999))
+    assert len(got) == len(want)
+    for (gw, gl), (ww, wl) in zip(got, want):
+        assert gl == wl and gw.idx == ww.idx
+        assert (gw.start, gw.end, gw.W, gw.C) == \
+            (ww.start, ww.end, ww.W, ww.C)
+        assert np.array_equal(gw.dsq, ww.dsq)
+
+
+def test_corrupt_ssi_falls_back(tmp_path):
+    """A truncated or garbage .ssi next to the target must fall back
+    to the streaming offset scan, not crash."""
+    import shutil
+
+    from bath_tpu.alphabet import dna
+    from bath_tpu.sequence import LazySeqLookup
+
+    fa = tmp_path / "t.fa"
+    shutil.copy(f"{TUT}/target-PTHR37536.fa", fa)
+    full = open(f"{TUT}/target-PTHR37536.fa.ssi", "rb").read()
+    (tmp_path / "t.fa.ssi").write_bytes(full[:100])
+    lk = LazySeqLookup(str(fa), dna())
+    assert "seq1" in lk and lk["seq1"][2] == 1300
+    (tmp_path / "t.fa.ssi").write_bytes(b"garbage")
+    lk = LazySeqLookup(str(fa), dna())
+    assert "seq1" in lk
+
+
 def test_lazy_seq_lookup(tmp_path):
     """LazySeqLookup fetches byte-identical dsq/idx/L vs eager
     read_fasta, for plain and gzipped FASTA (the --splice pass uses it
