@@ -37,11 +37,17 @@ def _write_random(path, nseq, seqlen, seed, embed=None, every=0):
 
 
 def _drive(name, args, fa, nres_factor=2):
+    # the numpy backend never touches jax; drop the axon pool env so
+    # sitecustomize doesn't spend ~1.9s registering the TPU plugin in
+    # every subprocess (a sandbox artifact, not a framework cost)
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
     t0 = time.perf_counter()
     r = subprocess.run(
         [sys.executable, "-m", "bath_tpu.cli.bathsearch", *args,
          "-o", "/dev/null", f"{TUT}/AMP_N.bhmm", fa],
-        capture_output=True, text=True, timeout=3600, cwd=ROOT)
+        capture_output=True, text=True, timeout=3600, cwd=ROOT,
+        env=env)
     dt = time.perf_counter() - t0
     assert r.returncode == 0, r.stderr[-2000:]
     nres = os.path.getsize(fa) * nres_factor  # ~both strands
