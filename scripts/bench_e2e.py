@@ -36,7 +36,7 @@ def _write_random(path, nseq, seqlen, seed, embed=None, every=0):
             f.write(f">s{s}\n{seq}\n")
 
 
-def _drive(name, args, fa, nres_factor=2):
+def _drive(name, args, fa, nres_factor=2, hmm=None):
     # the numpy backend never touches jax; drop the axon pool env so
     # sitecustomize doesn't spend ~1.9s registering the TPU plugin in
     # every subprocess (a sandbox artifact, not a framework cost)
@@ -45,7 +45,7 @@ def _drive(name, args, fa, nres_factor=2):
     t0 = time.perf_counter()
     r = subprocess.run(
         [sys.executable, "-m", "bath_tpu.cli.bathsearch", *args,
-         "-o", "/dev/null", f"{TUT}/AMP_N.bhmm", fa],
+         "-o", "/dev/null", hmm or f"{TUT}/AMP_N.bhmm", fa],
         capture_output=True, text=True, timeout=3600, cwd=ROOT,
         env=env)
     dt = time.perf_counter() - t0
@@ -70,6 +70,16 @@ def main():
     _drive("fs-random", ["--fs"], big)
     _drive("fs-hit-rich", ["--fs"], mix)
     _drive("fs-hit-rich-cpu4", ["--fs", "--cpu", "4"], mix)
+    # multi-exon gene drive: the testsuite's tmem-258 splice fixture
+    # repeated across a synthetic genomic background
+    ts = "/root/reference/testsuite"
+    gene = "".join(l.strip() for l in open(f"{ts}/tmem-258.fa")
+                   if not l.startswith(">"))
+    spl = "/tmp/bench_e2e_splice.fa"
+    _write_random(spl, 4 if quick else 12, 100_000, 13,
+                  embed=gene, every=2)
+    _drive("splice-multigene", ["--splice"], spl,
+           hmm=f"{ts}/tmem-258.bhmm")
 
 
 if __name__ == "__main__":
