@@ -1,10 +1,13 @@
-"""ctypes bindings for the native C++ host runtime (native/src/
-bathio.cpp): digitization, reverse complement, six-frame ORF
-extraction, frame translation.
+"""ctypes bindings for the native C++ host runtime
+(bath_tpu/native/src/bathio.cpp): digitization, reverse complement,
+six-frame ORF extraction, the quantized filters, and the bit-exact
+envelope DP stack.
 
 The native library is optional: every entry point has a pure-Python
 fallback (see gencode.extract_orfs), and the loader builds the .so on
-demand with g++ when it is missing.
+demand with g++ when it is missing — next to the source tree when
+writable (development checkout), otherwise in the user cache dir
+(installed package).
 """
 
 from __future__ import annotations
@@ -18,10 +21,27 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_SO = os.path.join(_ROOT, "native", "libbathio.so")
-_SRC = os.path.join(_ROOT, "native", "src", "bathio.cpp")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "bathio.cpp")
+
+
+def _so_path() -> str:
+    # development checkout: repo-root native/libbathio.so (kept so
+    # incremental `g++ -o native/libbathio.so` workflows still work)
+    root = os.path.dirname(os.path.dirname(_HERE))
+    dev = os.path.join(root, "native", "libbathio.so")
+    dev_dir = os.path.dirname(dev)
+    if os.path.isdir(dev_dir) and os.access(dev_dir, os.W_OK):
+        return dev
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.expanduser("~/.cache")),
+        "bath_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libbathio.so")
+
+
+_SO = _so_path()
 
 I32P = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 I8P = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
