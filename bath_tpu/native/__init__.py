@@ -672,15 +672,16 @@ def vit_filter_score_batch(orfs, idxs, om) -> np.ndarray | None:
     lens = np.ascontiguousarray(orfs.lens[idxs], dtype=np.int32)
     rwv_p, twv_p = _packed_filter_ptrs(om)
     mcache = om.__dict__.setdefault("_movew_cache", {})
+    nj = float(om.nj)           # move score depends on (L, nj)
     ulens, inv = np.unique(lens.astype(np.int64), return_inverse=True)
     umove = np.empty(len(ulens), dtype=np.int32)
     for u, L in enumerate(ulens):
         L = int(L)
-        v = mcache.get(L)
+        v = mcache.get((L, nj))
         if v is None:
             om.reconfig_length(L)
             v = int(om.xw[C.X_N, C.MOVE])
-            mcache[L] = v
+            mcache[(L, nj)] = v
         umove[u] = v
     move_ws = np.ascontiguousarray(umove[inv], dtype=np.int32)
     out = np.empty(n, np.float32)
