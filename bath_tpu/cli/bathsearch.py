@@ -172,6 +172,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference path; fastest for small/medium "
                         "windows) or jax (bit-exact batched device "
                         "gates; wins on very large windows/batches)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="with --backend jax: shard device gate "
+                        "batches over an N-device data-parallel mesh "
+                        "(profiles replicated; output is identical "
+                        "for any N)")
     return p
 
 
@@ -375,10 +380,21 @@ def run(argv=None) -> int:
             fs_funcs = pli_frameshift
 
         msv_batch = vit_batch = None
+        mesh_sharding = None
         if args.backend == "jax":
             from ..ops.jaxk.msv_exact import MSVExact, VitExact
             msv_batch = MSVExact(om)
             vit_batch = VitExact(om)
+            if args.mesh and args.mesh > 1:
+                # data-parallel device mesh: batches sharded on the
+                # leading dim, profiles replicated — GSPMD partitions
+                # the gate kernels across chips (SURVEY §2.4 P2)
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.mesh import make_mesh
+                _mesh = make_mesh(args.mesh)
+                mesh_sharding = NamedSharding(_mesh, P("dp"))
 
         # fixed-shape buckets: every device call uses one of a small
         # set of (B, L) shapes so each kernel compiles a handful of
@@ -386,7 +402,8 @@ def run(argv=None) -> int:
         # its fixed 256KiB block size, bathsearch.c:31)
         BUCKET_B = 256
         BUCKET_LS = (64, 128, 256, 512, 1024, 2048, 4096, 16384)
-        MIN_DEVICE_ORFS = 512   # below this, scalar path is faster
+        MIN_DEVICE_ORFS = int(os.environ.get("BATH_MIN_DEVICE_ORFS",
+                                             512))
 
         def _run_bucketed(scorer, orf_list):
             out = np.empty(len(orf_list), np.float32)
@@ -406,6 +423,10 @@ def run(argv=None) -> int:
                         d = orf_list[i].dsq
                         batch[r, :len(d)] = d
                         lens[r] = len(d)
+                    if mesh_sharding is not None:
+                        import jax
+                        batch = jax.device_put(batch, mesh_sharding)
+                        lens = jax.device_put(lens, mesh_sharding)
                     sc = scorer(batch, lens)
                     for r, i in enumerate(chunk):
                         out[i] = sc[r]

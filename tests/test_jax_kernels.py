@@ -74,6 +74,36 @@ def test_fs3_jax_vs_numpy(setup):
         assert abs(s - ref) < 0.05, (len(d), s, ref)
 
 
+def test_mesh_backend_identical():
+    """bathsearch --backend jax --mesh 8 (batches sharded over an
+    8-device virtual mesh, device gate path forced) produces output
+    byte-identical to the scalar numpy backend."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    def run(extra, env_extra):
+        env = dict(os.environ, BATH_JAX_PLATFORM="cpu", **env_extra)
+        r = subprocess.run(
+            [sys.executable, "-m", "bath_tpu.cli.bathsearch", *extra,
+             "/root/reference/tutorial/AMP_N.bhmm",
+             "/root/repo/tests/data/mesh_target.fa"],
+            capture_output=True, text=True, timeout=900,
+            cwd="/root/repo", env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
+
+    a = run(["--backend", "jax", "--mesh", "8"],
+            {"XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+             "BATH_MIN_DEVICE_ORFS": "50"})
+    b = run([], {})
+    # strip the command-line header lines (flags differ by design)
+    strip = lambda s: "\n".join(l for l in s.split("\n")
+                                if not l.startswith("#"))
+    assert strip(a) == strip(b)
+
+
 def test_multichip_dryrun():
     import subprocess
     import sys
