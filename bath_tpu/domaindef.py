@@ -115,7 +115,9 @@ def compute_ali_scores_bath(dom: Domain, tr: Trace, windowsq: Sequence,
     while z2 >= 0 and st[z2] != C.T_M:
         z2 -= 1
     n_len = z2 - z1 + 1
-    scores = np.zeros(n_len, dtype=np.float64)
+    # f32 storage: each element is at most one add of two f32 values,
+    # so the store's single rounding == the reference's C float math
+    scores = np.zeros(n_len, dtype=np.float32)
     kpos = np.zeros(n_len, dtype=np.int32)
 
     def codon_index(i, c):
@@ -158,15 +160,18 @@ def compute_ali_scores_bath(dom: Domain, tr: Trace, windowsq: Sequence,
                         sc += float(tsc[k - 1, C.P_IM])
                     elif z > 0 and st[z - 1] == C.T_D:
                         sc += float(tsc[k - 1, C.P_DM])
-                else:
+                elif z < z2:
+                    # the final M of the trace gets NO transition
+                    # term: the reference's inner M loop runs
+                    # `while (z1 < z2)`, so z2 is re-processed as a
+                    # run start whose predecessor is M (ref:
+                    # p7_pipeline.c p7_pli_computeAliScores_BATH)
                     sc += float(tsc[k - 1, C.P_MM])
                 scores[n] = sc
                 kpos[n] = k
                 n += 1
                 z += 1
                 first = False
-                if z > z2 or (z == z2 and st[z] != C.T_M):
-                    pass
         elif s == C.T_I:
             k = kk[z]
             scores[n] = float(tsc[k, C.P_MI])
@@ -194,7 +199,8 @@ def compute_ali_scores_bath(dom: Domain, tr: Trace, windowsq: Sequence,
 
     dom.scores_per_pos = scores[:n]
     dom.k_per_pos = kpos[:n]
-    dom.aliscore = float(scores[:n].sum())
+    from .native import f32_seq_sum
+    dom.aliscore = f32_seq_sum(scores[:n])
 
 
 def rescore_isolated_domain_bath(ddef: DomainDef, om: OProfile,
@@ -254,7 +260,8 @@ def rescore_isolated_domain_bath(ddef: DomainDef, om: OProfile,
         null2 = fb.finish_null2(null2, abc)
         with np.errstate(divide="ignore"):
             ddef.n2sc[i:j + 1] = np.log(null2[orfsq.dsq[i - 1:j]]).astype(F32)
-    domcorrection = float(ddef.n2sc[i:j + 1].astype(np.float64).sum())
+    from .native import f32_seq_sum
+    domcorrection = f32_seq_sum(ddef.n2sc[i:j + 1])
     dom.domcorrection = max(0.0, domcorrection)
 
     st = tr.st

@@ -556,6 +556,24 @@ def msv_filter_native_batch(orf_dsqs: list, om) -> np.ndarray | None:
     return out
 
 
+def f32_seq_sum(arr) -> float:
+    """Strict sequential float32 accumulation — the C `float acc +=
+    x[i]` semantics of the reference's aliscore / domcorrection sums
+    (numpy's own .sum() is pairwise)."""
+    arr = np.ascontiguousarray(arr, dtype=np.float32)
+    lib = get_lib()
+    if lib is not None:
+        if not hasattr(lib, "_filters_bound"):
+            _bind_filters(lib)
+            lib._filters_bound = True
+        return float(np.float32(
+            lib.bio_f32_seq_sum(arr.ctypes.data, len(arr))))
+    acc = np.float32(0.0)
+    for v in arr:
+        acc += v
+    return float(acc)
+
+
 def set_native_threads(n: int) -> None:
     """Cap the OpenMP team used by the batch kernels (forked workers
     divide the cores among themselves; no-op without the library)."""

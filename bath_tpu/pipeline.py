@@ -23,6 +23,7 @@ from .alphabet import amino, dna
 from .bg import Background
 from .domaindef import DomainDef, by_posterior_heuristics_bath
 from .gencode import GeneticCode, Orf, extract_orfs
+from .logsum import flogsum
 from .oprofile import OProfile
 from .ops.reference import fwdback as fb
 from .ops.reference.filters import (Window, msv_filter, ssv_filter_bath,
@@ -166,7 +167,6 @@ def _postdomaindef_bath(pli: Pipeline, om: OProfile, gm: Profile,
             float(om.max_length) / float(om.max_length + 2))
 
         if pli.do_null2:
-            from .logsum import flogsum
             dom_bias = float(flogsum(0.0, np.float32(
                 math.log(bg.omega) + dom.domcorrection)))
         else:

@@ -411,8 +411,14 @@ def rescore_isolated_domain_fs(ddef, pli, om_fs5, gm_fs5, windowsq,
         return True
     try:
         bx, _ = ffs.backward_fs5(sub, om_fs5, fx)
+    except RangeError:
+        # backward underflow: the reference returns eslOK here (the
+        # domain is skipped but counted; ref p7_domaindef.c:1041)
+        return True
+    try:
         pp = ffs.decoding_fs(om_fs5, fx, bx)
     except RangeError:
+        # decoding overflow: eslFAIL — "repetitive garbage" (:1046)
         return False
     ox, oasc = ffs.optimal_accuracy_fs(om_fs5, pp)
     tr = ffs.oa_trace_fs(om_fs5, pp, ox)
@@ -487,7 +493,8 @@ def rescore_isolated_domain_fs(ddef, pli, om_fs5, gm_fs5, windowsq,
             pos += 1
         hist = hist[1:] + [x]
 
-    domcorrection = float(n2sc[i:j + 1].astype(np.float64).sum())
+    from .native import f32_seq_sum
+    domcorrection = f32_seq_sum(n2sc[i:j + 1])
     dom.domcorrection = max(0.0, domcorrection)
 
     z1 = 0
