@@ -184,8 +184,10 @@ def print_bath(ad: AliDisplay, max_namewidth: int, min_aliwidth: int,
     """Render the BATH 3-row codon alignment display
     (ref: p7_alidisplay_Print_BATH :3757)."""
     out = []
-    show_hmmname = ad.hmmname
-    show_seqname = ad.sqname
+    # --acc: prefer accessions over names (ref: :3785-3786)
+    show_acc = getattr(pli, "show_accessions", False)
+    show_hmmname = ad.hmmacc if (show_acc and ad.hmmacc) else ad.hmmname
+    show_seqname = ad.sqacc if (show_acc and ad.sqacc) else ad.sqname
     namewidth = max(len(show_hmmname), len(show_seqname))
     while namewidth > max_namewidth + 3:
         if len(show_hmmname) > len(show_seqname):

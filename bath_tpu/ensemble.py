@@ -312,7 +312,10 @@ def region_trace_ensemble(ddef, om: OProfile, orfsq, ireg: int,
     except fb.RangeError:
         _restore_unihit(om, saveL)
         return None
-    n2acc = np.zeros(Lr, np.float64)
+    # f32 accumulator with per-position f32 adds, then f32 division
+    # and log — the reference's `float n2sc[pos] += ...` then
+    # `logf(n2sc[pos] / (float) nsamples)` (region_trace_ensemble)
+    n2acc = np.zeros(Lr, np.float32)
     samples = []
     for t in range(ddef.nsamples):
         tr = stochastic_trace(r, sub, om, oxf)
@@ -324,16 +327,17 @@ def region_trace_ensemble(ddef, om: OProfile, orfsq, ireg: int,
                             tr.hmmfrom[d], tr.hmmto[d]))
             null2 = null2_by_trace(om, tr, tr.tfrom[d], tr.tto[d])
             while pos <= tr.sqfrom[d]:
-                n2acc[pos - 1] += 1.0
+                n2acc[pos - 1] += F32(1.0)
                 pos += 1
             while pos <= tr.sqto[d]:
-                n2acc[pos - 1] += float(null2[sub[pos - 1]])
+                n2acc[pos - 1] += F32(null2[sub[pos - 1]])
                 pos += 1
         while pos <= Lr:
-            n2acc[pos - 1] += 1.0
+            n2acc[pos - 1] += F32(1.0)
             pos += 1
-    ddef.n2sc[ireg:jreg + 1] = np.log(
-        np.maximum(n2acc / ddef.nsamples, 1e-30)).astype(F32)
+    with np.errstate(divide="ignore"):
+        ddef.n2sc[ireg:jreg + 1] = np.log(
+            n2acc / np.float32(ddef.nsamples))
 
     sigc = cluster_segments(samples, ddef.nsamples, ddef.min_overlap,
                             ddef.of_smaller, ddef.max_diagdiff,

@@ -75,9 +75,18 @@ class TopHits:
 
     # ref: p7_tophits.c hit_sorter_by_sortkey :261
     def sort_by_sortkey(self):
-        self.hit = sorted(
-            self.unsrt,
-            key=lambda h: (-h.sortkey, h.name, h.dcl[0].iali if h.dcl else 0))
+        def key(h):
+            if h.dcl:
+                d = h.dcl[0]
+                # positive strand before negative on ties, then
+                # ascending start position
+                strand = 0 if d.iali < d.jali else 1
+                iali = d.iali
+            else:
+                strand = 0
+                iali = 0
+            return (-h.sortkey, h.name, strand, iali)
+        self.hit = sorted(self.unsrt, key=key)
         self.is_sorted_by_sortkey = True
 
     # ref: p7_tophits.c hit_sorter_by_seqidx_aliposition :286
@@ -85,9 +94,10 @@ class TopHits:
         def key(h):
             d = h.dcl[0]
             rev = d.iali > d.jali
-            return (h.seqidx, 1 if rev else 0,
-                    -d.iali if rev else d.iali,
-                    -d.jali if rev else d.jali)
+            s, e = (d.jali, d.iali) if rev else (d.iali, d.jali)
+            # positive strand first; then smallest start; then
+            # LONGEST hit first (end position descending)
+            return (h.seqidx, 1 if rev else 0, s, -e)
         self.hit = sorted(self.unsrt, key=key)
         self.is_sorted_by_sortkey = False
 
@@ -159,22 +169,44 @@ class TopHits:
                     h.nincluded += 1
 
     # ---- output ----------------------------------------------------
+    # widths are taken over ALL registered hits, not just reported
+    # ones (the reference documents this as a deliberate side effect;
+    # p7_tophits_GetMaxNameLength / GetMaxPositionLength)
     def _max_name_len(self):
-        return max((len(h.name) for h in self.unsrt
-                    if h.flags & IS_REPORTED), default=0)
+        return max((len(h.name) for h in self.unsrt), default=0)
 
     def _max_pos_len(self):
         mx = 0
         for h in self.unsrt:
-            if h.dcl and (h.flags & IS_REPORTED):
+            if h.dcl:
                 mx = max(mx, len(str(abs(h.dcl[0].iali))),
                          len(str(abs(h.dcl[0].jali))))
         return mx
 
+    def _max_shown_len(self):
+        """ref: p7_tophits_GetMaxShownLength :599 — accession when
+        present, else name, over all registered hits."""
+        return max((len(h.acc) if h.acc else len(h.name)
+                    for h in self.unsrt), default=0)
+
+    def _max_acc_len(self):
+        return max((len(h.acc) for h in self.unsrt if h.acc),
+                   default=0)
+
+    @staticmethod
+    def _showname(h, pli):
+        """The --acc option: accession instead of name if possible."""
+        if getattr(pli, "show_accessions", False) and h.acc:
+            return h.acc
+        return h.name
+
     # ref: p7_tophits_Targets :1072
     def targets_text(self, pli, textw: int) -> str:
         out = []
-        namew = max(8, self._max_name_len())
+        if getattr(pli, "show_accessions", False):
+            namew = max(8, self._max_shown_len())
+        else:
+            namew = max(8, self._max_name_len())
         posw = max(6, self._max_pos_len())
         descw = max(32, textw - namew - 2 * posw - 32) if textw > 0 else 0
         out.append("Scores for complete hits:\n")
@@ -211,7 +243,7 @@ class TopHits:
                 ("-" if h.flags & IS_DROPPED else " ")
             line = "%c %9.2g %6.1f %5.1f  %-*s %*d %*d  " % (
                 newness, math.exp(h.lnP), h.score,
-                d.dombias / C.CONST_LOG2, namew, h.name,
+                d.dombias / C.CONST_LOG2, namew, self._showname(h, pli),
                 posw, d.iali, posw, d.jali)
             if getattr(pli, "spliced", False):
                 nex = len(d.ad.exons) if hasattr(d.ad, "exons") else 1
@@ -238,7 +270,7 @@ class TopHits:
         for h in self.hit:
             if not (h.flags & IS_REPORTED):
                 continue
-            showname = h.name
+            showname = self._showname(h, pli)
             namew = len(showname)
             desc = h.desc or ""
             if textw > 0:
@@ -401,7 +433,7 @@ class TopHits:
         tnamew = max(20, self._max_name_len())
         qnamew = max(20, len(qname))
         qaccw = max(10, len(qacc)) if qacc else 10
-        taccw = 10
+        taccw = max(10, self._max_acc_len())
         posw = max(9, self._max_pos_len())
         if show_header:
             out.append("#%*s %22s %47s \n" % (
@@ -438,27 +470,41 @@ class TopHits:
                 continue
             hitid += 1
             d = h.dcl[0]
-            if not hasattr(d.ad, "exons"):
-                continue
             res = d.ad
-            nex = len(res.exons)
-            for e, x in enumerate(res.exons, 1):
+            exons = getattr(res, "exons", None)
+            nex = len(exons) if exons else 1
+            for e in range(1, nex + 1):
                 ln = ("%8d %-*s %-*s %-*s %-*s %9d %*d %9.2g"
-                      " %6.1f %5.1f %3d %3d %9d %9d %*d %*d %9.2g"
-                      " %5.2f %7s " % (
+                      " %6.1f %5.1f %3d %3d " % (
                           hitid, tnamew, h.name, taccw, h.acc or "-",
                           qnamew, qname, qaccw, qacc or "-",
                           pli.nnodes, posw,
                           h.target_len, math.exp(h.lnP), h.score,
-                          d.dombias / C.CONST_LOG2, e, nex,
-                          x.hmm_from, x.hmm_to, posw, x.seq_from,
-                          posw, x.seq_to, math.exp(x.lnP), x.pid,
-                          x.signal if e < nex else "----"))
+                          d.dombias / C.CONST_LOG2, e, nex))
+                if nex > 1:
+                    x = exons[e - 1]
+                    ln += ("%9d %9d %*d %*d %9.2g %5.2f %7s " % (
+                        x.hmm_from, x.hmm_to, posw, x.seq_from,
+                        posw, x.seq_to, math.exp(x.lnP), x.pid,
+                        x.signal if e < nex else "----"))
+                else:
+                    # single exon: the reference prints the hit's
+                    # alignment-display coordinates and sum_lnP
+                    # (ref: p7_tophits_TabularExons else-branch)
+                    ln += ("%9d %9d %*d %*d %9.2g %5.2f %7s " % (
+                        res.hmmfrom, res.hmmto, posw, res.sqfrom,
+                        posw, res.sqto, math.exp(h.sum_lnP),
+                        res.pid, "----"))
                 if node_info:
-                    # ref: p7_tophits_TabularExons :1828
-                    ln = ln[:-1] + " %7s %7s " % (
-                        "True" if (nex == 1 or x.anchor) else "False",
-                        "True" if (nex > 1 and x.extend) else "False")
+                    # ref: p7_tophits_TabularExons :1828 — no
+                    # trailing space after the extend column
+                    x_anchor = (nex == 1
+                                or bool(exons[e - 1].anchor))
+                    x_extend = (nex > 1
+                                and bool(exons[e - 1].extend))
+                    ln = ln[:-1] + " %7s %7s" % (
+                        "True" if x_anchor else "False",
+                        "True" if x_extend else "False")
                 out.append(ln + "\n")
         return "".join(out)
 
@@ -469,7 +515,7 @@ class TopHits:
         qnamew = max(20, len(qname))
         tnamew = max(20, self._max_name_len())
         qaccw = max(10, len(qacc)) if qacc else 10
-        taccw = 10
+        taccw = max(10, self._max_acc_len())
         posw = max(9, self._max_pos_len())
         if show_header and self.N > 0 and self.hit and self.hit[0].ndom > 0:
             out.append("#%-*s %-*s %-*s %-*s %-9s %-*s %-*s  %5s %6s %-*s %9s\n" % (
