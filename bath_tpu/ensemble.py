@@ -31,7 +31,19 @@ def stochastic_trace(r: Randomness, dsq: np.ndarray, om: OProfile,
                      oxf: PMatrix) -> Trace:
     """Sample one state path from P(path | seq) using the scaled
     prob-space Forward matrix (ref: p7_GStochasticTrace :42 semantics;
-    sparse-rescale corrections for cross-row selections)."""
+    sparse-rescale corrections for cross-row selections).
+
+    Documented divergence from the reference binary (SURVEY §7 hard
+    part 3): the reference samples from its *striped SIMD* Forward
+    matrix, visiting E-state predecessors in striped lane order
+    (impl_sse/stotrace.c select_e: k = r*Q+q+1, M/D interleaved per
+    stripe) over values that carry striped-arithmetic rounding.  This
+    implementation consumes the exact same MT19937 stream but visits
+    k = 1..M linearly over its own (differently-rounded) matrix, so
+    on a roll that lands within ulps of a cumulative boundary the
+    selected k may differ from the reference binary.  Effects are
+    confined to multidomain-region resolution; all golden outputs are
+    unaffected, and results remain fully deterministic per seed."""
     from .native import stotrace_native
     ntr = stotrace_native(r, om, oxf)
     if ntr is not None:
