@@ -354,8 +354,15 @@ def region_trace_ensemble(ddef, om: OProfile, orfsq, ireg: int,
     sigc = cluster_segments(samples, ddef.nsamples, ddef.min_overlap,
                             ddef.of_smaller, ddef.max_diagdiff,
                             ddef.min_posterior, ddef.min_endpointp)
-    # remove dominated overlapping clusters (ref: region_trace_ensemble
-    # :~575: >= 80% seq overlap of the smaller -> keep higher prob)
+    envs = _undominated_envs(sigc)
+    _restore_unihit(om, saveL)
+    return envs if envs else None
+
+
+def _undominated_envs(sigc):
+    """Remove dominated overlapping clusters (ref:
+    region_trace_ensemble ~:575: >= 80% seq overlap of the smaller ->
+    keep the higher-probability cluster); returns (i, j) envelopes."""
     keep = [True] * len(sigc)
     for d in range(len(sigc)):
         for d2 in range(d + 1, len(sigc)):
@@ -370,20 +377,13 @@ def region_trace_ensemble(ddef, om: OProfile, orfsq, ireg: int,
                     keep[d2] = False
                 else:
                     keep[d] = False
-    envs = [(s[0], s[1]) for s, k in zip(sigc, keep) if k]
-    _restore_unihit(om, saveL)
-    return envs if envs else None
+    return [(s[0], s[1]) for s, kp in zip(sigc, keep) if kp]
 
 
 def _restore_unihit(om, saveL):
-    om.nj = 0.0
-    om.xf[C.X_E, C.MOVE] = 1.0
-    om.xf[C.X_E, C.LOOP] = 0.0
-    if om.xw is not None:
-        om.xw[C.X_E, C.MOVE] = 0
-        om.xw[C.X_E, C.LOOP] = -32768
-    om.reconfig_rest_length(saveL)
-    om.reconfig_msv_length(saveL)
+    # identical end state to the inline xf/xw/nj writes it replaces:
+    # reconfig_length == reconfig_msv_length + reconfig_rest_length
+    om.reconfig_unihit(saveL)
 
 
 # ---------------------------------------------------------------------
@@ -564,20 +564,6 @@ def region_trace_ensemble_fs(ddef, om_fs5, windowsq, ireg: int,
                             ddef.of_smaller, ddef.max_diagdiff,
                             ddef.min_posterior, ddef.min_endpointp,
                             fs=True)
-    keep = [True] * len(sigc)
-    for d in range(len(sigc)):
-        for d2 in range(d + 1, len(sigc)):
-            nov = min(sigc[d][1], sigc[d2][1]) \
-                - max(sigc[d][0], sigc[d2][0]) + 1
-            if nov <= 0:
-                break
-            nmin = min(sigc[d][1] - sigc[d][0] + 1,
-                       sigc[d2][1] - sigc[d2][0] + 1)
-            if nov / nmin >= 0.8:
-                if sigc[d][4] > sigc[d2][4]:
-                    keep[d2] = False
-                else:
-                    keep[d] = False
-    envs = [(s[0], s[1]) for s, kp in zip(sigc, keep) if kp]
+    envs = _undominated_envs(sigc)
     om_fs5.reconfig_unihit(saveL)
     return envs if envs else None
