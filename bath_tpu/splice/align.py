@@ -445,11 +445,13 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
                         score=score_bits, lnP=lnP,
                         pid=100.0 * pid_num[e] / max(1, pid_den[e]),
                         signal=exon_sigs[e])
-        # mean posterior over the exon's aminos
+        # summed posterior over the exon's trace steps divided by the
+        # exon's AMINO length (ref: p7_splice.c ScoreExons
+        # `exon_pp / (float) exon_amino_len`, not the step count)
         pps = [tr.pp[z] for z in range(z1, z2 + 1)
                if tr.st[z] in (C.T_M, C.T_I)
                and start_i2 < tr.i[z] <= end_i]
-        info.pp = float(np.mean(pps)) if pps else 0.0
+        info.pp = float(sum(pps) / max(1, end_i - start_i2))
         exons.append(info)
 
     res.exons = exons

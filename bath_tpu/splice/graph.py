@@ -143,9 +143,10 @@ class SpliceGraph:
                     e.downstream_amino_start = ddn.ihmm
                     e.upstream_nuc_end = dup.jali
                     e.downstream_nuc_start = ddn.iali
-                    # drop edge if the overlap cost beats a fresh entry
-                    bm = gm_tsc_bm[ddn.ihmm - 2] if ddn.ihmm >= 2 else \
-                        gm_tsc_bm[0]
+                    # drop edge if the overlap cost beats a fresh
+                    # entry (ref: p7_splice.c:759 — tsc[k-1][BM] is
+                    # the B->M_ihmm entry, slot ihmm-1 here)
+                    bm = gm_tsc_bm[ddn.ihmm - 1]
                     if e.edge_score < -LOG2 + bm:
                         del self.edges[(up, down)]
 

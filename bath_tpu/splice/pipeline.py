@@ -18,7 +18,7 @@ from ..tophits import IS_DUPLICATE, IS_INCLUDED, IS_REPORTED
 from .align import align_spliced_sequence, create_spliced_sequence
 from .graph import ALIGNMENT_EXT, NEG_INF, SpliceGraph
 from .splice import (PathSeq, SpliceConfig, get_sub_sequence,
-                     splice_exons)
+                     splice_exons, splice_single)
 
 LOG2 = math.log(2.0)
 
@@ -118,8 +118,11 @@ def splice_graph(graph: SpliceGraph, tophits, om, gm, gm1, bg, gcode,
     bounds: list[tuple[int, int]] = []
     path_seq: PathSeq | None = None
     orig_path = graph.get_best_path()
+    # runaway backstop only: each iteration consumes at least one
+    # graph node, so a graph can never yield more paths than nodes
+    max_paths = max(100, 2 * graph.num_nodes)
     guard = 0
-    while orig_path is not None and guard < 100:
+    while orig_path is not None and guard < max_paths:
         guard += 1
         path_min = min(orig_path.iali[0], orig_path.jali[-1]) \
             - ALIGNMENT_EXT
@@ -152,22 +155,33 @@ def splice_graph(graph: SpliceGraph, tophits, om, gm, gm1, bg, gcode,
             if any(spliced_path.extension):
                 splice_extensions(graph, gm1, spliced_path, path_seq,
                                   cfg)
+            elif spliced_path.path_len == 1:
+                # a single hit can contain a short intron (ref:
+                # p7_splice.c:611 SpliceSingle)
+                splice_single(graph, gm1, spliced_path, path_seq, cfg)
             if spliced_path.path_len > 1:
-                success = align_spliced_path(
+                hit_dom = align_spliced_path(
                     graph, tophits, om, gm, bg, gcode, spliced_path,
                     path_seq, db_nuc_cnt, cfg)
+                success = hit_dom is not None
 
         if success:
-            hit_min = min(h for h in (spliced_path.iali[0],
-                                      spliced_path.jali[-1]))
-            hit_max = max(h for h in (spliced_path.iali[0],
-                                      spliced_path.jali[-1]))
+            # bounds and knockout use the FINAL HIT's coordinates
+            # (the alignment can extend past or trim the path) and
+            # require BOTH sequence and hmm overlap before removing
+            # a node (ref: p7_splice.c:623-648) — a node covering a
+            # disjoint model region may seed another spliced gene
+            hit_min = min(hit_dom.iali, hit_dom.jali)
+            hit_max = max(hit_dom.iali, hit_dom.jali)
+            hmm_min, hmm_max = hit_dom.ihmm, hit_dom.jhmm
             graph.enforce_bounds(hit_min, hit_max)
             bounds.append((hit_min, hit_max))
             for h in range(graph.num_nodes):
                 d = graph.hits[h].dcl[0]
                 n_min, n_max = min(d.iali, d.jali), max(d.iali, d.jali)
-                if min(n_max, hit_max) - max(n_min, hit_min) + 1 > 0:
+                if min(n_max, hit_max) - max(n_min, hit_min) + 1 > 0 \
+                        and min(d.jhmm, hmm_max) \
+                        - max(d.ihmm, hmm_min) + 1 > 0:
                     graph.node_in_graph[h] = False
         else:
             if spliced_path is not None and spliced_path.path_len > 1:
@@ -183,20 +197,20 @@ def splice_graph(graph: SpliceGraph, tophits, om, gm, gm1, bg, gcode,
 
 def align_spliced_path(graph: SpliceGraph, tophits, om, gm, bg, gcode,
                        spliced_path, path_seq: PathSeq,
-                       db_nuc_cnt: int, cfg: SpliceConfig) -> bool:
+                       db_nuc_cnt: int, cfg: SpliceConfig):
     """Create and align the spliced sequence; on success replace the
-    path's hits with one spliced hit
-    (ref: p7_splice_AlignSplicedPath)."""
+    path's hits with one spliced hit; returns the spliced Domain on
+    success, else None (ref: p7_splice_AlignSplicedPath)."""
     seq = create_spliced_sequence(spliced_path, path_seq, gcode)
     if seq is None:
-        return False
+        return None
     nuc_idx, amino_dsq = seq
     res = align_spliced_sequence(om, gm, bg, amino_dsq, nuc_idx,
                                  path_seq, cfg, gcode)
     # restore multihit length model for any later users
     om.reconfig_multihit(max(om.max_length, 1))
     if res is None or len(res.exons) <= 1:
-        return False
+        return None
 
     # score adjustments (ref: AlignSplicedPath :~70-95)
     orf_len = res.orf_to - res.orf_from + 1
@@ -223,7 +237,7 @@ def align_spliced_path(graph: SpliceGraph, tophits, om, gm, bg, gcode,
     passes = (math.exp(dom_lnP) <= cfg.E) if cfg.T is None \
         else (dom_score >= cfg.T)
     if not passes:
-        return False
+        return None
 
     # mark exon anchor status
     for e, info in enumerate(res.exons):
@@ -239,7 +253,7 @@ def align_spliced_path(graph: SpliceGraph, tophits, om, gm, bg, gcode,
             host = nid
             break
     if host is None:
-        return False
+        return None
 
     d = Domain()
     d.ihmm, d.jhmm = res.ihmm, res.jhmm
@@ -284,7 +298,7 @@ def align_spliced_path(graph: SpliceGraph, tophits, om, gm, bg, gcode,
             tophits.hit[oi].flags = IS_DUPLICATE
             tophits.hit[oi].nreported = 0
             tophits.hit[oi].nincluded = 0
-    return True
+    return d
 
 
 # ---------------------------------------------------------------------

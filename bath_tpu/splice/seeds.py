@@ -58,12 +58,28 @@ def remove_duplicate_windows(windows, tophits, F3: float):
         d = h.dcl[0]
         strand = 1 if d.iali > d.jali else 0
         h_min, h_max = min(d.iali, d.jali), max(d.iali, d.jali)
+        len_i = h_max - h_min + 1
         for w in ws:
             if w.id != h.seqidx or w.complementarity != strand:
                 continue
+            if w.duplicate or not w.pass_forward:
+                continue
             w_min = min(w.n, w.n + w.length - 1)
             w_max = max(w.n, w.n + w.length - 1)
-            if min(w_max, h_max) - max(w_min, h_min) + 1 > 0:
+            len_j = w_max - w_min + 1
+            inter = min(w_max, h_max) - max(w_min, h_min) + 1
+            # hmm-coordinate overlap + (near-flush edge OR >=90%
+            # coverage of either span) — ref: p7_hmmwindow.c:345-350.
+            # The reference reads hw->windows[i] (the HIT loop index)
+            # for the window's hmm span — an out-of-bounds indexing
+            # bug; we use this window's own coordinates as intended.
+            hmm_s = max(d.ihmm, w.k - w.length // 3 + 1)
+            hmm_e = min(d.jhmm, w.k)
+            if (hmm_e - hmm_s + 1 > 0
+                    and ((w_min - 3 <= h_min <= w_min + 3)
+                         or (w_max - 3 <= h_max <= w_max + 3)
+                         or inter >= len_i * 0.9
+                         or inter >= len_j * 0.9)):
                 w.duplicate = True
     return ws
 
@@ -105,6 +121,7 @@ def get_seed_hits(windows, tophits, gm_fs5, seq_lookup, F3: float,
 
     seeds = TopHits()
     name_by_idx = {h.seqidx: h.name for h in tophits.hit}
+    rc_cache: dict[str, np.ndarray] = {}   # one revcomp per sequence
     for w in windows:
         if not w.is_seed:
             continue
@@ -122,7 +139,9 @@ def get_seed_hits(windows, tophits, gm_fs5, seq_lookup, F3: float,
         if w.complementarity:
             d.iali = w.n + w.length - 1
             d.jali = w.n
-            sub = revcomp(full_dsq)          # minus strand 5'->3'
+            sub = rc_cache.get(name)         # minus strand 5'->3'
+            if sub is None:
+                sub = rc_cache[name] = revcomp(full_dsq)
             # window nt position of the hit start on the minus strand
             start_sub = seqL - d.iali + 1
         else:

@@ -96,7 +96,8 @@ def align_exons(graph: SpliceGraph, gm1, path_seq: PathSeq,
                 i_sub_start: int, i_sub_end: int, k_start: int,
                 k_end: int, cfg: SpliceConfig,
                 global_start: bool = True, global_end: bool = True,
-                require_intron: bool = False):
+                require_intron: bool = False,
+                check_P: bool = True):
     """Run the spliced Viterbi between a pair of path nodes and
     decompose the trace into exons.  Returns (ret_path, tmp_path)
     with genomic coordinates, or None on failure
@@ -119,17 +120,20 @@ def align_exons(graph: SpliceGraph, gm1, path_seq: PathSeq,
     if require_intron and not any(s == T_P for s in tr.st):
         return None
 
-    # filter out low-quality splicings (ref: AlignExons P > F2 check)
-    amino_len = sum(1 for s in tr.st if s in (T_M, T_P, T_I))
-    from ..stats import gumbel_surv
-    nullsc = amino_len * math.log(float(amino_len)
-                                  / (amino_len + 1.0)) \
-        + math.log(1.0 - float(amino_len) / (amino_len + 1.0))
-    seqsc = (tr.vitsc - nullsc) / LOG2
-    P = float(gumbel_surv(seqsc, gm1.evparam[C.EV_VMU],
-                          gm1.evparam[C.EV_VLAMBDA]))
-    if P > cfg.F2:
-        return None
+    # filter out low-quality splicings (ref: AlignExons P > F2 check;
+    # the single-hit path skips it — "single exon split must be
+    # better scoring than original exon", p7_splice_AlignSingle)
+    if check_P:
+        amino_len = sum(1 for s in tr.st if s in (T_M, T_P, T_I))
+        from ..stats import gumbel_surv
+        nullsc = amino_len * math.log(float(amino_len)
+                                      / (amino_len + 1.0)) \
+            + math.log(1.0 - float(amino_len) / (amino_len + 1.0))
+        seqsc = (tr.vitsc - nullsc) / LOG2
+        P = float(gumbel_surv(seqsc, gm1.evparam[C.EV_VMU],
+                              gm1.evparam[C.EV_VLAMBDA]))
+        if P > cfg.F2:
+            return None
 
     # local (sub-seq) coords here; converted to genomic at the end
     # find first and last M
@@ -205,6 +209,35 @@ def align_exons(graph: SpliceGraph, gm1, path_seq: PathSeq,
         p.iali = [path_seq.to_global(v) for v in p.iali]
         p.jali = [path_seq.to_global(v) for v in p.jali]
     return ret, tmp
+
+
+def splice_single(graph: SpliceGraph, gm1, spliced_path,
+                  path_seq: PathSeq, cfg: SpliceConfig) -> None:
+    """Find internal splice sites in a single-node path: two exons
+    separated by a short intron can align as one hit; the spliced
+    Viterbi over the hit's own span splits it (ref:
+    p7_splice_SpliceSingle :1510 / p7_splice_AlignSingle :2476).
+    Extends <spliced_path> in place when introns are found."""
+    i_start = path_seq.to_sub(spliced_path.iali[0])
+    i_end = path_seq.to_sub(spliced_path.jali[0])
+    k_start, k_end = spliced_path.ihmm[0], spliced_path.jhmm[0]
+    if k_end <= k_start or i_end <= i_start:
+        return
+    res = align_exons(graph, gm1, path_seq, i_start, i_end, k_start,
+                      k_end, cfg, require_intron=True, check_P=False)
+    if res is None:
+        return
+    ret, _tmp = res
+    spliced_path.jali[0] = ret.jali[0]
+    spliced_path.jhmm[0] = ret.jhmm[0]
+    for s in range(1, ret.path_len):
+        spliced_path.node_id.append(spliced_path.node_id[0])
+        spliced_path.extension.append(False)
+        spliced_path.iali.append(ret.iali[s])
+        spliced_path.jali.append(ret.jali[s])
+        spliced_path.ihmm.append(ret.ihmm[s])
+        spliced_path.jhmm.append(ret.jhmm[s])
+        spliced_path.aliscore.append(0.0)
 
 
 def splice_exons(graph: SpliceGraph, gm1, orig_path: SplicePath,

@@ -307,3 +307,54 @@ def test_native_trace_matches_python_oracle(monkeypatch):
     except SystemExit:
         pass
     assert checked[0] >= 1
+
+
+def test_splice_single_internal_intron():
+    """A single hit spanning a short intron splits into two exons
+    (ref: p7_splice_SpliceSingle / p7_splice_AlignSingle)."""
+    import numpy as np
+
+    from bath_tpu import constants as C
+    from bath_tpu.bg import Background
+    from bath_tpu.codontable import CodonTable
+    from bath_tpu.gencode import GeneticCode
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.profile import profile_config_fs
+    from bath_tpu.splice.graph import SpliceGraph, SplicePath
+    from bath_tpu.splice.splice import (SpliceConfig, get_sub_sequence,
+                                        splice_single)
+
+    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    bg = Background()
+    gc = GeneticCode.create(1)
+    gc.set_initiator_any()
+    gm1 = profile_config_fs(hmm, bg, gc, 1, 100, C.P7_LOCAL)
+    ct = CodonTable(gc)
+    cons = [int(np.argmax(hmm.mat[k])) for k in range(1, hmm.M + 1)]
+
+    def rt(aminos):
+        out = []
+        for a in aminos:
+            out.extend(int(v) for v in ct.codons[a][0])
+        return out
+
+    exon1 = rt(cons[0:40])
+    exon2 = rt(cons[40:75])
+    intron = [2, 3] + [0] * 46 + [0, 2]          # GT ... AG
+    dna = np.array([0] * 30 + exon1 + intron + exon2 + [0] * 30,
+                   dtype=np.int32)
+    L = len(dna)
+    path_seq = get_sub_sequence(dna, 1, L, False)
+    sp = SplicePath()
+    sp.node_id.append(0)
+    sp.extension.append(False)
+    sp.iali.append(31)
+    sp.jali.append(30 + len(exon1) + len(intron) + len(exon2))
+    sp.ihmm.append(1)
+    sp.jhmm.append(75)
+    sp.aliscore.append(0.0)
+    splice_single(SpliceGraph(0, False, "t", L), gm1, sp, path_seq,
+                  SpliceConfig())
+    assert sp.path_len == 2
+    assert (sp.iali, sp.jali) == ([31, 201], [150, 305])
+    assert (sp.ihmm, sp.jhmm) == ([1, 41], [40, 75])
