@@ -239,14 +239,77 @@ def align_spliced_path(graph: SpliceGraph, tophits, om, gm, bg, gcode,
     if not passes:
         return None
 
-    # mark exon anchor status
+    # --- map exons back to path nodes (ref: AlignSplicedPath) ------
+    def node_overlap(i, s):
+        nd = graph.hits[i].dcl[0]
+        if min(nd.jhmm, spliced_path.jhmm[s]) \
+                - max(nd.ihmm, spliced_path.ihmm[s]) + 1 <= 0:
+            return False
+        if graph.revcomp:
+            ss = max(nd.jali, spliced_path.jali[s])
+            se = min(nd.iali, spliced_path.iali[s])
+        else:
+            ss = max(nd.iali, spliced_path.iali[s])
+            se = min(nd.jali, spliced_path.jali[s])
+        return se - ss + 1 > 0
+
+    exon_cnt = len(res.exons)
+    if spliced_path.path_len > exon_cnt:
+        # the alignment dropped leading/trailing exons: shift the
+        # path to start at the first step inside the alignment, then
+        # truncate to exon_cnt (ref: the `shift` block)
+        if spliced_path.revcomp:
+            shift = next((s for s in range(spliced_path.path_len)
+                          if spliced_path.jali[s] <= res.iali),
+                         spliced_path.path_len - 1)
+        else:
+            shift = next((s for s in range(spliced_path.path_len)
+                          if spliced_path.jali[s] >= res.iali),
+                         spliced_path.path_len - 1)
+        for i in range(graph.anchor_N):
+            if not graph.node_in_graph[i]:
+                continue
+            for s in range(spliced_path.path_len):
+                if spliced_path.node_id[s] >= graph.anchor_N \
+                        and node_overlap(i, s):
+                    spliced_path.node_id[s] = i
+        for attr in ("node_id", "extension", "iali", "jali",
+                     "ihmm", "jhmm", "aliscore"):
+            lst = getattr(spliced_path, attr)
+            del lst[:shift]
+            del lst[exon_cnt:]
+        spliced_path.iali[0] = res.iali
+        spliced_path.ihmm[0] = res.ihmm
+        spliced_path.jali[-1] = res.jali
+        spliced_path.jhmm[-1] = res.jhmm
+
+    # reassign seed/unknown steps to overlapping anchor nodes; the
+    # spliced hit must contain at least one anchor (ref: ibid)
+    contains_anchor = False
+    for i in range(graph.anchor_N):
+        if not graph.node_in_graph[i]:
+            continue
+        if any(spliced_path.node_id[s] == i
+               for s in range(spliced_path.path_len)):
+            contains_anchor = True
+            continue
+        for s in range(spliced_path.path_len):
+            nid = spliced_path.node_id[s]
+            if (nid < 0 or nid >= graph.anchor_N) \
+                    and node_overlap(i, s):
+                spliced_path.node_id[s] = i
+                contains_anchor = True
+    if not contains_anchor:
+        return None
+
+    # anchor/extend flags follow the (now exon-aligned) path steps
     for e, info in enumerate(res.exons):
         if e < spliced_path.path_len:
             nid = spliced_path.node_id[e]
             info.anchor = (0 <= nid < graph.anchor_N)
             info.extend = bool(spliced_path.extension[e])
 
-    # find the first anchor node in the path to host the spliced hit
+    # host = first anchor node of the trimmed path
     host = None
     for s, nid in enumerate(spliced_path.node_id):
         if 0 <= nid < graph.anchor_N and graph.orig_hit_idx[nid] >= 0:
