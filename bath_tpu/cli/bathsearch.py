@@ -300,6 +300,24 @@ def run(argv=None) -> int:
         print("Either <hmmfile> or <seqdb> may be '-' (stdin), "
               "but not both", file=sys.stderr)
         return 1
+    # option incompatibilities (ref: bathsearch.c option table
+    # :75-76, :81, :156)
+    if args.fs and args.splice:
+        print("Failed to parse command line: Option --fs is "
+              "incompatible with option --splice", file=sys.stderr)
+        return 1
+    if getattr(args, "fsonly", False) and args.splice:
+        print("Failed to parse command line: Option --fsonly is "
+              "incompatible with option --splice", file=sys.stderr)
+        return 1
+    for opt in ("exontblout", "min_intron", "max_intron"):
+        if getattr(args, opt, None) not in (None, False) \
+                and not args.splice \
+                and f"--{opt}" in (argv or sys.argv[1:]):
+            print(f"Failed to parse command line: Option --{opt} "
+                  "requires (or has no effect without) option "
+                  "--splice", file=sys.stderr)
+            return 1
     if args.queryfile == "-":
         from ._io import spool_stdin
         args.queryfile = spool_stdin(".bhmm")
