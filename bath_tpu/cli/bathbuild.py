@@ -165,6 +165,19 @@ def main(argv=None) -> int:
         print("Can't use '-' (stdin) for <hmmfile_out>",
               file=sys.stderr)
         return 1
+    # option relations (ref: bathbuild.c option table)
+    given = set(argv if argv is not None else sys.argv[1:])
+    for opt, req in (("--symfrac", "--fast"), ("--wid", "--wblosum"),
+                     ("--eid", "--eclust")):
+        if opt in given and req not in given:
+            print(f"Failed to parse command line: Option {opt} "
+                  f"requires option {req}", file=sys.stderr)
+            return 1
+    for a, b in (("--pnone", "--plaplace"), ("--mx", "--mxfile")):
+        if a in given and b in given:
+            print(f"Failed to parse command line: Option {a} is "
+                  f"incompatible with option {b}", file=sys.stderr)
+            return 1
     if args.msafile == "-":
         from ._io import spool_stdin
         args.msafile = spool_stdin(".sto")
