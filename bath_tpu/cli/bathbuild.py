@@ -167,8 +167,13 @@ def main(argv=None) -> int:
         return 1
     # option relations (ref: bathbuild.c option table)
     given = set(argv if argv is not None else sys.argv[1:])
-    for opt, req in (("--symfrac", "--fast"), ("--wid", "--wblosum"),
-                     ("--eid", "--eclust")):
+    # --fast is the default construction, so --symfrac's requirement
+    # is only violated when --hand overrides it
+    if "--symfrac" in given and "--hand" in given:
+        print("Failed to parse command line: Option --symfrac "
+              "requires option --fast", file=sys.stderr)
+        return 1
+    for opt, req in (("--wid", "--wblosum"), ("--eid", "--eclust")):
         if opt in given and req not in given:
             print(f"Failed to parse command line: Option {opt} "
                   f"requires option {req}", file=sys.stderr)

@@ -34,6 +34,10 @@ class SpliceEdge:
     k_start: int = -1
     next_i_start: int = 0
     next_k_start: int = 0
+    # full-codon (tmp) end of the upstream exon — the upstream
+    # extension realignment window end (ref: p7_splice.c:1829)
+    i_end: int = 0
+    k_end: int = 0
 
 
 @dataclass

@@ -481,10 +481,24 @@ def splice_extensions(graph: SpliceGraph, gm1, spliced_path,
     s_end = next(i for i in range(spliced_path.path_len - 1, -1, -1)
                  if not spliced_path.extension[i])
 
+    next_i_end = next_k_end = 0
     # ---- downstream ----
     if s_end != spliced_path.path_len - 1:
-        k_start = spliced_path.ihmm[s_end]
-        i_start = spliced_path.iali[s_end]
+        # the realignment window starts at the last anchor's
+        # PRE-SPLICE (edge-cached) coords when it has an upstream
+        # splice site (ref: p7_splice.c:1390-1399)
+        if s_end == s_start:
+            k_start = spliced_path.ihmm[s_end]
+            i_start = spliced_path.iali[s_end]
+        else:
+            edge = graph.get_edge(spliced_path.node_id[s_end - 1],
+                                  spliced_path.node_id[s_end])
+            if edge is not None and edge.next_k_start:
+                k_start = edge.next_k_start
+                i_start = edge.next_i_start
+            else:
+                k_start = spliced_path.ihmm[s_end]
+                i_start = spliced_path.iali[s_end]
         k_end = spliced_path.jhmm[-1]
         i_end = spliced_path.jali[-1]
         res = None
@@ -502,7 +516,9 @@ def splice_extensions(graph: SpliceGraph, gm1, spliced_path,
                         spliced_path.aliscore):
                 lst.pop()
         if res is not None:
-            ret, _tmp = res
+            ret, tmp = res
+            next_i_end = tmp.jali[0]
+            next_k_end = tmp.jhmm[0]
             spliced_path.jali[-1] = ret.jali[0]
             spliced_path.jhmm[-1] = ret.jhmm[0]
             for t in range(1, ret.path_len):
@@ -518,8 +534,25 @@ def splice_extensions(graph: SpliceGraph, gm1, spliced_path,
     if s_start != 0:
         k_start = spliced_path.ihmm[0]
         i_start = spliced_path.iali[0]
-        k_end = spliced_path.jhmm[s_start]
-        i_end = spliced_path.jali[s_start]
+        # end coords: the first anchor's full-codon end — from the
+        # downstream extension's anchor exon when it exists, from
+        # the edge cache when more than one anchor remains, else the
+        # path (ref: p7_splice.c:1445-1466)
+        if s_start == spliced_path.path_len - 1:
+            k_end = spliced_path.jhmm[s_start]
+            i_end = spliced_path.jali[s_start]
+        elif s_end == s_start and next_k_end:
+            k_end = next_k_end
+            i_end = next_i_end
+        else:
+            edge = graph.get_edge(spliced_path.node_id[s_start],
+                                  spliced_path.node_id[s_start + 1])
+            if edge is not None and edge.k_end:
+                k_end = edge.k_end
+                i_end = edge.i_end
+            else:
+                k_end = spliced_path.jhmm[s_start]
+                i_end = spliced_path.jali[s_start]
         res = None
         iss = path_seq.to_sub(i_start)
         ise = path_seq.to_sub(i_end)

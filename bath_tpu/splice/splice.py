@@ -349,6 +349,8 @@ def splice_exons(graph: SpliceGraph, gm1, orig_path: SplicePath,
                 e.k_start = tmp.ihmm[t - 1]
                 e.next_i_start = tmp.iali[t]
                 e.next_k_start = tmp.ihmm[t]
+                e.i_end = tmp.jali[t - 1]
+                e.k_end = tmp.jhmm[t - 1]
                 e.upstream_nuc_end = tmp_ret.jali[t - 1]
                 e.upstream_amino_end = tmp_ret.jhmm[t - 1]
                 e.downstream_nuc_start = tmp_ret.iali[t]
