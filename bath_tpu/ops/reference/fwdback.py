@@ -620,3 +620,229 @@ def finish_null2(null2: np.ndarray, abc) -> np.ndarray:
     null2[Kp - 2] = 1.0
     null2[Kp - 1] = 1.0
     return null2
+
+
+# ---------------------------------------------------------------------
+# Full-matrix log-space Viterbi + traceback, used by the splice
+# pipeline's decoding-underflow recovery (ref: impl_sse/viterbi.c
+# p7_Viterbi :67 / p7_Viterbi_Trace :230; the reference runs these on
+# om_log, a p7_oprofile_Logify'd clone, so the score tables are just
+# np.log of the pspace fb tables).
+# ---------------------------------------------------------------------
+
+def viterbi(dsq: np.ndarray, om: OProfile) -> tuple[PMatrix, float]:
+    """Float log-space Viterbi retaining all rows for traceback.
+    Returns (matrix with log-space mm/im/dm + specials, score nats)."""
+    L, M = len(dsq), om.M
+    with np.errstate(divide="ignore"):
+        ltfv = np.log(om.tfv.astype(F32))
+        lrfv = np.log(om.rfv.astype(F32))
+        lxf = np.log(om.xf.astype(F32))
+    z = np.full(1, NEG_INF, F32)
+    tBM = np.concatenate([z, ltfv[:M, C.P_BM]])
+    tMM = np.concatenate([z, ltfv[:M, C.P_MM]])
+    tIM = np.concatenate([z, ltfv[:M, C.P_IM]])
+    tDM = np.concatenate([z, ltfv[:M, C.P_DM]])
+    tMD = np.concatenate([z, ltfv[:M, C.P_MD]])
+    tDD = np.concatenate([z, ltfv[:M, C.P_DD]])
+    tMI = ltfv[: M + 1, C.P_MI].copy()
+    tII = ltfv[: M + 1, C.P_II].copy()
+
+    ox = PMatrix(L=L, M=M,
+                 xE=np.full(L + 1, NEG_INF, F32),
+                 xN=np.full(L + 1, NEG_INF, F32),
+                 xJ=np.full(L + 1, NEG_INF, F32),
+                 xB=np.full(L + 1, NEG_INF, F32),
+                 xC=np.full(L + 1, NEG_INF, F32),
+                 scale=np.ones(L + 1, F32),
+                 mm=np.full((L + 1, M + 1), NEG_INF, F32),
+                 im=np.full((L + 1, M + 1), NEG_INF, F32),
+                 dm=np.full((L + 1, M + 1), NEG_INF, F32))
+    xN = F32(0.0)
+    xB = F32(lxf[C.X_N, C.MOVE])
+    xE = xJ = xC = NEG_INF
+    ox.xN[0], ox.xB[0] = xN, xB
+
+    with np.errstate(invalid="ignore"):
+        for i in range(1, L + 1):
+            r = lrfv[int(dsq[i - 1])]
+            mpv = np.empty(M + 1, F32)
+            mpv[0] = NEG_INF
+            mpv[1:] = ox.mm[i - 1][:-1]
+            ipv = np.empty(M + 1, F32)
+            ipv[0] = NEG_INF
+            ipv[1:] = ox.im[i - 1][:-1]
+            dpv = np.empty(M + 1, F32)
+            dpv[0] = NEG_INF
+            dpv[1:] = ox.dm[i - 1][:-1]
+            sv = xB + tBM
+            sv = np.maximum(sv, mpv + tMM)
+            sv = np.maximum(sv, ipv + tIM)
+            sv = np.maximum(sv, dpv + tDM)
+            sv = sv + r
+            sv[0] = NEG_INF
+            np.nan_to_num(sv, copy=False, nan=-np.inf)
+            ox.mm[i] = sv
+            iv = np.maximum(ox.mm[i - 1] + tMI, ox.im[i - 1] + tII)
+            iv[0] = NEG_INF
+            np.nan_to_num(iv, copy=False, nan=-np.inf)
+            ox.im[i] = iv
+            # D along k: sequential max(M(i,k-1)+tMD, D(i,k-1)+tDD);
+            # the striped multi-pass sweep converges to this closure
+            dv = ox.dm[i]
+            dprev = NEG_INF
+            for k in range(2, M + 1):
+                dprev = max(sv[k - 1] + tMD[k], dprev + tDD[k])
+                dv[k] = dprev
+            xE = F32(sv[1:].max(initial=NEG_INF))      # Mk->E only
+            xN = F32(xN + lxf[C.X_N, C.LOOP])
+            xC = F32(max(xC + lxf[C.X_C, C.LOOP],
+                         xE + lxf[C.X_E, C.MOVE]))
+            xJ = F32(max(xJ + lxf[C.X_J, C.LOOP],
+                         xE + lxf[C.X_E, C.LOOP]))
+            xB = F32(max(xJ + lxf[C.X_J, C.MOVE],
+                         xN + lxf[C.X_N, C.MOVE]))
+            ox.xE[i], ox.xN[i], ox.xJ[i] = xE, xN, xJ
+            ox.xB[i], ox.xC[i] = xB, xC
+
+    return ox, float(ox.xC[L] + lxf[C.X_C, C.MOVE])
+
+
+def _fcompare(x0: float, x: float,
+              r_tol: float = 1e-5, a_tol: float = 1e-4) -> bool:
+    """esl_FCompare semantics as used by p7_Viterbi_Trace."""
+    if x0 == x:
+        return True
+    if not (np.isfinite(x0) and np.isfinite(x)):
+        return False
+    d = abs(x0 - x)
+    return d <= a_tol or d <= r_tol * max(abs(x0), abs(x))
+
+
+def viterbi_trace(dsq: np.ndarray, om: OProfile, ox: PMatrix) -> Trace:
+    """Traceback of viterbi()'s matrix (ref: p7_Viterbi_Trace :230).
+    State choice order and tolerances follow the reference."""
+    L, M = ox.L, ox.M
+    with np.errstate(divide="ignore"):
+        ltfv = np.log(om.tfv.astype(F32))
+        lrfv = np.log(om.rfv.astype(F32))
+        lxf = np.log(om.xf.astype(F32))
+
+    def mm(i, k):
+        return float(ox.mm[i][k]) if k >= 1 else -np.inf
+
+    def dm(i, k):
+        return float(ox.dm[i][k]) if k >= 1 else -np.inf
+
+    def im(i, k):
+        return float(ox.im[i][k]) if k >= 1 else -np.inf
+
+    tr = Trace(M=M, L=L)
+    i, k = L, 0
+    tr.append(C.T_T, 0, 0)
+    tr.append(C.T_C, 0, 0)
+    sprv = C.T_C
+    while sprv != C.T_S:
+        if sprv == C.T_C:
+            xc = float(ox.xC[i])
+            if xc == -np.inf:
+                raise RangeError("impossible C in Viterbi trace")
+            if _fcompare(xc, float(ox.xC[i - 1] + lxf[C.X_C, C.LOOP])):
+                scur = C.T_C
+            elif _fcompare(xc, float(ox.xE[i] + lxf[C.X_E, C.MOVE])):
+                scur = C.T_E
+            else:
+                raise RangeError("untraceable C in Viterbi trace")
+        elif sprv == C.T_E:
+            xe = float(ox.xE[i])
+            if xe == -np.inf:
+                raise RangeError("impossible E in Viterbi trace")
+            scur = C.T_M
+            for k in range(M, 0, -1):
+                if _fcompare(xe, mm(i, k)):
+                    break
+            else:
+                raise RangeError("untraceable E in Viterbi trace")
+        elif sprv == C.T_M:
+            v = mm(i, k)
+            if v == -np.inf:
+                raise RangeError("impossible M in Viterbi trace")
+            rsc = float(lrfv[int(dsq[i - 1])][k])
+            if _fcompare(v, float(ox.xB[i - 1] + ltfv[k - 1, C.P_BM])
+                         + rsc):
+                scur = C.T_B
+            elif _fcompare(v, mm(i - 1, k - 1)
+                           + float(ltfv[k - 1, C.P_MM]) + rsc):
+                scur = C.T_M
+            elif _fcompare(v, im(i - 1, k - 1)
+                           + float(ltfv[k - 1, C.P_IM]) + rsc):
+                scur = C.T_I
+            elif _fcompare(v, dm(i - 1, k - 1)
+                           + float(ltfv[k - 1, C.P_DM]) + rsc):
+                scur = C.T_D
+            else:
+                raise RangeError("untraceable M in Viterbi trace")
+            k -= 1
+            i -= 1
+        elif sprv == C.T_D:
+            v = dm(i, k)
+            if v == -np.inf:
+                raise RangeError("impossible D in Viterbi trace")
+            # our tfv row j holds Mj->Dj+1 / Dj->Dj+1, so the
+            # transition INTO Dk sits at row k-1 (the reference's
+            # striped element k-2 in its 0-based stripe space)
+            tMDv = float(ltfv[k - 1, C.P_MD]) if k > 1 else -np.inf
+            tDDv = float(ltfv[k - 1, C.P_DD]) if k > 1 else -np.inf
+            if _fcompare(v, mm(i, k - 1) + tMDv):
+                scur = C.T_M
+            elif _fcompare(v, dm(i, k - 1) + tDDv):
+                scur = C.T_D
+            else:
+                raise RangeError("untraceable D in Viterbi trace")
+            k -= 1
+        elif sprv == C.T_I:
+            v = im(i, k)
+            if v == -np.inf:
+                raise RangeError("impossible I in Viterbi trace")
+            if _fcompare(v, mm(i - 1, k) + float(ltfv[k, C.P_MI])):
+                scur = C.T_M
+            elif _fcompare(v, im(i - 1, k) + float(ltfv[k, C.P_II])):
+                scur = C.T_I
+            else:
+                raise RangeError("untraceable I in Viterbi trace")
+            i -= 1
+        elif sprv == C.T_N:
+            scur = C.T_S if i == 0 else C.T_N
+        elif sprv == C.T_B:
+            xb = float(ox.xB[i])
+            if xb == -np.inf:
+                raise RangeError("impossible B in Viterbi trace")
+            if _fcompare(xb, float(ox.xN[i] + lxf[C.X_N, C.MOVE])):
+                scur = C.T_N
+            elif _fcompare(xb, float(ox.xJ[i] + lxf[C.X_J, C.MOVE])):
+                scur = C.T_J
+            else:
+                raise RangeError("untraceable B in Viterbi trace")
+        elif sprv == C.T_J:
+            xj = float(ox.xJ[i])
+            if xj == -np.inf:
+                raise RangeError("impossible J in Viterbi trace")
+            if _fcompare(xj, float(ox.xJ[i - 1] + lxf[C.X_J, C.LOOP])):
+                scur = C.T_J
+            elif _fcompare(xj, float(ox.xE[i] + lxf[C.X_E, C.LOOP])):
+                scur = C.T_E
+            else:
+                raise RangeError("untraceable J in Viterbi trace")
+        else:
+            raise RangeError("bogus state in Viterbi trace")
+        if scur in (C.T_M, C.T_I):
+            tr.append(scur, k, i)
+        elif scur in (C.T_N, C.T_J, C.T_C) and scur == sprv:
+            tr.append(scur, 0, i)           # emitting N/C/J step
+        else:
+            tr.append(scur, k if scur == C.T_D else 0, 0)
+        if scur in (C.T_N, C.T_J, C.T_C) and scur == sprv:
+            i -= 1
+        sprv = scur
+    tr.reverse()
+    return tr

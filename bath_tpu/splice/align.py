@@ -86,6 +86,11 @@ class SplicedHitResult:
     amino_n: int = 0
     orf_from: int = 0
     orf_to: int = 0
+    # decoding underflow recovery: the alignment came from the
+    # Viterbi fallback, or an exon has zero posterior probability —
+    # the caller must run fix_decoding_errors and realign
+    # (ref: AlignSplicedSequence eslERANGE branch + zero-pp check)
+    needs_fix: bool = False
 
 
 def create_spliced_sequence(spliced_path: SplicePath, path_seq: PathSeq,
@@ -168,28 +173,48 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
     try:
         oxf, envsc = fb.forward(amino_dsq, om, full=True)
         oxb, _ = fb.backward(amino_dsq, om, oxf, full=True)
-        pp = fb.decoding(om, oxf, oxb)
     except fb.RangeError:
         return None
-    ox2, oasc = fb.optimal_accuracy(om, pp)
-    tr = fb.oa_trace(om, pp, ox2)
+    fallback = False
+    try:
+        pp = fb.decoding(om, oxf, oxb)
+    except fb.RangeError:
+        # rare decoding underflow (a low-probability exon): align
+        # with Viterbi instead so the caller can locate and cut the
+        # weak exon, then realign the trimmed path (ref:
+        # AlignSplicedSequence eslERANGE branch p7_splice.c:3262)
+        fallback = True
+        try:
+            vmx, _ = fb.viterbi(amino_dsq, om)
+            tr = fb.viterbi_trace(amino_dsq, om, vmx)
+        except fb.RangeError:
+            return None
+    if not fallback:
+        ox2, oasc = fb.optimal_accuracy(om, pp)
+        tr = fb.oa_trace(om, pp, ox2)
+    else:
+        oasc = 0.0
     tr.index()
-
-    seq_score = (envsc - filtersc) / LOG2
-    P = math.exp(exp_logsurv(seq_score, om.evparam[C.EV_FTAU],
-                             om.evparam[C.EV_FLAMBDA]))
-    if P > cfg.F3:
+    if not tr.tfrom:
         return None
 
-    null2 = fb.null2_by_expectation(om, pp, 20)
-    null2 = fb.finish_null2(null2, gm.abc)
     domcorrection = 0.0
-    for a in amino_dsq:
-        domcorrection += math.log(max(float(null2[int(a)]), 1e-30))
-    domcorrection = max(0.0, domcorrection)
+    if not fallback:
+        seq_score = (envsc - filtersc) / LOG2
+        P = math.exp(exp_logsurv(seq_score, om.evparam[C.EV_FTAU],
+                                 om.evparam[C.EV_FLAMBDA]))
+        if P > cfg.F3:
+            return None
+
+        null2 = fb.null2_by_expectation(om, pp, 20)
+        null2 = fb.finish_null2(null2, gm.abc)
+        for a in amino_dsq:
+            domcorrection += math.log(max(float(null2[int(a)]), 1e-30))
+        domcorrection = max(0.0, domcorrection)
 
     res = SplicedHitResult(envsc=envsc, oasc=oasc,
-                           domcorrection=domcorrection, amino_n=n)
+                           domcorrection=domcorrection, amino_n=n,
+                           needs_fix=fallback)
 
     # alignment span (first/last M in the best = only domain)
     z1 = tr.tfrom[0]
@@ -455,6 +480,10 @@ def align_spliced_sequence(om, gm, bg, amino_dsq: np.ndarray,
         exons.append(info)
 
     res.exons = exons
+    if not fallback and any(e.pp == 0.0 for e in exons):
+        # posterior underflow in some exon: cut the path there and
+        # realign (ref: zero exon_pp check p7_splice.c:3337-3352)
+        res.needs_fix = True
     res.M = om.M
     res.hmmfrom, res.hmmto = res.ihmm, res.jhmm
     res.exon_cnt = len(exons)

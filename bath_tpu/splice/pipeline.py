@@ -162,7 +162,7 @@ def splice_graph(graph: SpliceGraph, tophits, om, gm, gm1, bg, gcode,
             if spliced_path.path_len > 1:
                 hit_dom = align_spliced_path(
                     graph, tophits, om, gm, bg, gcode, spliced_path,
-                    path_seq, db_nuc_cnt, cfg)
+                    path_seq, db_nuc_cnt, cfg, full_dsq)
                 success = hit_dom is not None
 
         if success:
@@ -197,19 +197,41 @@ def splice_graph(graph: SpliceGraph, tophits, om, gm, gm1, bg, gcode,
 
 def align_spliced_path(graph: SpliceGraph, tophits, om, gm, bg, gcode,
                        spliced_path, path_seq: PathSeq,
-                       db_nuc_cnt: int, cfg: SpliceConfig):
+                       db_nuc_cnt: int, cfg: SpliceConfig,
+                       full_dsq=None):
     """Create and align the spliced sequence; on success replace the
     path's hits with one spliced hit; returns the spliced Domain on
-    success, else None (ref: p7_splice_AlignSplicedPath)."""
-    seq = create_spliced_sequence(spliced_path, path_seq, gcode)
-    if seq is None:
-        return None
-    nuc_idx, amino_dsq = seq
-    res = align_spliced_sequence(om, gm, bg, amino_dsq, nuc_idx,
-                                 path_seq, cfg, gcode)
-    # restore multihit length model for any later users
-    om.reconfig_multihit(max(om.max_length, 1))
-    if res is None or len(res.exons) <= 1:
+    success, else None (ref: p7_splice_AlignSplicedPath).  A decoding
+    underflow trims the path at the weak exon and realigns (the
+    reference recurses; we loop — ref: p7_splice.c:2736-2757)."""
+    res = None
+    for _ in range(max(2, spliced_path.path_len + 1)):
+        seq = create_spliced_sequence(spliced_path, path_seq, gcode)
+        if seq is None:
+            return None
+        nuc_idx, amino_dsq = seq
+        res = align_spliced_sequence(om, gm, bg, amino_dsq, nuc_idx,
+                                     path_seq, cfg, gcode)
+        # restore multihit length model for any later users
+        om.reconfig_multihit(max(om.max_length, 1))
+        if res is None or len(res.exons) <= 1:
+            return None
+        if not res.needs_fix:
+            break
+        if not fix_decoding_errors(graph, spliced_path, res, path_seq):
+            return None
+        # refetch the window if the trimmed path (± ALIGNMENT_EXT)
+        # no longer fits (ref: the refetch check in AlignSplicedPath)
+        if full_dsq is not None:
+            path_min = min(spliced_path.iali[0],
+                           spliced_path.jali[-1]) - ALIGNMENT_EXT
+            path_max = max(spliced_path.iali[0],
+                           spliced_path.jali[-1]) + ALIGNMENT_EXT
+            if path_min < min(path_seq.start, path_seq.end) or \
+                    path_max > max(path_seq.start, path_seq.end):
+                path_seq = get_sub_sequence(full_dsq, path_min,
+                                            path_max, graph.revcomp)
+    if res is None or res.needs_fix:
         return None
 
     # score adjustments (ref: AlignSplicedPath :~70-95)
@@ -362,6 +384,128 @@ def align_spliced_path(graph: SpliceGraph, tophits, om, gm, bg, gcode,
             tophits.hit[oi].nreported = 0
             tophits.hit[oi].nincluded = 0
     return d
+
+
+_PATH_ATTRS = ("node_id", "extension", "iali", "jali", "ihmm", "jhmm",
+               "aliscore")
+
+
+def _path_remove(p, step: int):
+    """Remove one step from a path (ref: p7_splicepath_Remove)."""
+    for attr in _PATH_ATTRS:
+        del getattr(p, attr)[step]
+
+
+def _path_truncate(p, n: int):
+    for attr in _PATH_ATTRS:
+        del getattr(p, attr)[n:]
+
+
+def fix_decoding_errors(graph: SpliceGraph, spliced_path, res,
+                        path_seq: PathSeq) -> bool:
+    """After a decoding underflow (or a zero-posterior exon), find
+    the weakest place in the path and cut it there; returns True if
+    the remaining path should be realigned, False if it is dead
+    (ref: p7_splice_FixDecodingErrors p7_splice.c:3397).  Temporary
+    (seed) nodes are node_id >= graph.anchor_N, matching the
+    reference's tmp_node flags; extension steps are node_id < 0."""
+    p = spliced_path
+    anchor_N = graph.anchor_N
+
+    def _is_anchor(nid):
+        return 0 <= nid < anchor_N
+
+    def _set_front_from_hit():
+        d = graph.hits[p.node_id[0]].dcl[0]
+        p.iali[0], p.ihmm[0] = d.iali, d.ihmm
+
+    def _set_back_from_hit():
+        d = graph.hits[p.node_id[-1]].dcl[0]
+        p.jali[-1], p.jhmm[-1] = d.jali, d.jhmm
+
+    exon_cnt = res.exon_cnt
+    if p.path_len > exon_cnt:
+        # the alignment dropped leading/trailing exons: shift the
+        # path to the first step inside the alignment, then truncate
+        # (res coords are already global, unlike the reference's
+        # path-seq-local ad coords)
+        if p.revcomp:
+            shift = next((s for s in range(p.path_len)
+                          if p.jali[s] <= res.iali), p.path_len - 1)
+        else:
+            shift = next((s for s in range(p.path_len)
+                          if p.jali[s] >= res.iali), p.path_len - 1)
+        shift = min(shift, p.path_len - 1)
+        for _ in range(shift):
+            _path_remove(p, 0)
+        p.iali[0], p.ihmm[0] = res.iali, res.ihmm
+        _path_truncate(p, exon_cnt)
+        p.jali[-1], p.jhmm[-1] = res.jali, res.jhmm
+        if p.path_len == 1:
+            return False
+        while not _is_anchor(p.node_id[0]):
+            _path_remove(p, 0)
+            if p.path_len == 1:
+                return False
+        _set_front_from_hit()
+        while not _is_anchor(p.node_id[-1]):
+            _path_truncate(p, p.path_len - 1)
+            if p.path_len == 1:
+                return False
+        _set_back_from_hit()
+    else:
+        # use the exon scores to find the weakest place in the path
+        min_idx, min_score = 0, res.exons[0].score
+        for e, info in enumerate(res.exons):
+            if math.isnan(info.score) or info.score == -math.inf:
+                min_idx = e
+                break
+            if info.score < min_score:
+                min_score, min_idx = info.score, e
+        if min_idx == 0:
+            _path_remove(p, 0)
+            if p.path_len == 1:
+                return False
+            # move the start to the next non-temporary node
+            while p.node_id[0] < 0 or p.node_id[0] >= anchor_N:
+                _path_remove(p, 0)
+                if p.path_len == 1:
+                    return False
+            _set_front_from_hit()
+        else:
+            _path_truncate(p, min(min_idx, p.path_len))
+            if p.path_len == 1:
+                return False
+            while p.node_id[-1] < 0 or p.node_id[-1] >= anchor_N:
+                _path_truncate(p, p.path_len - 1)
+                if p.path_len == 1:
+                    return False
+            _set_back_from_hit()
+
+    # drop terminal steps that now end before they start
+    def _front_backwards():
+        if p.revcomp:
+            return p.iali[0] <= p.jali[0] or p.ihmm[0] >= p.jhmm[0]
+        return p.iali[0] >= p.jali[0] or p.ihmm[0] >= p.jhmm[0]
+
+    def _back_backwards():
+        if p.revcomp:
+            return p.iali[-1] <= p.jali[-1] or p.ihmm[-1] >= p.jhmm[-1]
+        return p.iali[-1] >= p.jali[-1] or p.ihmm[-1] >= p.jhmm[-1]
+
+    while _front_backwards():
+        _path_remove(p, 0)
+        if p.path_len == 1:
+            return False
+        _set_front_from_hit()
+    while _back_backwards():
+        _path_truncate(p, p.path_len - 1)
+        if p.path_len == 1:
+            return False
+        _set_back_from_hit()
+
+    # the trimmed path must still contain an anchor
+    return any(_is_anchor(nid) for nid in p.node_id)
 
 
 # ---------------------------------------------------------------------

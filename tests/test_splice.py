@@ -358,3 +358,180 @@ def test_splice_single_internal_intron():
     assert sp.path_len == 2
     assert (sp.iali, sp.jali) == ([31, 201], [150, 305])
     assert (sp.ihmm, sp.jhmm) == ([1, 41], [40, 75])
+
+
+def test_full_viterbi_score_matches_trace():
+    """fb.viterbi's score equals the score implied by its own trace
+    (log-space Viterbi used by the decoding-underflow recovery;
+    ref: impl_sse/viterbi.c p7_Viterbi/p7_Viterbi_Trace)."""
+    from bath_tpu import constants as C
+    from bath_tpu.oprofile import oprofile_convert
+    from bath_tpu.ops.reference import fwdback as fb
+    from bath_tpu.profile import profile_config
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    bg = Background(hmm.abc)
+    gm = profile_config(hmm, bg, C.P7_LOCAL)
+    om = oprofile_convert(gm)
+    rng = np.random.default_rng(42)
+    for n in (40, 120):
+        dsq = rng.integers(0, 20, size=n).astype(np.int32)
+        om.reconfig_unihit(n)
+        vx, sc = fb.viterbi(dsq, om)
+        tr = fb.viterbi_trace(dsq, om, vx)
+        ltfv = np.log(om.tfv.astype(np.float32))
+        lrfv = np.log(om.rfv.astype(np.float32))
+        lxf = np.log(om.xf.astype(np.float32))
+        s = 0.0
+        for z in range(1, tr.N):
+            st, k, i = tr.st[z], tr.k[z], tr.i[z]
+            pst = tr.st[z - 1]
+            if st == C.T_M:
+                s += float({C.T_B: ltfv[k - 1, C.P_BM],
+                            C.T_M: ltfv[k - 1, C.P_MM],
+                            C.T_I: ltfv[k - 1, C.P_IM],
+                            C.T_D: ltfv[k - 1, C.P_DM]}[pst])
+                s += float(lrfv[int(dsq[i - 1])][k])
+            elif st == C.T_I:
+                s += float(ltfv[k, C.P_MI if pst == C.T_M else C.P_II])
+            elif st == C.T_D:
+                s += float(ltfv[k - 1,
+                                C.P_MD if pst == C.T_M else C.P_DD])
+            elif st == C.T_N and pst == C.T_N:
+                s += float(lxf[C.X_N, C.LOOP])
+            elif st == C.T_C and pst == C.T_C:
+                s += float(lxf[C.X_C, C.LOOP])
+            elif st == C.T_C and pst == C.T_E:
+                s += float(lxf[C.X_E, C.MOVE])
+            elif st == C.T_J and pst == C.T_J:
+                s += float(lxf[C.X_J, C.LOOP])
+            elif st == C.T_J and pst == C.T_E:
+                s += float(lxf[C.X_E, C.LOOP])
+            elif st == C.T_B:
+                s += float(lxf[C.X_N if pst == C.T_N else C.X_J,
+                               C.MOVE])
+            elif st == C.T_T:
+                s += float(lxf[C.X_C, C.MOVE])
+        assert abs(sc - s) < 1e-3
+        # Viterbi <= Forward (forward envsc is nats over null-prefix)
+        oxf, fsc = fb.forward(dsq, om, full=True)
+        assert sc <= fsc + 1e-3
+
+
+def test_decoding_underflow_recovery(tmp_path, monkeypatch):
+    """A decoding RangeError inside the spliced alignment triggers
+    the Viterbi fallback + fix_decoding_errors + realign, and the
+    drive still completes with a reported hit (ref:
+    p7_splice_FixDecodingErrors realign loop)."""
+    import bath_tpu.ops.reference.fwdback as fb
+    from bath_tpu.cli import bathsearch
+
+    real_decoding = fb.decoding
+    calls = {"align": 0, "viterbi": 0}
+
+    def flaky_decoding(om, oxf, oxb):
+        frame = sys._getframe(1)
+        if frame.f_code.co_filename.endswith("splice/align.py"):
+            calls["align"] += 1
+            if calls["align"] == 1:
+                raise fb.RangeError("injected underflow")
+        return real_decoding(om, oxf, oxb)
+
+    real_viterbi = fb.viterbi
+
+    def counting_viterbi(dsq, om):
+        calls["viterbi"] += 1
+        return real_viterbi(dsq, om)
+
+    monkeypatch.setattr(fb, "decoding", flaky_decoding)
+    monkeypatch.setattr(fb, "viterbi", counting_viterbi)
+
+    out = str(tmp_path / "underflow.out")
+    rc = bathsearch.run(["--splice", "-o", out,
+                         f"{TUT}/PTHR37536.bhmm",
+                         f"{TUT}/target-PTHR37536.fa"])
+    assert rc == 0
+    assert calls["viterbi"] >= 1          # fallback exercised
+    # PTHR37536's path is [anchor, tmp, tmp, anchor]; cutting at the
+    # weakest exon leaves a single-step path, so the reference (and
+    # we) kill the path rather than realign — the drive must still
+    # complete cleanly with the un-spliced hits reported
+    text = open(out).read()
+    assert "[ok]" in text
+    assert "Scores for complete hits" in text
+
+
+def test_fix_decoding_errors_branches():
+    """Unit-test the path-trimming branches of fix_decoding_errors
+    (ref: p7_splice_FixDecodingErrors p7_splice.c:3397)."""
+    from types import SimpleNamespace as NS
+
+    from bath_tpu.splice.graph import SplicePath
+    from bath_tpu.splice.pipeline import fix_decoding_errors
+
+    def mkgraph(coords, anchor_N):
+        hits = [NS(dcl=[NS(iali=a, jali=b, ihmm=c, jhmm=d)])
+                for a, b, c, d in coords]
+        return NS(hits=hits, anchor_N=anchor_N)
+
+    def mkpath(node_id, iali, jali, ihmm, jhmm):
+        n = len(node_id)
+        return SplicePath(node_id=list(node_id),
+                          extension=[False] * n,
+                          iali=list(iali), jali=list(jali),
+                          ihmm=list(ihmm), jhmm=list(jhmm),
+                          aliscore=[0.0] * n)
+
+    def mkres(scores, exon_cnt=None, iali=0, jali=0, ihmm=0, jhmm=0):
+        exons = [NS(score=s) for s in scores]
+        return NS(exons=exons, exon_cnt=exon_cnt or len(scores),
+                  iali=iali, jali=jali, ihmm=ihmm, jhmm=jhmm)
+
+    # --- weakest-exon branch, cut in the middle: truncate to
+    # min_idx, strip trailing tmp nodes, realign -------------------
+    g = mkgraph([(100, 200, 1, 20), (300, 400, 30, 50),
+                 (500, 600, 60, 80), (700, 800, 85, 99)], anchor_N=4)
+    p = mkpath([0, 1, 2, 3], [100, 300, 500, 700],
+               [200, 400, 600, 800], [1, 30, 60, 85],
+               [20, 50, 80, 99])
+    assert fix_decoding_errors(g, p, mkres([50.0, 40.0, 2.0, 30.0]),
+                               None) is True
+    assert p.node_id == [0, 1]            # cut at exon 2
+    assert p.jali[-1] == 400 and p.jhmm[-1] == 50   # from node 1's hit
+
+    # --- weakest exon first: drop the front; NaN counts as the
+    # weakest (underflow catch) -------------------------------------
+    g2 = mkgraph([(100, 200, 1, 20), (300, 400, 30, 50),
+                  (500, 600, 60, 80)], anchor_N=3)
+    p2 = mkpath([0, 1, 2], [100, 300, 500], [200, 400, 600],
+                [1, 30, 60], [20, 50, 80])
+    assert fix_decoding_errors(
+        g2, p2, mkres([float("nan"), 40.0, 30.0]), None) is True
+    assert p2.node_id == [1, 2]
+    assert p2.iali[0] == 300 and p2.ihmm[0] == 30   # from node 1's hit
+
+    # --- weakest exon first but the next node is temporary: the
+    # tmp-skip leaves a single step, so the path dies ---------------
+    g2b = mkgraph([(100, 200, 1, 20), (300, 400, 30, 50),
+                   (500, 600, 60, 80)], anchor_N=2)
+    p2b = mkpath([0, 2, 1], [100, 500, 300], [200, 600, 400],
+                 [1, 60, 30], [20, 80, 99])
+    assert fix_decoding_errors(
+        g2b, p2b, mkres([float("nan"), 40.0, 30.0]), None) is False
+
+    # --- alignment dropped trailing exons (path_len > exon_cnt) ---
+    g3 = mkgraph([(100, 200, 1, 20), (300, 400, 30, 50),
+                  (500, 600, 60, 80)], anchor_N=3)
+    p3 = mkpath([0, 1, 2], [100, 300, 500], [200, 400, 600],
+                [1, 30, 60], [20, 50, 80])
+    res3 = mkres([50.0, 40.0], exon_cnt=2, iali=120, jali=380,
+                 ihmm=5, jhmm=45)
+    assert fix_decoding_errors(g3, p3, res3, None) is True
+    assert p3.node_id == [0, 1]
+    assert p3.iali[0] == 100 and p3.jali[-1] == 400   # reset from hits
+
+    # --- dead path: 2 exons, any cut leaves a single step ---------
+    g4 = mkgraph([(100, 200, 1, 20), (300, 400, 30, 50)], anchor_N=2)
+    p4 = mkpath([0, 1], [100, 300], [200, 400], [1, 30], [20, 50])
+    assert fix_decoding_errors(g4, p4, mkres([5.0, 50.0]),
+                               None) is False
