@@ -22,6 +22,58 @@ import numpy as np
 
 REF_BASELINE_GCUPS = 0.31018
 
+_CPU_STATE = {}
+
+
+def _cpu_init(hmm_path):
+    from bath_tpu.bg import Background
+    from bath_tpu.gencode import GeneticCode
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu.ops.reference.fwdback_fs import fs_oprofile_convert
+    from bath_tpu.profile import profile_config_fs
+    hmm = read_hmm(hmm_path)
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    gm3 = profile_config_fs(hmm, Background(), gcode, 3, 100)
+    _CPU_STATE["om3"] = fs_oprofile_convert(gm3)
+
+
+def _cpu_work(seqs):
+    from bath_tpu.native import fs3_parser_score_native
+    om3 = _CPU_STATE["om3"]
+    return [fs3_parser_score_native(s, om3) for s in seqs]
+
+
+def _cpu_bench(hmm, om3, fallback):
+    import multiprocessing as mp
+    from bath_tpu.native import fs3_parser_score_native
+    if fs3_parser_score_native(np.zeros(48, np.int32), om3) is None:
+        print(json.dumps({
+            "metric": "fs3-forward-gate GCUPS" + fallback
+            + " (native lib unavailable)",
+            "value": 0.0, "unit": "GCUPS", "vs_baseline": 0.0}))
+        return
+    rng = np.random.default_rng(0)
+    B, L, W = 256, 1536, 4
+    seqs = [rng.integers(0, 4, L).astype(np.int32) for _ in range(B)]
+    chunks = [seqs[i::W] for i in range(W)]
+    ctx = mp.get_context("fork")
+    with ctx.Pool(W, initializer=_cpu_init,
+                  initargs=("/root/reference/tutorial/AMP_N.bhmm",)) \
+            as pool:
+        pool.map(_cpu_work, [c[:1] for c in chunks])    # warm forks
+        t0 = time.perf_counter()
+        pool.map(_cpu_work, chunks)
+        dt = time.perf_counter() - t0
+    gcups = B * L * hmm.M / dt / 1e9
+    print(json.dumps({
+        "metric": "fs3-forward-gate GCUPS (native, 4 CPU workers)"
+        + fallback,
+        "value": round(gcups, 3),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / REF_BASELINE_GCUPS, 2),
+    }))
+
 
 def _tpu_alive(timeout_s: float = 120.0) -> bool:
     """Probe the TPU in a subprocess (the axon tunnel can stall with
@@ -49,16 +101,9 @@ def main():
         else:
             # record a clearly-labeled CPU number rather than hanging
             fallback = " (CPU FALLBACK: TPU tunnel unreachable)"
-    import jax
-    if fallback or "--cpu" in sys.argv:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    import jax.numpy as jnp
-
     from bath_tpu.bg import Background
     from bath_tpu.gencode import GeneticCode
     from bath_tpu.hmmfile import read_hmm
-    from bath_tpu.ops.jaxk import kernels as jk
     from bath_tpu.ops.reference.fwdback_fs import fs_oprofile_convert
     from bath_tpu.profile import profile_config_fs
 
@@ -68,6 +113,20 @@ def main():
     gcode.set_initiator_any()
     gm3 = profile_config_fs(hmm, bg, gcode, 3, 100)
     om3 = fs_oprofile_convert(gm3)
+
+    if fallback or "--cpu" in sys.argv:
+        # TPU unavailable: measure the production CPU path (the
+        # bit-exact native C fs3 gate over forked workers), not
+        # jnp-on-CPU, which would understate the framework ~10x
+        _cpu_bench(hmm, om3, fallback)
+        return
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import jax.numpy as jnp
+
+    from bath_tpu.ops.jaxk import kernels as jk
+
     p3 = jk.fs3_params(om3)
 
     use_pallas = "--pallas" in sys.argv
@@ -77,8 +136,6 @@ def main():
     rng = np.random.default_rng(0)
     # distinct inputs per iteration so no layer can cache executions
     n_iter = 6
-    if fallback or "--cpu" in sys.argv:
-        B, L, n_iter = 64, 1536, 2      # CPU-sized
     batches = [jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int32))
                for _ in range(n_iter)]
     lens = jnp.asarray(np.full(B, L, np.int32))
