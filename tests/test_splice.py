@@ -535,3 +535,82 @@ def test_fix_decoding_errors_branches():
     p4 = mkpath([0, 1], [100, 300], [200, 400], [1, 30], [20, 50])
     assert fix_decoding_errors(g4, p4, mkres([5.0, 50.0]),
                                None) is False
+
+
+def _four_exon_fixture(tmp_path):
+    """AMP_N consensus split into 4 exons (3 GT..AG introns); each
+    exon is a strong independent hit, so the splice graph gets 4
+    anchor nodes."""
+    from bath_tpu.codontable import CodonTable
+    from bath_tpu.rng import Randomness
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    ct = CodonTable(gcode)
+    r = Randomness(3)
+    cons = np.argmax(hmm.mat[1:, :20], axis=1).astype(np.int32)
+    A, G, T = 0, 2, 3
+    sym = "ACGT"
+    bounds = [0, 40, 80, 115, len(cons)]
+    parts = []
+    for i in range(4):
+        parts.append(ct.reverse_translate(
+            r, cons[bounds[i]:bounds[i + 1]]))
+        if i < 3:
+            parts.append(np.concatenate(
+                [[G, T], r.sample_iid(np.full(4, 0.25), 90), [A, G]]))
+    flank = lambda n: r.sample_iid(np.full(4, 0.25), n)
+    full = np.concatenate([flank(300)] + parts + [flank(300)])
+    fa = tmp_path / "fourexon.fa"
+    with open(fa, "w") as f:
+        f.write(">fourexon\n")
+        s = "".join(sym[x] for x in full)
+        for i in range(0, len(s), 60):
+            f.write(s[i:i + 60] + "\n")
+    return str(fa)
+
+
+def test_decoding_underflow_realign_succeeds(tmp_path, monkeypatch):
+    """With anchors on both sides of the weakest exon, the underflow
+    recovery trims the path and the REALIGNED spliced hit is
+    reported (the eslEINACCURATE recursion of AlignSplicedPath,
+    ref p7_splice.c:2736)."""
+    import bath_tpu.ops.reference.fwdback as fb
+    from bath_tpu.cli import bathsearch
+
+    fa = _four_exon_fixture(tmp_path)
+
+    # baseline: one 4-exon spliced hit
+    out0 = str(tmp_path / "base.out")
+    assert bathsearch.run(["--splice", "-o", out0,
+                           f"{TUT}/AMP_N.bhmm", fa]) == 0
+    hits0 = [ln.split() for ln in open(out0)
+             if "fourexon" in ln and ln.strip()
+             and ln.strip()[0].isdigit()]
+    assert len(hits0) == 1 and hits0[0][6] == "4", hits0
+
+    real_decoding = fb.decoding
+    calls = {"align": 0}
+
+    def flaky_decoding(om, oxf, oxb):
+        if sys._getframe(1).f_code.co_filename.endswith(
+                "splice/align.py"):
+            calls["align"] += 1
+            if calls["align"] == 1:
+                raise fb.RangeError("injected underflow")
+        return real_decoding(om, oxf, oxb)
+
+    monkeypatch.setattr(fb, "decoding", flaky_decoding)
+    out1 = str(tmp_path / "realign.out")
+    assert bathsearch.run(["--splice", "-o", out1,
+                           f"{TUT}/AMP_N.bhmm", fa]) == 0
+    assert calls["align"] >= 2          # the realign happened
+    hits1 = [ln.split() for ln in open(out1)
+             if "fourexon" in ln and ln.strip()
+             and ln.strip()[0].isdigit()]
+    # weakest (last) exon cut: a 3-exon spliced hit plus the dropped
+    # exon reported on its own
+    exon_counts = sorted(h[6] for h in hits1)
+    assert "3" in exon_counts, hits1
+    assert len(hits1) == 2, hits1
