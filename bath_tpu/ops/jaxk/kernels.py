@@ -396,6 +396,10 @@ class FS3Params:
     tMI: jnp.ndarray
     tII: jnp.ndarray
     UT: jnp.ndarray = None   # [Mt, Mt] transposed DD-closure operator
+                             # with tMD, the k-1 shift, and the next
+                             # slot's D->M read multiplier pre-folded
+    u: jnp.ndarray = None    # [Mt] xE weights: 1 + colsum of the
+                             # unfolded closure (xE = u . msv)
 
 
 def fs3_params(om_fs, sub_multiple: int = 8) -> FS3Params:
@@ -425,13 +429,30 @@ def fs3_params(om_fs, sub_multiple: int = 8) -> FS3Params:
 
     tMD = np.zeros(Mt, np.float32)
     tMD[1:M] = tfv[1:M, C.P_MD]          # slot k = M_k -> D_{k+1}
+    # fold the M->D transition AND the k-1 shift into the transposed
+    # closure operator: new_d = UT @ (shift_down(msv) * tMD) becomes
+    # one matmul W @ msv with W[r, j] = UT[r, j+1] * tMD[j+1]
+    # (saves 2 VPU ops per position on the full [Mt, B] state)
+    UTm = dd_closure_matrix(tfv[1:M, C.P_DD], Mt).T
+    W = np.zeros_like(UTm)
+    W[:, :-1] = UTm[:, 1:] * tMD[None, 1:]
+    # xE = msv.sum + new_d.sum collapses to one weighted reduction
+    # u . msv with u = 1 + colsum(W)
+    u = 1.0 + W.sum(axis=0, dtype=np.float32)
+    # the stored D ring row is only ever read shifted and multiplied
+    # by the D->M transition, so pre-fold that too: row r of the
+    # stored new_d carries tDM[r+1]
+    tDMv = np.zeros(Mt, np.float32)
+    tDMv[:M] = tfv[:M, C.P_DM]
+    tDM_next = np.concatenate([tDMv[1:], [0.0]]).astype(np.float32)
+    W3 = tDM_next[:, None] * W
     return FS3Params(
         Mt=Mt, M=M, T2=table(orig2), T3=table(orig3), T4=table(orig4),
         tBM=pad(tfv[:M, C.P_BM]), tMM=pad(tfv[:M, C.P_MM]),
         tIM=pad(tfv[:M, C.P_IM]), tDM=pad(tfv[:M, C.P_DM]),
         tMDs=jnp.asarray(tMD),
         tMI=pad(tfv[1:M + 1, C.P_MI]), tII=pad(tfv[1:M + 1, C.P_II]),
-        UT=jnp.asarray(dd_closure_matrix(tfv[1:M, C.P_DD], Mt).T))
+        UT=jnp.asarray(W3), u=jnp.asarray(u))
 
 
 def _shift_down(x):
@@ -449,7 +470,7 @@ _ABLATE = "full"
 
 @partial(jax.jit, static_argnames=("Mt", "nj"))
 def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
-                    tMI, tII, nj, Mt, UT=None):
+                    tMI, tII, nj, Mt, UT=None, u=None):
     """Frameshift 3-codon Forward parser, batched.
 
     TPU structure (all DP state in [model, batch] layout — model
@@ -512,6 +533,7 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
 
     tBMc, tMMc, tIMc, tDMc = (t[:, None] for t in (tBM, tMM, tIM, tDM))
     tMDc = tMDs[:, None]
+    uc = u[:, None] if u is not None else None
     tMIc, tIIc = tMI[:, None], tII[:, None]
     BF16 = jnp.bfloat16
     T2b, T3b, T4b = T2.astype(BF16), T3.astype(BF16), T4.astype(BF16)
@@ -555,8 +577,11 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
             mp = _shift_down(mr[p2_m4])
             ip = _shift_down(ir[p2_m4])
             dp = _shift_down(dr[p2_m4])
+            if _ABLATE == "nodd":
+                dp = dp * tDMc
+            # dp's D->M multiplier is pre-folded into the stored ring
             sv = (xBb[p2_m4] * sc2)[None, :] * tBMc + \
-                 (mp * tMMc + ip * tIMc + dp * tDMc) * sc2[None, :]
+                 (mp * tMMc + ip * tIMc + dp) * sc2[None, :]
             msv = sv * E2
             t3 = (ivx[s3] * pivx[s3][None, :]) * E3
             t4 = (ivx[s4] * pivx[s4][None, :]) * E4
@@ -567,12 +592,17 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
                 t4 = jnp.where(pos >= 4, t4, 0.0)
                 new_i = jnp.where(pos >= 3, new_i, 0.0)
             msv = msv + t3 + t4
-            part = _shift_down(msv) * tMDc
             if _ABLATE == "nodd":
-                new_d = part
+                new_d = _shift_down(msv) * tMDc
+                xE = msv.sum(axis=0) + new_d.sum(axis=0)
             else:
-                new_d = jnp.dot(UT, part, preferred_element_type=F32)
-            xE = msv.sum(axis=0) + new_d.sum(axis=0)
+                # W = closure^T with tMD, the k-1 shift, and the
+                # next slot's D->M read multiplier pre-folded
+                new_d = jnp.dot(UT, msv, preferred_element_type=F32)
+                # xE = msv.sum + (unfolded new_d).sum as one weighted
+                # reduction, on the MXU (VPU is the bottleneck)
+                xE = jnp.dot(uc[:, 0][None, :], msv,
+                             preferred_element_type=F32)[0]
             xN2 = xNb[p3_m4] * pend[p3_m4] * ploop
             xJ2 = xJb[p3_m4] * pend[p3_m4] * ploop + xE * eloop
             xC2 = xCb[p3_m4] * pend[p3_m4] * ploop + xE * emove
@@ -638,4 +668,5 @@ def fs3_score_batch(dsq, lens, params: FS3Params,
                            params.T2, params.T3, params.T4,
                            params.tBM, params.tMM, params.tIM,
                            params.tDM, params.tMDs, params.tMI,
-                           params.tII, float(nj), params.Mt, params.UT)
+                           params.tII, float(nj), params.Mt, params.UT,
+                           params.u)

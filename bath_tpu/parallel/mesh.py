@@ -73,7 +73,7 @@ def make_pipeline_step(mesh: Mesh, fwd_params, msv_params, fs3_params,
         fs3 = jk._fs3_score_impl(
             ndsq, nlens, p3.T2, p3.T3, p3.T4, p3.tBM, p3.tMM, p3.tIM,
             p3.tDM, p3.tMDs, p3.tMI, p3.tII, nj=1.0, Mt=p3.Mt,
-            UT=p3.UT)
+            UT=p3.UT, u=p3.u)
         # pipeline counter reduction (p7_pipeline_Merge semantics)
         nres = jax.lax.psum(alens.sum() + nlens.sum(), axis)
         npass = jax.lax.psum((fwd > 0).sum() + (fs3 > 0).sum(), axis)
