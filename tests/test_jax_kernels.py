@@ -64,7 +64,12 @@ def test_fs3_jax_vs_numpy(setup):
     gm3 = profile_config_fs(hmm, bg, gcode, 3, 100)
     om3 = ffs.fs_oprofile_convert(gm3)
     sq = read_fasta(f"{TUT}/target-AMP_N.fa", dna())[0]
-    dnas = [sq.dsq[:150].copy(), sq.dsq[100:350].copy(), sq.dsq[:411].copy()]
+    # mixed lengths incl. non-multiples of the 12-position scan block
+    # and of 3 (exercises the folded DD-closure operator + u-weighted
+    # xE across ring-phase boundaries)
+    dnas = [sq.dsq[:150].copy(), sq.dsq[100:350].copy(),
+            sq.dsq[:411].copy(), sq.dsq[5:42].copy(),
+            sq.dsq[20:117].copy()]
     batch, lens = pack_sequences(dnas, pad_value=17)
     p3 = jk.fs3_params(om3)
     scores = np.asarray(jk.fs3_score_batch(batch, lens, p3, nj=1.0))
