@@ -223,6 +223,23 @@ def _postdomaindef_bath(pli: Pipeline, om: OProfile, gm: Profile,
     ddef.reuse()
 
 
+class F3Candidate:
+    """One ORF that survived the Vit gate: everything the Forward
+    (F3/F4) stage needs, so that stage can run on a device batch
+    spanning many windows (ref: the per-ORF tail of p7_Pipeline_BATH,
+    p7_pipeline.c:1735-1789)."""
+    __slots__ = ("idx", "orfsq", "filtersc", "nullsc", "win_lo",
+                 "win_hi")
+
+    def __init__(self, idx, orfsq, filtersc, nullsc, win_lo, win_hi):
+        self.idx = idx
+        self.orfsq = orfsq
+        self.filtersc = filtersc
+        self.nullsc = nullsc
+        self.win_lo = win_lo
+        self.win_hi = win_hi
+
+
 def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
                   om_fs3, om_fs5, gm_fs5: FSProfile, data: ScoreData,
                   bg: Background, hitlist: TopHits, seqidx: int,
@@ -233,21 +250,40 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
 
     <usc_pre>: optional per-ORF MSV scores precomputed by the batched
     device kernel (ops/jaxk/msv_exact, bit-exact vs msv_filter); when
-    given, the scalar MSV call is skipped."""
-    if dnasq.n < 15 or not orfs:
-        return
+    given, the scalar MSV call is skipped.
 
-    # windows appended before this call belong to earlier target
-    # windows; their ORF ids would collide with this call's ORF
-    # indices in build_dna_windows (the reference scans its whole
-    # accumulated hw list here — an order-dependence we fix so output
-    # is invariant to window order and worker count)
+    Implemented as gates (MSV/bias/Vit + window capture) followed by
+    the Forward stage; the device pipeline (device_pipeline.py) calls
+    the two phases separately so Forward batches span windows."""
     win_start = len(hit_windows)
+    cands, P_orf, fwdsc_arr, oxf_holder = pipeline_gates(
+        pli, om, data, bg, dnasq, orfs, hit_windows, seqidx,
+        complementarity, usc_pre, vfsc_pre)
+    pipeline_fwd_stage(pli, om, gm, gm_fs5, bg, hitlist, seqidx, dnasq,
+                       hit_windows, complementarity, cands, P_orf,
+                       fwdsc_arr, oxf_holder)
+    if pli.fs_pipe and fs_funcs is not None:
+        fs_funcs(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
+                 seqidx, orfs, dnasq, gcode, P_orf, fwdsc_arr,
+                 oxf_holder, hit_windows[win_start:], complementarity)
 
-    n_orfs = len(orfs)
+
+def pipeline_gates(pli: Pipeline, om: OProfile, data: ScoreData,
+                   bg: Background, dnasq: Sequence, orfs,
+                   hit_windows: list[Window], seqidx: int,
+                   complementarity: int, usc_pre=None,
+                   vfsc_pre=None):
+    """Phase 1 of the pipeline: MSV -> bias -> Viterbi gates plus
+    window capture and local-compo rescue.  Returns (candidates for
+    the Forward stage, P_orf, fwdsc_arr, oxf_holder) — the last three
+    pre-sized for the fs branch."""
+    n_orfs = len(orfs) if orfs is not None else 0
     P_orf = [1.0] * n_orfs
     fwdsc_arr = [float("-inf")] * n_orfs
     oxf_holder = [None] * n_orfs
+    cands: list[F3Candidate] = []
+    if dnasq.n < 15 or not orfs:
+        return cands, P_orf, fwdsc_arr, oxf_holder
 
     if usc_pre is None:
         # one native call for the whole window's ORFs (bit-identical
@@ -459,21 +495,69 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
             bg.set_filter(om.M, om.compo)
             bg.set_length(orfsq.n)
 
+        if not pli.fs_pipe and pli.spliced:
+            for w in hit_windows[old_window_cnt:]:
+                w.id = seqidx
+                w.complementarity = complementarity
+                if complementarity:
+                    w.n = dnasq.end + orfsq.start - \
+                        ((w.n + w.length - 1) * 3)
+                else:
+                    w.n = dnasq.start + orfsq.start + (w.n * 3) - 4
+                w.length *= 3
+        cands.append(F3Candidate(idx, orfsq, filtersc, nullsc,
+                                 old_window_cnt, len(hit_windows)))
+    return cands, P_orf, fwdsc_arr, oxf_holder
+
+
+# P-value safety band for device-gated Forward: a candidate whose
+# device P is above threshold*BAND is rejected without host work; any
+# candidate within the band (or passing) is re-scored bit-exactly on
+# the host, so gate decisions (and all downstream bytes) are identical
+# to the host path as long as the device score error stays below
+# ln(BAND)/lambda bits (~3 bits at BAND=8; measured device error is
+# ~0.01 bits, tests/test_device_pipeline.py pins the bound).
+DEVICE_GATE_BAND = 8.0
+
+
+def pipeline_fwd_stage(pli: Pipeline, om: OProfile, gm: Profile,
+                       gm_fs5, bg: Background, hitlist: TopHits,
+                       seqidx: int, dnasq: Sequence,
+                       hit_windows: list[Window], complementarity: int,
+                       cands: list[F3Candidate], P_orf, fwdsc_arr,
+                       oxf_holder, fwd_dev=None) -> None:
+    """Phase 2: the Forward gate — F3 + domaindef + hit assembly for
+    the standard pipeline (ref: p7_pipeline.c:1735-1771), or the
+    per-ORF F4 gate for the frameshift pipeline (ref: :1774-1789).
+
+    <fwd_dev>: optional per-candidate device Forward scores (nats).
+    Candidates whose device P-value exceeds threshold*DEVICE_GATE_BAND
+    are rejected with no host Forward; the rest are re-scored with the
+    bit-exact host kernel so output bytes never depend on the device
+    arithmetic."""
+    from .native import fwd_parser_score_native
+    thresh = pli.F3 if not pli.fs_pipe else pli.F4
+    for ci, cand in enumerate(cands):
+        idx, orfsq = cand.idx, cand.orfsq
+        filtersc, nullsc = cand.filtersc, cand.nullsc
+        old_window_cnt = cand.win_lo
+        om.reconfig_length(orfsq.n)
+        if fwd_dev is not None:
+            sc_dev = float(fwd_dev[ci])
+            seqsc_dev = (sc_dev - filtersc) / C.CONST_LOG2
+            P_dev = float(stats.exp_surv(
+                seqsc_dev, om.evparam[C.EV_FTAU],
+                om.evparam[C.EV_FLAMBDA]))
+            if P_dev > thresh * DEVICE_GATE_BAND:
+                # clear rejection: the exact P can only be within
+                # BAND of P_dev, so it also fails the gate
+                if pli.fs_pipe:
+                    P_orf[idx] = P_dev
+                continue
         if not pli.fs_pipe:
-            if pli.spliced:
-                for w in hit_windows[old_window_cnt:]:
-                    w.id = seqidx
-                    w.complementarity = complementarity
-                    if complementarity:
-                        w.n = dnasq.end + orfsq.start - \
-                            ((w.n + w.length - 1) * 3)
-                    else:
-                        w.n = dnasq.start + orfsq.start + (w.n * 3) - 4
-                    w.length *= 3
             try:
                 # bit-exact native score gates first; the parser
                 # matrix is only built for survivors
-                from .native import fwd_parser_score_native
                 fwdsc = fwd_parser_score_native(orfsq.dsq, om)
                 if fwdsc is None:
                     _, fwdsc = fb.forward(orfsq.dsq, om, full=False)
@@ -489,7 +573,7 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
             except RangeError:
                 continue
             if pli.spliced:
-                for w in hit_windows[old_window_cnt:]:
+                for w in hit_windows[old_window_cnt:cand.win_hi]:
                     w.pass_forward = True
 
             if complementarity:
@@ -524,7 +608,6 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
             # the parser matrix only for gate survivors
             # (ref: :1774-1789)
             try:
-                from .native import fwd_parser_score_native
                 fwdsc = fwd_parser_score_native(orfsq.dsq, om)
                 oxf = None
                 if fwdsc is None:
@@ -544,11 +627,6 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
                     except RangeError:
                         continue
                 oxf_holder[idx] = oxf
-
-    if pli.fs_pipe and fs_funcs is not None:
-        fs_funcs(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
-                 seqidx, orfs, dnasq, gcode, P_orf, fwdsc_arr, oxf_holder,
-                 hit_windows[win_start:], complementarity)
 
 
 def statistics_text(pli: Pipeline, elapsed: float | None = None) -> str:

@@ -692,16 +692,35 @@ def _postdomaindef_fs(pli, gm_fs5, om_fs5, bg, hitlist, seqidx,
 # ---------------------------------------------------------------------
 # The frameshift pipeline driver (ref: p7_pli_Frameshift :1338)
 # ---------------------------------------------------------------------
-def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
-                   seqidx, orfs, dnasq, gcode, P_orf, fwdsc_arr, oxf_holder,
-                   hit_windows, complementarity):
-    from .domaindef import by_posterior_heuristics_bath
-    from .ops.reference import fwdback as fb
-    from .pipeline import _postdomaindef_bath
+class FSWindowCand:
+    """One merged DNA window ready for the fs3-Forward gate: the
+    prepared inputs + arbitration statistics, so the gate can run as a
+    device batch spanning many calls (ref: p7_pli_Frameshift
+    :1338-1465)."""
+    __slots__ = ("w_idx", "wn", "wlen", "tmpseq", "P_tot", "P_min",
+                 "orf_cnt", "nullsc", "filtersc")
 
+    def __init__(self, w_idx, wn, wlen, tmpseq, P_tot, P_min, orf_cnt,
+                 nullsc, filtersc):
+        self.w_idx = w_idx
+        self.wn = wn
+        self.wlen = wlen
+        self.tmpseq = tmpseq
+        self.P_tot = P_tot
+        self.P_min = P_min
+        self.orf_cnt = orf_cnt
+        self.nullsc = nullsc
+        self.filtersc = filtersc
+
+
+def fs_prepare(pli, om, data, bg, orfs, dnasq, gcode, P_orf, fwdsc_arr,
+               hit_windows, complementarity) -> list[FSWindowCand]:
+    """Phase 1 of the frameshift branch: DNA window building plus the
+    per-window statistics and bias filtering that precede the
+    fs3-Forward gate (ref: p7_pli_Frameshift :1338-1463)."""
     windows = build_dna_windows(pli, orfs, dnasq, om, data, P_orf,
                                 hit_windows, complementarity)
-
+    cands = []
     for w_idx, (wn, wlen) in enumerate(windows):
         window_start = (dnasq.start - (wn + wlen)) if complementarity \
             else (dnasq.start + wn - 1)
@@ -762,33 +781,83 @@ def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
                 bg.set_length(wlen // 3)
         else:
             filtersc = nullsc
-
-        om_fs3.reconfig_length(wlen // 3)
-        try:
-            # bit-exact native score first (gate); the full parser
-            # matrix is only computed for gate survivors
-            from .native import fs3_parser_score_native
-            fwdsc = fs3_parser_score_native(tmpseq.dsq, om_fs3)
-            oxf = None
-            if fwdsc is None:
-                oxf, fwdsc = ffs.forward_parser_fs3(tmpseq.dsq,
-                                                    om_fs3)
-        except RangeError:
-            continue
-        seqscore = (fwdsc - filtersc) / C.CONST_LOG2
-        P_fs = float(stats.exp_surv(seqscore,
-                                    om_fs3.evparam[C.EV_FTAUFS3],
-                                    om_fs3.evparam[C.EV_FLAMBDA]))
-        P_null = float(stats.exp_surv((fwdsc - nullsc) / C.CONST_LOG2,
-                                      om_fs3.evparam[C.EV_FTAUFS3],
-                                      om_fs3.evparam[C.EV_FLAMBDA]))
         if not pli.std_pipe:
             P_tot = 1.0
+        cands.append(FSWindowCand(w_idx, wn, wlen, tmpseq, P_tot,
+                                  P_min, orf_cnt, nullsc, filtersc))
+    return cands
 
-        # Arbitration (ref :1465)
-        if P_fs <= pli.F3 and (P_null < P_tot
-                               or (P_null == P_tot and orf_cnt > 1)
-                               or P_min > pli.F3):
+
+def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
+                   seqidx, orfs, dnasq, gcode, P_orf, fwdsc_arr, oxf_holder,
+                   hit_windows, complementarity, fs3_dev=None):
+    """The frameshift pipeline driver (ref: p7_pli_Frameshift :1338):
+    window preparation, the fs3-Forward gate, arbitration, and domain
+    definition."""
+    cands = fs_prepare(pli, om, data, bg, orfs, dnasq, gcode, P_orf,
+                       fwdsc_arr, hit_windows, complementarity)
+    fs_gate_and_define(pli, om, gm, om_fs3, om_fs5, gm_fs5, bg, hitlist,
+                       seqidx, orfs, dnasq, gcode, P_orf, oxf_holder,
+                       complementarity, cands, fs3_dev)
+
+
+def fs_gate_and_define(pli, om, gm, om_fs3, om_fs5, gm_fs5, bg, hitlist,
+                       seqidx, orfs, dnasq, gcode, P_orf, oxf_holder,
+                       complementarity, cands, fs3_dev=None):
+    """Phase 2 of the frameshift branch: fs3-Forward gate,
+    arbitration, domain definition and hit assembly per prepared DNA
+    window (ref: p7_pli_Frameshift :1450-1511).  <fs3_dev>: optional
+    per-window device fs3-Forward scores (nats); windows whose device
+    P is above F3*DEVICE_GATE_BAND skip the host fs3 parser entirely
+    (the exact P can only be within the band, so it also fails the
+    gate), the rest are re-scored bit-exactly on the host."""
+    from .domaindef import by_posterior_heuristics_bath
+    from .ops.reference import fwdback as fb
+    from .pipeline import DEVICE_GATE_BAND, _postdomaindef_bath
+
+    for ci, cand in enumerate(cands):
+        w_idx, wn, wlen = cand.w_idx, cand.wn, cand.wlen
+        tmpseq = cand.tmpseq
+        nullsc, filtersc = cand.nullsc, cand.filtersc
+        P_tot, P_min, orf_cnt = cand.P_tot, cand.P_min, cand.orf_cnt
+
+        om_fs3.reconfig_length(wlen // 3)
+        fs_branch = True
+        oxf = None
+        if fs3_dev is not None:
+            sc_dev = float(fs3_dev[ci])
+            P_dev = float(stats.exp_surv(
+                (sc_dev - filtersc) / C.CONST_LOG2,
+                om_fs3.evparam[C.EV_FTAUFS3],
+                om_fs3.evparam[C.EV_FLAMBDA]))
+            if P_dev > pli.F3 * DEVICE_GATE_BAND:
+                fs_branch = False       # clear rejection, no host DP
+        if fs_branch:
+            try:
+                # bit-exact native score first (gate); the full parser
+                # matrix is only computed for gate survivors
+                from .native import fs3_parser_score_native
+                fwdsc = fs3_parser_score_native(tmpseq.dsq, om_fs3)
+                if fwdsc is None:
+                    oxf, fwdsc = ffs.forward_parser_fs3(tmpseq.dsq,
+                                                        om_fs3)
+            except RangeError:
+                continue
+            seqscore = (fwdsc - filtersc) / C.CONST_LOG2
+            P_fs = float(stats.exp_surv(seqscore,
+                                        om_fs3.evparam[C.EV_FTAUFS3],
+                                        om_fs3.evparam[C.EV_FLAMBDA]))
+            P_null = float(stats.exp_surv(
+                (fwdsc - nullsc) / C.CONST_LOG2,
+                om_fs3.evparam[C.EV_FTAUFS3],
+                om_fs3.evparam[C.EV_FLAMBDA]))
+            # Arbitration (ref :1465)
+            fs_branch = P_fs <= pli.F3 and (
+                P_null < P_tot
+                or (P_null == P_tot and orf_cnt > 1)
+                or P_min > pli.F3)
+
+        if fs_branch:
             pli.pos_past_fwd += wlen
             try:
                 if oxf is None:

@@ -158,3 +158,45 @@ def test_backend_jax_golden_identical():
         return re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
 
     assert run("jax") == run("numpy")
+
+
+def test_msv_mb_bitparity(setup):
+    """[model, batch]-layout SSV/MSV (the production device F1 kernel)
+    is bit-exact vs the scalar reference filter, including degenerate
+    residues, the shortest legal ORFs, and length-model edges."""
+    from bath_tpu.ops.jaxk.filters_mb import MSVExactMB
+    from bath_tpu.ops.reference.filters import msv_filter
+
+    hmm, bg, om = setup
+    mx = MSVExactMB(om)
+    rng = np.random.default_rng(9)
+    seqs = [rng.integers(0, 20, L).astype(np.int32)
+            for L in (15, 20, 33, 64, 150, 280, 1000)]
+    # degenerate / missing residues exercise the Kp tail of the tables
+    sdeg = rng.integers(0, 29, 120).astype(np.int32)
+    seqs.append(sdeg)
+    batch, lens = pack_sequences(seqs, pad_value=28)
+    got = mx.scores(batch, lens)
+    for s, g in zip(seqs, got):
+        om.reconfig_length(len(s))
+        ref = msv_filter(s, om)
+        assert g == ref or (np.isinf(g) and np.isinf(ref)), (len(s), g, ref)
+
+
+def test_msv_mb_matches_msv_exact_bulk(setup):
+    """Bulk agreement of the [model, batch] kernel with the
+    [batch, model] oracle across a large random batch (both are
+    integer DPs, so equality is exact)."""
+    from bath_tpu.ops.jaxk.filters_mb import MSVExactMB
+    from bath_tpu.ops.jaxk.msv_exact import MSVExact
+
+    hmm, bg, om = setup
+    a = MSVExact(om)
+    b = MSVExactMB(om)
+    rng = np.random.default_rng(11)
+    B, L = 64, 200
+    batch = rng.integers(0, 21, (B, L)).astype(np.int32)
+    lens = rng.integers(15, L + 1, B).astype(np.int32)
+    sa = a.scores(batch, lens)
+    sb = b.scores(batch, lens)
+    assert np.array_equal(sa, sb, equal_nan=True), (sa, sb)
