@@ -166,18 +166,50 @@ def build_parser() -> argparse.ArgumentParser:
                         "windows (forked processes; output is "
                         "byte-identical for any worker count). "
                         "0/1 = serial")
-    p.add_argument("--backend", default="numpy",
-                   choices=["numpy", "jax"],
-                   help="filter-cascade backend: numpy (scalar exact "
-                        "reference path; fastest for small/medium "
-                        "windows) or jax (bit-exact batched device "
-                        "gates; wins on very large windows/batches)")
+    p.add_argument("--backend",
+                   default=_os.environ.get("BATH_BACKEND", "auto"),
+                   choices=["auto", "numpy", "jax"],
+                   help="filter-cascade backend: jax runs the "
+                        "MSV/Forward/fs3 gates as chunked device "
+                        "batches (output is byte-identical to numpy; "
+                        "survivors are re-scored by the bit-exact "
+                        "host kernels); numpy is the scalar host "
+                        "path. auto picks jax when an accelerator "
+                        "is visible")
     p.add_argument("--mesh", type=int, default=0,
                    help="with --backend jax: shard device gate "
                         "batches over an N-device data-parallel mesh "
                         "(profiles replicated; output is identical "
                         "for any N)")
+    p.add_argument("--hosts", type=int,
+                   default=int(_os.environ.get("BATH_NPROCS", 0)),
+                   help="total process count of a jax.distributed "
+                        "data-parallel run: windows are sharded "
+                        "tid %% hosts == host-id, hits/stats are "
+                        "all-gathered and merged in stream order, so "
+                        "output is byte-identical for any host count "
+                        "(run one process per host)")
+    p.add_argument("--host-id", type=int, default=-1,
+                   help="this process's rank (0..hosts-1); host 0 "
+                        "writes the output")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of rank 0's jax.distributed "
+                        "coordinator (default localhost:9377)")
     return p
+
+
+def resolve_backend(choice: str) -> str:
+    """'auto' picks the device cascade iff an accelerator is visible
+    without paying a jax import/init on pure-CPU boxes: JAX_PLATFORMS
+    pinned to cpu (the test environment) or no TPU marker -> numpy."""
+    if choice != "auto":
+        return choice
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return "numpy"
+    has_tpu = (any(os.path.exists(f"/dev/accel{i}") for i in range(4))
+               or os.environ.get("PALLAS_AXON_POOL_IPS")
+               or os.environ.get("TPU_NAME"))
+    return "jax" if has_tpu else "numpy"
 
 
 def make_pipeline(args) -> Pipeline:
@@ -292,6 +324,7 @@ def load_queries(path, args):
 
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    args.backend = resolve_backend(args.backend)
     if args.crick:
         args.strand = "plus"
     elif args.watson:
@@ -331,10 +364,27 @@ def run(argv=None) -> int:
             print(f"Failed to open {what} {path} for reading",
                   file=sys.stderr)
             return 1
-    ofp = open(args.outfile, "w") if args.outfile else sys.stdout
-    tblfp = open(args.tblout, "w") if args.tblout else None
-    fstblfp = open(args.fstblout, "w") if args.fstblout else None
-    extblfp = open(args.exontblout, "w") if args.exontblout else None
+    # multi-host SPMD (ref discipline: bathsearch.c thread merge
+    # :887-892 lifted across hosts; see parallel/hosts.py)
+    from ..parallel.hosts import (allgather_results,
+                                  maybe_init_from_args, psum_counters)
+    nprocs, proc_id = maybe_init_from_args(args)
+
+    if proc_id:
+        # every rank computes the merged result (it is deterministic);
+        # only rank 0 writes it
+        devnull = open(os.devnull, "w")
+        ofp = tblfp = fstblfp = extblfp = None
+        ofp = devnull
+        tblfp = devnull if args.tblout else None
+        fstblfp = devnull if args.fstblout else None
+        extblfp = devnull if args.exontblout else None
+    else:
+        ofp = open(args.outfile, "w") if args.outfile else sys.stdout
+        tblfp = open(args.tblout, "w") if args.tblout else None
+        fstblfp = open(args.fstblout, "w") if args.fstblout else None
+        extblfp = open(args.exontblout, "w") if args.exontblout \
+            else None
     textw = 0 if args.notextw else args.textw
 
     gcode = GeneticCode.create(args.ct)
@@ -397,12 +447,9 @@ def run(argv=None) -> int:
             from ..pipeline_fs import pli_frameshift
             fs_funcs = pli_frameshift
 
-        msv_batch = vit_batch = None
-        mesh_sharding = None
+        cascade = None
         if args.backend == "jax":
-            from ..ops.jaxk.msv_exact import MSVExact, VitExact
-            msv_batch = MSVExact(om)
-            vit_batch = VitExact(om)
+            mesh_sharding = None
             if args.mesh and args.mesh > 1:
                 # data-parallel device mesh: batches sharded on the
                 # leading dim, profiles replicated — GSPMD partitions
@@ -413,56 +460,9 @@ def run(argv=None) -> int:
                 from ..parallel.mesh import make_mesh
                 _mesh = make_mesh(args.mesh)
                 mesh_sharding = NamedSharding(_mesh, P("dp"))
-
-        # fixed-shape buckets: every device call uses one of a small
-        # set of (B, L) shapes so each kernel compiles a handful of
-        # times per query, then streams (the reference's analogue is
-        # its fixed 256KiB block size, bathsearch.c:31)
-        BUCKET_B = 256
-        BUCKET_LS = (64, 128, 256, 512, 1024, 2048, 4096, 16384)
-        MIN_DEVICE_ORFS = int(os.environ.get("BATH_MIN_DEVICE_ORFS",
-                                             512))
-
-        def _run_bucketed(scorer, orf_list):
-            out = np.empty(len(orf_list), np.float32)
-            order = sorted(range(len(orf_list)),
-                           key=lambda i: orf_list[i].n)
-            groups = {}
-            for i in order:
-                L = orf_list[i].n
-                Lb = next(b for b in BUCKET_LS if b >= L)
-                groups.setdefault(Lb, []).append(i)
-            for Lb, idxs in groups.items():
-                for c0 in range(0, len(idxs), BUCKET_B):
-                    chunk = idxs[c0:c0 + BUCKET_B]
-                    batch = np.full((BUCKET_B, Lb), 28, np.int32)
-                    lens = np.ones(BUCKET_B, np.int32)
-                    for r, i in enumerate(chunk):
-                        d = orf_list[i].dsq
-                        batch[r, :len(d)] = d
-                        lens[r] = len(d)
-                    if mesh_sharding is not None:
-                        import jax
-                        batch = jax.device_put(batch, mesh_sharding)
-                        lens = jax.device_put(lens, mesh_sharding)
-                    sc = scorer(batch, lens)
-                    for r, i in enumerate(chunk):
-                        out[i] = sc[r]
-            return out
-
-        def batch_usc(orf_list):
-            """Batched exact MSV scores for a window's ORFs (device)."""
-            if msv_batch is None or len(orf_list) < MIN_DEVICE_ORFS:
-                return None
-            return _run_bucketed(msv_batch.scores, orf_list)
-
-        def batch_vfsc(orf_list):
-            """Batched exact ViterbiFilter scores (device): only pays
-            off for very large windows (the F2 gate sees ~2% of ORFs,
-            so the scalar filter usually wins)."""
-            if vit_batch is None or len(orf_list) < 8 * MIN_DEVICE_ORFS:
-                return None
-            return _run_bucketed(vit_batch.scores, orf_list)
+            from ..device_pipeline import DeviceCascade
+            cascade = DeviceCascade(om, om_fs3,
+                                    mesh_sharding=mesh_sharding)
 
         seqidx = 0
         db_started = args.restrictdb_stkey is None
@@ -511,6 +511,18 @@ def run(argv=None) -> int:
                     pli.nseqs += 1
                     seqidx += 1
 
+        results = [] if nprocs > 1 else None
+        ctr0 = {f: getattr(pli, f) for f in _PLI_COUNTERS} \
+            if nprocs > 1 else None
+
+        def shard(specs):
+            """Window sharding across hosts: every rank walks the
+            full stream (global nres/nseqs/length bookkeeping), only
+            its own windows are processed."""
+            for tid_, w_, s_ in specs:
+                if tid_ % nprocs == (proc_id if nprocs > 1 else 0):
+                    yield tid_, w_, s_
+
         ncpu = max(0, int(args.cpu or 0))
         if args.backend == "jax":
             ncpu = 0            # the device path is already batched
@@ -532,25 +544,73 @@ def run(argv=None) -> int:
                         ncpu, initializer=set_native_threads,
                         initargs=(_wthreads,)) as pool:
                     for _tid, hits, hws, deltas in pool.imap(
-                            _pool_task, window_specs(), chunksize=1):
+                            _pool_task, shard(window_specs()),
+                            chunksize=1):
                         th.unsrt.extend(hits)
                         hit_windows.extend(hws)
+                        if results is not None:
+                            results.append((_tid, hits, hws))
                         for f, v in deltas.items():
                             setattr(pli, f, getattr(pli, f) + v)
             finally:
                 _WCTX = None
+        elif cascade is not None:
+            # chunked device cascade: accumulate (window, strand)
+            # entries, then run MSV -> gates -> Forward -> fs3 with
+            # one set of batched device calls per phase (phase order
+            # preserves stream order, so output bytes match the
+            # serial per-window path)
+            from ..device_pipeline import ChunkEntry, flush_chunk
+            CHUNK_ORFS = int(os.environ.get("BATH_CHUNK_ORFS", 16384))
+            chunk: list = []
+            pending_orfs = 0
+
+            def _flush():
+                done = flush_chunk(chunk, cascade, pli, om, gm,
+                                   om_fs3, om_fs5, gm_fs5, data, bg,
+                                   th, gcode, hit_windows)
+                if results is not None:
+                    for e in done:
+                        results.append(
+                            (e.tid, list(e.hits.unsrt),
+                             hit_windows[e.win_start:e.win_end]))
+
+            for _tid, window, seqid_for_hits in shard(window_specs()):
+                if pli.strands != C.STRAND_BOTTOMONLY:
+                    orfs = extract_orfs(gcode, window.dsq,
+                                        minlen=args.minlen,
+                                        require_initiator=require_init)
+                    chunk.append(ChunkEntry(window, seqid_for_hits,
+                                            C.NOCOMPLEMENT, orfs,
+                                            tid=_tid))
+                    pending_orfs += len(orfs)
+                if pli.strands != C.STRAND_TOPONLY:
+                    rc = window.reverse_complement()
+                    orfs = extract_orfs(gcode, rc.dsq,
+                                        minlen=args.minlen,
+                                        is_revcomp=True,
+                                        require_initiator=require_init)
+                    chunk.append(ChunkEntry(rc, seqid_for_hits,
+                                            C.COMPLEMENT, orfs,
+                                            tid=_tid))
+                    pending_orfs += len(orfs)
+                if pending_orfs >= CHUNK_ORFS:
+                    _flush()
+                    pending_orfs = 0
+            if chunk:
+                _flush()
         else:
-            for _tid, window, seqid_for_hits in window_specs():
+            for _tid, window, seqid_for_hits in shard(window_specs()):
+                th_w = th if results is None else TopHits()
+                hws_w = hit_windows if results is None else []
                 if pli.strands != C.STRAND_BOTTOMONLY:
                     orfs = extract_orfs(gcode, window.dsq,
                                         minlen=args.minlen,
                                         require_initiator=require_init)
                     pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5,
-                                  data, bg, th, seqid_for_hits, window,
-                                  orfs, gcode, hit_windows,
-                                  C.NOCOMPLEMENT, fs_funcs,
-                                  usc_pre=batch_usc(orfs),
-                                  vfsc_pre=batch_vfsc(orfs))
+                                  data, bg, th_w, seqid_for_hits,
+                                  window, orfs, gcode, hws_w,
+                                  C.NOCOMPLEMENT, fs_funcs)
                 if pli.strands != C.STRAND_TOPONLY:
                     rc = window.reverse_complement()
                     orfs = extract_orfs(gcode, rc.dsq,
@@ -558,11 +618,25 @@ def run(argv=None) -> int:
                                         is_revcomp=True,
                                         require_initiator=require_init)
                     pipeline_bath(pli, om, gm, om_fs3, om_fs5, gm_fs5,
-                                  data, bg, th, seqid_for_hits, rc,
-                                  orfs, gcode, hit_windows,
-                                  C.COMPLEMENT, fs_funcs,
-                                  usc_pre=batch_usc(orfs),
-                                  vfsc_pre=batch_vfsc(orfs))
+                                  data, bg, th_w, seqid_for_hits, rc,
+                                  orfs, gcode, hws_w,
+                                  C.COMPLEMENT, fs_funcs)
+                if results is not None:
+                    results.append((_tid, th_w.unsrt, hws_w))
+
+        if nprocs > 1:
+            # cross-host merge (ref: p7_tophits_Merge +
+            # p7_pipeline_Merge at bathsearch.c:887-892): every rank
+            # rebuilds the identical global result in stream order
+            combined = allgather_results(results)
+            th.unsrt = [h for _, hs, _ in combined for h in hs]
+            hit_windows[:] = [w for _, _, hws in combined
+                              for w in hws]
+            delta = {f: getattr(pli, f) - ctr0[f]
+                     for f in _PLI_COUNTERS}
+            red = psum_counters(delta)
+            for f in _PLI_COUNTERS:
+                setattr(pli, f, ctr0[f] + red[f])
 
         # E-values from global residue count (ref: bathsearch.c:869-884)
         if args.Z is not None:
@@ -662,6 +736,14 @@ def run(argv=None) -> int:
     ofp.write("[ok]\n")
     if ofp is not sys.stdout:
         ofp.close()
+    if nprocs > 1:
+        # leave the coordination service cleanly (otherwise rank 0's
+        # exit logs a cancelled-watch grpc error on the others)
+        import jax
+        try:
+            jax.distributed.shutdown()
+        except Exception:
+            pass
     return 0
 
 

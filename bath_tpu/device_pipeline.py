@@ -1,0 +1,367 @@
+"""Chunked device gate cascade: the bathsearch --backend jax engine.
+
+The reference's hot path is its striped-SIMD filter cascade run
+per-ORF inside a pthread worker (ref: /root/reference/src/
+p7_pipeline.c:1583-1789).  On TPU the equivalent is batched, not
+threaded: windows are accumulated into a chunk, every ORF of every
+window in the chunk goes through the device MSV gate in a handful of
+fixed-shape batched calls, survivors of the host-side bias/Viterbi
+gates are batched again for the device Forward (F3/F4) gate, and the
+frameshift branch batches its merged DNA windows for the device
+fs3-Forward gate.  Only gate survivors return to host for domain
+definition — and every survivor is re-scored by the bit-exact host
+kernel (see pipeline.DEVICE_GATE_BAND), so output is byte-identical
+to the numpy backend for any chunk size.
+
+Shape discipline: each kernel compiles for a small fixed set of
+(B, L) buckets (compilation is minutes-slow on TPU backends and is
+amortized through the persistent jax compilation cache), and every
+call pads into one of those shapes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+F32 = np.float32
+
+# L buckets (sequence positions: aminos for MSV/Fwd, nt for fs3) and
+# the batch lane count per device call.  One compiled executable per
+# (kernel, bucket); keep the set small.
+BUCKET_LS = (128, 512, 2048, 16384)
+BUCKET_B = int(os.environ.get("BATH_DEVICE_BUCKET_B", 1024))
+
+
+def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
+                 bucket_ls=BUCKET_LS, out_rows=1):
+    """Pack ragged sequences into fixed-shape [B, Lb] batches, issue
+    every scorer call asynchronously, fetch ALL results with one
+    device->host transfer, and scatter them back.
+
+    The single fetch matters: device->host latency is high and
+    size-independent on tunneled backends, so per-call np.asarray
+    would serialize the whole cascade on round trips.
+
+    <seqs>: indexable of 1-D int arrays;
+    <scorer(batch, lens) -> jnp array of shape [out_rows*B] or [B]>.
+    Returns [out_rows, n] float64 (row-major per scorer row)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(lens)
+    out = np.full((out_rows, n), np.nan, np.float64)
+    if n == 0:
+        return out
+    B = bucket_b or BUCKET_B
+    lens = np.asarray(lens)
+    order = np.argsort(lens, kind="stable")
+    groups: dict[int, list[int]] = {}
+    for i in order:
+        L = int(lens[i])
+        Lb = next((b for b in bucket_ls if b >= L), None)
+        if Lb is None:
+            # longer than the largest bucket: stays NaN, which every
+            # consumer treats as "no device score -> host fallback"
+            continue
+        groups.setdefault(Lb, []).append(int(i))
+    if not groups:
+        return out
+    plan = []                       # (idx chunk, device result)
+    for Lb, idxs in groups.items():
+        for c0 in range(0, len(idxs), B):
+            chunk = idxs[c0:c0 + B]
+            batch = np.full((B, Lb), pad_value, np.int32)
+            blens = np.ones(B, np.int32)
+            for r, i in enumerate(chunk):
+                d = np.asarray(seqs[i], np.int32)[:Lb]
+                batch[r, :len(d)] = d
+                blens[r] = len(d)
+            plan.append((chunk, jnp.ravel(scorer(batch, blens))))
+    if len(plan) == 1:
+        fetched = [np.asarray(plan[0][1])]
+    else:
+        # one transfer for the whole stage
+        flat = np.asarray(jnp.concatenate([p[1] for p in plan]))
+        sizes = [p[1].shape[0] for p in plan]
+        cuts = np.cumsum(sizes)[:-1]
+        fetched = np.split(flat, cuts)
+    for (chunk, _), sc in zip(plan, fetched):
+        rows = sc.reshape(out_rows, -1)
+        out[:, chunk] = rows[:, :len(chunk)]
+    return out
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: gate-kernel compiles are
+    seconds-to-minutes (hardware backends especially), and every
+    bathsearch process uses the same handful of bucket shapes."""
+    import jax
+    try:
+        cache = os.environ.get(
+            "BATH_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "bath_tpu_jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception:
+        pass
+
+
+class DeviceCascade:
+    """Per-query device kernels + packing for the chunked cascade."""
+
+    def __init__(self, om, om_fs3=None, mesh_sharding=None):
+        _enable_compile_cache()
+        from .ops.jaxk.filters_mb import MSVExactMB, VitExactMB
+        self.om = om
+        self.msv = MSVExactMB(om)
+        self.vit = VitExactMB(om)
+        self.mesh_sharding = mesh_sharding
+        self._fwd_params = None
+        self._fs3_params = None
+        self._om_fs3 = om_fs3
+
+    # -- MSV (F1): every ORF of the chunk ---------------------------
+    def msv_scores(self, seqs, lens) -> np.ndarray:
+        """Bit-identical to ops.reference.filters.msv_filter per
+        item (integer DP on device, f64 conversion here)."""
+        import jax.numpy as jnp
+
+        def scorer(batch, blens):
+            ints, infs = self.msv.ints(batch, blens)
+            # one device array per call so the stage fetches once;
+            # both halves are small ints, exact in f32
+            return jnp.concatenate([ints.astype(jnp.float32),
+                                    infs.astype(jnp.float32)])
+        rows = run_bucketed(self._wrap(scorer), seqs, lens,
+                            pad_value=28, out_rows=2)
+        ints, infs = rows[0], rows[1]
+        sc = np.float32((ints - float(self.msv.base))
+                        / self.msv.scale - 3.0)
+        sc = np.where(infs != 0.0, np.float32(np.inf), sc) \
+            .astype(np.float32)
+        # ORFs longer than the largest bucket (no device score):
+        # bit-exact scalar fallback — the F1 result must be real for
+        # every ORF, unlike the banded F3/F4 gates
+        for i in np.nonzero(np.isnan(ints))[0]:
+            from .ops.reference.filters import msv_filter
+            self.om.reconfig_length(int(lens[i]))
+            sc[i] = msv_filter(np.asarray(seqs[i], np.int32), self.om)
+        return sc
+
+    # -- ViterbiFilter (F2): bias survivors --------------------------
+    def vit_scores(self, seqs, lens) -> np.ndarray:
+        """Bit-identical to ops.reference.filters.viterbi_filter's
+        score (int16 DP on device, f64 conversion here)."""
+        import jax.numpy as jnp
+
+        def scorer(batch, blens):
+            ints, has, ovf = self.vit.ints(batch, blens)
+            return jnp.concatenate([ints.astype(jnp.float32),
+                                    has.astype(jnp.float32),
+                                    ovf.astype(jnp.float32)])
+        rows = run_bucketed(self._wrap(scorer), seqs, lens,
+                            pad_value=28, out_rows=3)
+        ints, has, ovf = rows
+        sc = np.float32((ints - float(self.vit.base))
+                        / self.vit.scale - 3.0)
+        sc = np.where(has != 0.0, sc, np.float32(-np.inf))
+        sc = np.where(ovf != 0.0, np.float32(np.inf), sc) \
+            .astype(np.float32)
+        # over-bucket fallback: exact scalar
+        for i in np.nonzero(np.isnan(ints))[0]:
+            from .ops.reference.filters import viterbi_filter
+            self.om.reconfig_length(int(lens[i]))
+            sc[i] = viterbi_filter(np.asarray(seqs[i], np.int32),
+                                   self.om)
+        return sc
+
+    # -- Forward (F3/F4): Vit survivors -----------------------------
+    def fwd_scores(self, seqs, lens) -> np.ndarray:
+        from .ops.jaxk import kernels as jk
+        if self._fwd_params is None:
+            self._fwd_params = jk.fwd_mb_params(self.om)
+
+        def scorer(batch, blens):
+            return jk.fwd_mb_score_batch(batch, blens,
+                                         self._fwd_params, nj=1.0)
+        return run_bucketed(self._wrap(scorer), seqs, lens,
+                            pad_value=28)[0].astype(np.float32)
+
+    # -- fs3 Forward (the --fs window gate) --------------------------
+    def fs3_scores(self, seqs, lens) -> np.ndarray:
+        from .ops.jaxk import kernels as jk
+        if self._fs3_params is None:
+            self._fs3_params = jk.fs3_params(self._om_fs3)
+
+        def scorer(batch, blens):
+            return jk.fs3_score_batch(batch, blens,
+                                      self._fs3_params, nj=1.0)
+        # nt-unit buckets: windows run up to 2*max_length*3
+        return run_bucketed(self._wrap(scorer), seqs, lens,
+                            pad_value=17,
+                            bucket_ls=(512, 2048, 8192, 65536),
+                            bucket_b=max(64, BUCKET_B // 4)
+                            )[0].astype(np.float32)
+
+    def _wrap(self, scorer):
+        if self.mesh_sharding is None:
+            return scorer
+        import jax
+
+        def sharded(batch, blens):
+            batch = jax.device_put(batch, self.mesh_sharding)
+            blens = jax.device_put(blens, self.mesh_sharding)
+            return scorer(batch, blens)
+        return sharded
+
+
+class ChunkEntry:
+    """One (window, strand) unit of a chunk: inputs plus the staged
+    pipeline state between phases."""
+    __slots__ = ("window", "seqid", "complementarity", "orfs", "tid",
+                 "win_start", "win_end", "cands", "P_orf", "fwdsc_arr",
+                 "oxf_holder", "fs_cands", "hits")
+
+    def __init__(self, window, seqid, complementarity, orfs, tid=0):
+        self.window = window
+        self.seqid = seqid
+        self.complementarity = complementarity
+        self.orfs = orfs
+        self.tid = tid
+        self.win_start = 0
+        self.win_end = 0
+        self.cands = None
+        self.P_orf = None
+        self.fwdsc_arr = None
+        self.oxf_holder = None
+        self.fs_cands = None
+        self.hits = None
+
+
+def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
+                om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
+                gcode, hit_windows) -> None:
+    """Run one chunk through the staged cascade.  Entries are
+    processed in stream order at every phase, so hit/window ordering
+    (and output bytes) match the serial per-window pipeline."""
+    from .pipeline import (pipeline_fwd_stage, pipeline_gate_plan,
+                           pipeline_gates)
+
+    # Phase 1a: device MSV over every ORF of the chunk, then the
+    # vectorized F1 + bias plan per entry.
+    sizes = [len(e.orfs) if e.orfs is not None else 0 for e in chunk]
+    skip = [e.orfs is None or len(e.orfs) == 0 or e.window.n < 15
+            for e in chunk]
+    all_seqs: list = []
+    all_lens: list = []
+    for e, sk in zip(chunk, skip):
+        if sk:
+            continue
+        if getattr(e.orfs, "flat", None) is not None:
+            offs, lens = e.orfs.offs, e.orfs.lens
+            flat = e.orfs.flat
+            all_seqs.extend(
+                flat[int(offs[i]):int(offs[i]) + int(lens[i])]
+                for i in range(len(lens)))
+            all_lens.extend(int(x) for x in lens)
+        else:
+            all_seqs.extend(o.dsq for o in e.orfs)
+            all_lens.extend(o.n for o in e.orfs)
+    usc_all = cascade.msv_scores(all_seqs, np.asarray(all_lens,
+                                                      np.int64)) \
+        if all_lens else np.empty(0, F32)
+    pos = 0
+    plans = [None] * len(chunk)
+    for k, (e, sz, sk) in enumerate(zip(chunk, sizes, skip)):
+        if sk:
+            continue
+        plans[k] = pipeline_gate_plan(pli, om, bg, e.window, e.orfs,
+                                      usc_pre=usc_all[pos:pos + sz])
+        pos += sz
+
+    # Phase 1b: device ViterbiFilter over every bias survivor of the
+    # chunk, then the host gates (capture + compo rescue) per entry.
+    vit_seqs: list = []
+    vit_lens: list = []
+    vit_cuts = []
+    for k, (e, p) in enumerate(zip(chunk, plans)):
+        lo = len(vit_seqs)
+        if p is not None and p.vit_idx is not None:
+            for i in p.vit_idx:
+                o = e.orfs[int(i)]
+                vit_seqs.append(o.dsq)
+                vit_lens.append(o.n)
+        vit_cuts.append((lo, len(vit_seqs)))
+    vsc_all = cascade.vit_scores(vit_seqs, np.asarray(vit_lens,
+                                                      np.int64)) \
+        if vit_lens else np.empty(0, F32)
+    for k, (e, p, sk) in enumerate(zip(chunk, plans, skip)):
+        from .tophits import TopHits
+        e.hits = TopHits()
+        if sk:
+            e.cands, e.P_orf, e.fwdsc_arr, e.oxf_holder = [], [], [], []
+            e.win_start = e.win_end = len(hit_windows)
+            continue
+        lo, hi = vit_cuts[k]
+        vitsc = vsc_all[lo:hi] if p is not None \
+            and p.vit_idx is not None else None
+        e.win_start = len(hit_windows)
+        e.cands, e.P_orf, e.fwdsc_arr, e.oxf_holder = pipeline_gates(
+            pli, om, data, bg, e.window, e.orfs, hit_windows,
+            e.seqid, e.complementarity, plan=p, vitsc=vitsc)
+        e.win_end = len(hit_windows)
+
+    # Phase 2: device Forward over every Vit survivor of the chunk,
+    # then the host F3/F4 stage (+ domaindef for F3 survivors).
+    cand_seqs = [c.orfsq.dsq for e in chunk for c in e.cands]
+    cand_lens = [c.orfsq.n for e in chunk for c in e.cands]
+    fwd_all = cascade.fwd_scores(cand_seqs, np.asarray(cand_lens,
+                                                       np.int64)) \
+        if cand_lens else np.empty(0, F32)
+    pos = 0
+    for e in chunk:
+        ncand = len(e.cands)
+        pipeline_fwd_stage(pli, om, gm, gm_fs5, bg, e.hits, e.seqid,
+                           e.window, hit_windows, e.complementarity,
+                           e.cands, e.P_orf, e.fwdsc_arr, e.oxf_holder,
+                           fwd_dev=fwd_all[pos:pos + ncand])
+        pos += ncand
+
+    # Phase 3 (--fs): build merged DNA windows per entry, gate them
+    # through the device fs3-Forward, then arbitration + domaindef.
+    if pli.fs_pipe and om_fs3 is not None:
+        from .pipeline_fs import fs_gate_and_define, fs_prepare
+        for e in chunk:
+            e.fs_cands = fs_prepare(
+                pli, om, data, bg, e.orfs, e.window, gcode, e.P_orf,
+                e.fwdsc_arr, hit_windows[e.win_start:],
+                e.complementarity) \
+                if e.orfs is not None and len(e.orfs) else []
+        fs_seqs = [c.tmpseq.dsq for e in chunk for c in e.fs_cands]
+        fs_lens = [c.wlen for e in chunk for c in e.fs_cands]
+        fs3_all = cascade.fs3_scores(fs_seqs, np.asarray(fs_lens,
+                                                         np.int64)) \
+            if fs_lens else np.empty(0, F32)
+        pos = 0
+        for e in chunk:
+            nfs = len(e.fs_cands)
+            fs_gate_and_define(pli, om, gm, om_fs3, om_fs5, gm_fs5,
+                               bg, e.hits, e.seqid, e.orfs, e.window,
+                               gcode, e.P_orf, e.oxf_holder,
+                               e.complementarity, e.fs_cands,
+                               fs3_dev=fs3_all[pos:pos + nfs])
+            pos += nfs
+
+    # hits flow into the global list per entry, in stream order —
+    # exactly the serial path's (window, strand)-major hit ordering,
+    # which the stable downstream sorts rely on for tie cases
+    done = list(chunk)
+    for e in done:
+        hitlist.unsrt.extend(e.hits.unsrt)
+    chunk.clear()
+    return done

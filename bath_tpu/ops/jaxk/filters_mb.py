@@ -19,7 +19,6 @@ contract and host-side f64 conversion.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
@@ -124,6 +123,177 @@ def _ssv_msv_mb_impl(dsq, lens, tjb, sbvT, rbvT, Mt, base, tec, tbm,
     out_int = jnp.where(ssv_none, xJm - tjb, ssv_int)
     out_inf = jnp.where(ssv_none, movf, ssv_inf)
     return out_int, out_inf
+
+
+@partial(jax.jit, static_argnames=("Mt", "base", "emove", "eloop"))
+def _vit_mb_impl(dsq, lens, rwvT, tBM, tMM, tIM, tDM, tMD, tDD, tMI,
+                 tII, move_w, Mt, base, emove, eloop):
+    """Batched ViterbiFilter ints in [model, batch] layout
+    (bit-exact semantics of msv_exact._vitfilter_impl; ref:
+    impl_sse/vitfilter.c :39).  int16-saturated max-plus carried in
+    int32; the DD correction is a log-depth (max, +) scan over the
+    model sublanes."""
+    B, L = dsq.shape
+    BL = _MSV_BL
+    Kp = rwvT.shape[1]
+    NEG = -32768
+    Lpad = ((L + BL - 1) // BL) * BL
+    if Lpad != L:
+        dsq = jnp.pad(dsq, ((0, 0), (0, Lpad - L)),
+                      constant_values=Kp - 1)
+    cb = dsq.T.reshape(Lpad // BL, BL * B)
+
+    def sat(x):
+        return jnp.clip(x, -32768, 32767)
+
+    def shift(x):
+        return jnp.pad(x[:-1], ((1, 0), (0, 0)), constant_values=NEG)
+
+    nloop = jloop = cloop = 0
+    nmove = jmove = cmove = move_w          # [B] int32
+
+    cvec = lambda v: v[:, None]
+    tBMc, tMMc, tIMc, tDMc = map(cvec, (tBM, tMM, tIM, tDM))
+    tMIc, tIIc = cvec(tMI), cvec(tII)
+    tMD_s = cvec(jnp.pad(tMD[:-1], (1, 0), constant_values=NEG))
+    add = jnp.broadcast_to(
+        cvec(jnp.pad(tDD[:-1], (1, 0), constant_values=NEG)),
+        (Mt, B))
+
+    def ddscan(part):
+        # dd[k] = max(part[k], dd[k-1] + tDD[k]) over sublanes
+        def combine(x, y):
+            a1, b1 = x
+            a2, b2 = y
+            return sat(a1 + a2), jnp.maximum(sat(b1 + a2), b2)
+
+        _, dd = jax.lax.associative_scan(combine, (add, part), axis=0)
+        return dd
+
+    oneT = rwvT.astype(F32)
+
+    def block(carry, cblk):
+        dm, di, dd, xN, xJ, xC, xB, ovf, score, has, base_i = carry
+        oh = (cblk[None, :] == jnp.arange(Kp)[:, None]).astype(F32)
+        # int16-range values exceed bf16's significand: force full
+        # f32 matmul precision for the emission selection
+        rE = jax.lax.dot_general(
+            oneT, oh, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=F32)
+        for j in range(BL):
+            i = base_i + j
+            off = j * B
+            row = jax.lax.slice(rE, (0, off), (Mt, off + B)) \
+                .astype(I32)
+            mp, ip, dp = shift(dm), shift(di), shift(dd)
+            sv = sat(xB[None, :] + tBMc)
+            sv = jnp.maximum(sv, sat(mp + tMMc))
+            sv = jnp.maximum(sv, sat(ip + tIMc))
+            sv = jnp.maximum(sv, sat(dp + tDMc))
+            sv = sat(sv + row)
+            xE = sv.max(axis=0)
+            ovf2 = xE >= 32767
+            new_i = jnp.maximum(sat(dm + tMIc), sat(di + tIIc))
+            part = sat(shift(sv) + tMD_s)
+            new_d = ddscan(part)
+            xN2 = xN + nloop
+            xC2 = jnp.maximum(xC + cloop, xE + emove)
+            xJ2 = jnp.maximum(xJ + jloop, xE + eloop)
+            xB2 = sat(jnp.maximum(xJ2 + jmove, xN2 + nmove))
+            active = (i < lens)
+            am = active[None, :]
+            dm = jnp.where(am, sv, dm)
+            di = jnp.where(am, new_i, di)
+            dd = jnp.where(am, new_d, dd)
+            xN = jnp.where(active, xN2, xN)
+            xJ = jnp.where(active, xJ2, xJ)
+            xC = jnp.where(active, xC2, xC)
+            xB = jnp.where(active, xB2, xB)
+            ovf = jnp.where(active, ovf | ovf2, ovf)
+            done = (i + 1 == lens)
+            score = jnp.where(done, xC2 + cmove, score)
+            has = jnp.where(done, xC2 > NEG, has)
+        return (dm, di, dd, xN, xJ, xC, xB, ovf, score, has,
+                base_i + BL), None
+
+    neg = jnp.full((Mt, B), NEG, I32)
+    carry0 = (neg, neg, neg,
+              jnp.full(B, base, I32), jnp.full(B, NEG, I32),
+              jnp.full(B, NEG, I32), base + nmove,
+              jnp.zeros(B, bool), jnp.zeros(B, I32),
+              jnp.zeros(B, bool), jnp.int32(0))
+    (_, _, _, _, _, _, _, ovf, score, has, _), _ = jax.lax.scan(
+        block, carry0, cb)
+    return score, has, ovf
+
+
+class VitExactMB:
+    """[model, batch] drop-in for msv_exact.VitExact: same .scores
+    contract (int16-exact ViterbiFilter, f64 conversion on host)."""
+
+    def __init__(self, om, sub_multiple: int = 8):
+        from ... import constants as C
+        M, Kp = om.M, om.Kp
+        Mt = round_up(M, sub_multiple)
+        NEG = -32768
+        rwvT = np.full((Mt, Kp), NEG, np.float32)
+        rwvT[:M] = om.rwv[:, 1:M + 1].astype(np.float32).T
+        twv = om.twv.astype(np.int32)
+
+        def pad(v, fill=NEG):
+            out = np.full(Mt, fill, np.int32)
+            out[:len(v)] = v
+            return jnp.asarray(out)
+
+        self.Mt = Mt
+        self.rwvT = jnp.asarray(rwvT)
+        self.tBM = pad(twv[:M, C.P_BM])
+        self.tMM = pad(twv[:M, C.P_MM])
+        self.tIM = pad(twv[:M, C.P_IM])
+        self.tDM = pad(twv[:M, C.P_DM])
+        self.tMD = pad(twv[1:M, C.P_MD])
+        self.tDD = pad(twv[1:M, C.P_DD])
+        self.tMI = pad(twv[1:M + 1, C.P_MI])
+        self.tII = pad(twv[1:M + 1, C.P_II])
+        self.base = int(om.base_w)
+        self.scale = float(om.scale_w)
+        self.emove = int(om.xw[C.X_E, C.MOVE])
+        self.eloop = int(om.xw[C.X_E, C.LOOP])
+        self._om = om
+        self._move_cache: dict[int, int] = {}
+
+    def move_for(self, lens: np.ndarray) -> np.ndarray:
+        from ...oprofile import _wordify
+        nj = 1.0
+        out = np.empty(len(lens), np.int32)
+        cache = self._move_cache
+        for i, L in enumerate(np.asarray(lens)):
+            L = int(L)
+            v = cache.get(L)
+            if v is None:
+                pmove = (np.float32(2.0) + np.float32(nj)) / (
+                    np.float32(L) + np.float32(2.0) + np.float32(nj))
+                v = _wordify(self.scale, np.log(pmove))
+                cache[L] = v
+            out[i] = v
+        return out
+
+    def ints(self, dsq_batch, lens):
+        move_w = jnp.asarray(self.move_for(lens))
+        return _vit_mb_impl(
+            jnp.asarray(dsq_batch, dtype=jnp.int32),
+            jnp.asarray(lens, dtype=jnp.int32), self.rwvT, self.tBM,
+            self.tMM, self.tIM, self.tDM, self.tMD, self.tDD,
+            self.tMI, self.tII, move_w, self.Mt, self.base,
+            self.emove, self.eloop)
+
+    def scores(self, dsq_batch, lens) -> np.ndarray:
+        ints, has, ovf = self.ints(dsq_batch, lens)
+        ints = np.asarray(ints).astype(np.float64)
+        sc = np.float32((ints - float(self.base)) / self.scale - 3.0)
+        sc = np.where(np.asarray(has), sc, np.float32(-np.inf))
+        return np.where(np.asarray(ovf), np.float32(np.inf), sc)
 
 
 class MSVExactMB:

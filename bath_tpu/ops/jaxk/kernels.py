@@ -291,6 +291,149 @@ def forward_score_perlen(dsq, lens, params: FwdParams,
 
 
 # ---------------------------------------------------------------------
+# Batched Forward score, [model, batch] layout — the production F3/F4
+# gate kernel (ref: impl_sse/fwdback.c p7_ForwardParser).  Same
+# structure as the fs3 kernel below with the codon channels collapsed
+# to one: model on sublanes, batch on lanes, block one-hot emission
+# dots on the MXU, the DD closure folded into one matmul operator,
+# and lazy pending-scale rescaling.  The [batch, model] variant above
+# (_forward_score_perlen_impl) gathers rfv[resi] per scan step, which
+# lowers to a scalar-core dynamic gather on TPU (~100x slower).
+# ---------------------------------------------------------------------
+@dataclass
+class FwdMBParams:
+    Mt: int
+    M: int
+    rfvT: jnp.ndarray    # [Mt, Kp] bf16 match odds (row k = pos k+1)
+    tBM: jnp.ndarray     # [Mt]
+    tMM: jnp.ndarray
+    tIM: jnp.ndarray
+    tMI: jnp.ndarray
+    tII: jnp.ndarray
+    W3: jnp.ndarray      # [Mt, Mt] closure with tMD, shift, and the
+                         # next slot's D->M read multiplier pre-folded
+    u: jnp.ndarray       # [Mt] xE weights (1 + colsum of unfolded W)
+
+
+def fwd_mb_params(om: OProfile, sub_multiple: int = 8) -> FwdMBParams:
+    M = om.M
+    Mt = round_up(M, sub_multiple)
+    Kp = om.Kp
+    rfvT = np.zeros((Mt, Kp), np.float32)
+    rfvT[:M] = om.rfv[:, 1:M + 1].T
+    tfv = om.tfv
+
+    def pad(v):
+        out = np.zeros(Mt, np.float32)
+        out[:len(v)] = v
+        return jnp.asarray(out)
+
+    tMD = np.zeros(Mt, np.float32)
+    tMD[1:M] = tfv[1:M, C.P_MD]          # slot k = M_k -> D_{k+1}
+    UTm = dd_closure_matrix(tfv[1:M, C.P_DD], Mt).T
+    W = np.zeros_like(UTm)
+    W[:, :-1] = UTm[:, 1:] * tMD[None, 1:]
+    u = 1.0 + W.sum(axis=0, dtype=np.float32)
+    tDMv = np.zeros(Mt, np.float32)
+    tDMv[:M] = tfv[:M, C.P_DM]
+    tDM_next = np.concatenate([tDMv[1:], [0.0]]).astype(np.float32)
+    W3 = tDM_next[:, None] * W
+    return FwdMBParams(
+        Mt=Mt, M=M, rfvT=jnp.asarray(rfvT.astype(np.float32)),
+        tBM=pad(tfv[:M, C.P_BM]), tMM=pad(tfv[:M, C.P_MM]),
+        tIM=pad(tfv[:M, C.P_IM]),
+        tMI=pad(tfv[1:M + 1, C.P_MI]), tII=pad(tfv[1:M + 1, C.P_II]),
+        W3=jnp.asarray(W3), u=jnp.asarray(u))
+
+
+_FWD_BL = 12
+
+
+@partial(jax.jit, static_argnames=("Mt", "nj"))
+def _fwd_mb_impl(dsq, lens, rfvT, tBM, tMM, tIM, tMI, tII, W3, u,
+                 nj, Mt):
+    """Forward scores with per-item length models, [model, batch].
+    Rows are stored unscaled; a single pending scalar [B] (last
+    step's 1/s) is folded in on read (ref rescaling discipline:
+    impl_sse/fwdback.c sparse rescale)."""
+    B, L = dsq.shape
+    BL = _FWD_BL
+    Kp = rfvT.shape[1]
+    Lpad = ((L + BL - 1) // BL) * BL
+    if Lpad != L:
+        dsq = jnp.pad(dsq, ((0, 0), (0, Lpad - L)),
+                      constant_values=Kp - 1)
+    cb = dsq.T.reshape(Lpad // BL, BL * B)
+    Lf = lens.astype(F32)
+    pmove = (2.0 + nj) / (Lf + 2.0 + nj)
+    ploop = 1.0 - pmove
+    emove = 0.5 if nj > 0 else 1.0
+    eloop = 0.5 if nj > 0 else 0.0
+    BF16 = jnp.bfloat16
+    rT = rfvT.astype(BF16)
+    tBMc, tMMc, tIMc = tBM[:, None], tMM[:, None], tIM[:, None]
+    tMIc, tIIc = tMI[:, None], tII[:, None]
+    uc = u[None, :]
+
+    def block(carry, cblk):
+        m, i_row, d3, pend, xN, xJ, xC, xB, logacc, score, base = carry
+        oh = (cblk[None, :] == jnp.arange(Kp)[:, None]).astype(BF16)
+        Ea = jnp.dot(rT, oh, preferred_element_type=BF16)
+        for j in range(BL):
+            i = base + j
+            off = j * B
+            E = jax.lax.slice(Ea, (0, off), (Mt, off + B)).astype(F32)
+            mp = _shift_down(m)
+            ip = _shift_down(i_row)
+            # d3 is stored pre-shifted with the D->M read multiplier
+            sv = (xB[None, :] * tBMc
+                  + (mp * tMMc + ip * tIMc + d3) * pend[None, :]) * E
+            new_i = (m * tMIc + i_row * tIIc) * pend[None, :]
+            new_d3 = jnp.dot(W3, sv, preferred_element_type=F32)
+            xE = jnp.dot(uc, sv, preferred_element_type=F32)[0]
+            xN2 = xN * ploop
+            xC2 = xC * ploop + xE * emove
+            xJ2 = xJ * ploop + xE * eloop
+            xB2 = (xJ2 + xN2) * pmove
+            s = jnp.maximum(xE, 1.0)
+            sinv = 1.0 / s
+            active = (i < lens)
+            # rows evolve unmasked (dead lanes are harmless: their
+            # score is already latched); scalars are cheap to scale
+            m, i_row, d3 = sv, new_i, new_d3
+            pend = jnp.where(active, sinv, pend)
+            xN = xN2 * sinv
+            xJ = xJ2 * sinv
+            xC = xC2 * sinv
+            xB = xB2 * sinv
+            logacc = jnp.where(active, logacc + jnp.log(s), logacc)
+            done = (i + 1 == lens)
+            score = jnp.where(done, logacc + jnp.log(xC2 * sinv * pmove),
+                              score)
+        return (m, i_row, d3, pend, xN, xJ, xC, xB, logacc, score,
+                base + BL), None
+
+    z = jnp.zeros((Mt, B), F32)
+    ones = jnp.ones(B, F32)
+    carry0 = (z, z, z, ones, ones, jnp.zeros(B, F32),
+              jnp.zeros(B, F32), pmove.astype(F32), jnp.zeros(B, F32),
+              jnp.full(B, -jnp.inf, F32), jnp.int32(0))
+    carry, _ = jax.lax.scan(block, carry0, cb)
+    return carry[-2]
+
+
+def fwd_mb_score_batch(dsq, lens, params: FwdMBParams,
+                       nj: float = 1.0) -> jnp.ndarray:
+    """Forward scores (nats) for a padded amino batch (pad 28) with
+    per-item length models (ref: p7_oprofile_ReconfigLength per ORF +
+    p7_ForwardParser, the F3 gate)."""
+    return _fwd_mb_impl(jnp.asarray(dsq), jnp.asarray(lens),
+                        params.rfvT, params.tBM, params.tMM,
+                        params.tIM, params.tMI, params.tII, params.W3,
+                        params.u, float(nj), params.Mt)
+
+
+# ---------------------------------------------------------------------
 # Batched MSV score (the F1 gate; ref: impl_sse/msvfilter.c)
 # ---------------------------------------------------------------------
 @dataclass

@@ -245,20 +245,20 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
                   bg: Background, hitlist: TopHits, seqidx: int,
                   dnasq: Sequence, orfs: list[Orf], gcode: GeneticCode,
                   hit_windows: list[Window], complementarity: int,
-                  fs_funcs=None, usc_pre=None, vfsc_pre=None) -> None:
+                  fs_funcs=None, usc_pre=None) -> None:
     """One DNA window vs one profile (ref: p7_Pipeline_BATH :1583).
 
     <usc_pre>: optional per-ORF MSV scores precomputed by the batched
-    device kernel (ops/jaxk/msv_exact, bit-exact vs msv_filter); when
-    given, the scalar MSV call is skipped.
+    device kernel (bit-exact vs msv_filter); when given, the native
+    MSV batch call is skipped.
 
     Implemented as gates (MSV/bias/Vit + window capture) followed by
     the Forward stage; the device pipeline (device_pipeline.py) calls
-    the two phases separately so Forward batches span windows."""
+    the phases separately so device batches span windows."""
     win_start = len(hit_windows)
     cands, P_orf, fwdsc_arr, oxf_holder = pipeline_gates(
         pli, om, data, bg, dnasq, orfs, hit_windows, seqidx,
-        complementarity, usc_pre, vfsc_pre)
+        complementarity, usc_pre)
     pipeline_fwd_stage(pli, om, gm, gm_fs5, bg, hitlist, seqidx, dnasq,
                        hit_windows, complementarity, cands, P_orf,
                        fwdsc_arr, oxf_holder)
@@ -268,15 +268,98 @@ def pipeline_bath(pli: Pipeline, om: OProfile, gm: Profile,
                  oxf_holder, hit_windows[win_start:], complementarity)
 
 
+class GatePlan:
+    """Vectorized F1 + bias gate results, up to (but not including)
+    the Viterbi scores — the seam where the chunk driver batches the
+    device ViterbiFilter across windows."""
+    __slots__ = ("usc", "null", "P1", "cand", "filtersc", "P2",
+                 "vit_idx")
+
+    def __init__(self, usc=None, null=None, P1=None, cand=None,
+                 filtersc=None, P2=None, vit_idx=None):
+        self.usc = usc
+        self.null = null
+        self.P1 = P1
+        self.cand = cand
+        self.filtersc = filtersc
+        self.P2 = P2
+        self.vit_idx = vit_idx
+
+
+def pipeline_gate_plan(pli: Pipeline, om: OProfile, bg: Background,
+                       dnasq: Sequence, orfs,
+                       usc_pre=None) -> GatePlan:
+    """Vectorized MSV (F1) + bias gates over a window's ORFs: exactly
+    the scalar path's f32/f64 op order, no side effects beyond bias
+    filter configuration.  plan.vit_idx lists the ORFs that need a
+    ViterbiFilter score (the F2 gate input)."""
+    n_orfs = len(orfs) if orfs is not None else 0
+    if usc_pre is None:
+        # one native call for the whole window's ORFs (bit-identical
+        # to the per-ORF scalar path; ref: msvfilter.c p7_MSVFilter)
+        from .native import msv_filter_native_batch
+        usc_pre = msv_filter_native_batch(orfs, om)
+    if usc_pre is None:
+        return GatePlan()
+
+    # vectorized F1 gate: null scores and Gumbel P-values for the
+    # whole batch, with the scalar path's exact f32/f64 op order
+    lens_a = (orfs.lens.astype(np.int64)
+              if getattr(orfs, "lens", None) is not None
+              else np.array([o.n for o in orfs], dtype=np.int64))
+    p1v = lens_a.astype(np.float32) / (lens_a + 1).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        null_pre = (lens_a.astype(np.float32) * np.log(p1v)
+                    + np.log(np.float32(1.0) - p1v))
+    seqscv = (np.asarray(usc_pre, np.float64)
+              - null_pre.astype(np.float64)) / C.CONST_LOG2
+    P1_pre = stats.gumbel_surv(seqscv, om.evparam[C.EV_MMU],
+                               om.evparam[C.EV_MLAMBDA])
+    plan = GatePlan(usc=usc_pre, null=null_pre, P1=P1_pre)
+    if getattr(orfs, "starts", None) is None:
+        return plan
+
+    # vectorized context-skip + F1 gate over the lazy ORF arrays:
+    # at scale ~99% of ORFs die here without ever materializing
+    # as Python objects
+    st, en = orfs.starts, orfs.ends
+    ctx = (((st < en) & (en < dnasq.C))
+           | ((en < st) & (st < dnasq.C)))
+    cand = np.nonzero(~ctx & (orfs.lens > 0)
+                      & ~(P1_pre > pli.F1))[0]
+    plan.cand = cand
+    # batched bias gate over the F1 survivors (bit-identical to the
+    # per-ORF calls; one OpenMP library call instead of thousands)
+    if pli.do_biasfilter and len(cand):
+        from .native import bg_filter_score_batch
+        bg.set_filter(om.M, om.compo)
+        fsc = bg_filter_score_batch(orfs, cand, bg)
+        if fsc is not None:
+            filtersc_pre = np.full(n_orfs, np.nan)
+            filtersc_pre[cand] = fsc
+            seqscv = (np.asarray(usc_pre, np.float64)[cand]
+                      - fsc) / C.CONST_LOG2
+            P2 = stats.gumbel_surv(seqscv, om.evparam[C.EV_MMU],
+                                   om.evparam[C.EV_MLAMBDA])
+            plan.filtersc = filtersc_pre
+            plan.P2 = P2
+            plan.vit_idx = cand[~(P2 > pli.F1) & (P2 > pli.F2)]
+    return plan
+
+
 def pipeline_gates(pli: Pipeline, om: OProfile, data: ScoreData,
                    bg: Background, dnasq: Sequence, orfs,
                    hit_windows: list[Window], seqidx: int,
                    complementarity: int, usc_pre=None,
-                   vfsc_pre=None):
+                   plan: GatePlan | None = None, vitsc=None):
     """Phase 1 of the pipeline: MSV -> bias -> Viterbi gates plus
     window capture and local-compo rescue.  Returns (candidates for
     the Forward stage, P_orf, fwdsc_arr, oxf_holder) — the last three
-    pre-sized for the fs branch."""
+    pre-sized for the fs branch.
+
+    <plan>/<vitsc>: the chunk driver precomputes the gate plan and
+    batches device ViterbiFilter scores (aligned to plan.vit_idx)
+    across windows; both default to the in-call host path."""
     n_orfs = len(orfs) if orfs is not None else 0
     P_orf = [1.0] * n_orfs
     fwdsc_arr = [float("-inf")] * n_orfs
@@ -285,86 +368,57 @@ def pipeline_gates(pli: Pipeline, om: OProfile, data: ScoreData,
     if dnasq.n < 15 or not orfs:
         return cands, P_orf, fwdsc_arr, oxf_holder
 
-    if usc_pre is None:
-        # one native call for the whole window's ORFs (bit-identical
-        # to the per-ORF scalar path; ref: msvfilter.c p7_MSVFilter)
-        from .native import msv_filter_native_batch
-        usc_pre = msv_filter_native_batch(orfs, om)
+    if plan is None:
+        plan = pipeline_gate_plan(pli, om, bg, dnasq, orfs, usc_pre)
+    usc_pre, null_pre, P1_pre = plan.usc, plan.null, plan.P1
 
-    P1_pre = null_pre = None
-    if usc_pre is not None:
-        # vectorized F1 gate: null scores and Gumbel P-values for the
-        # whole batch, with the scalar path's exact f32/f64 op order
-        lens_a = (orfs.lens.astype(np.int64)
-                  if getattr(orfs, "lens", None) is not None
-                  else np.array([o.n for o in orfs], dtype=np.int64))
-        p1v = lens_a.astype(np.float32) / (lens_a + 1).astype(
-            np.float32)
-        with np.errstate(divide="ignore"):
-            null_pre = (lens_a.astype(np.float32) * np.log(p1v)
-                        + np.log(np.float32(1.0) - p1v))
-        seqscv = (np.asarray(usc_pre, np.float64)
-                  - null_pre.astype(np.float64)) / C.CONST_LOG2
-        P1_pre = stats.gumbel_surv(seqscv, om.evparam[C.EV_MMU],
-                                   om.evparam[C.EV_MLAMBDA])
-
-    filtersc_pre = vitsc_pre = None
-    if P1_pre is not None and getattr(orfs, "starts", None) is not None:
-        # vectorized context-skip + F1 gate over the lazy ORF arrays:
-        # at scale ~99% of ORFs die here without ever materializing
-        # as Python objects
-        st, en = orfs.starts, orfs.ends
-        ctx = (((st < en) & (en < dnasq.C))
-               | ((en < st) & (st < dnasq.C)))
-        cand = np.nonzero(~ctx & (orfs.lens > 0)
-                          & ~(P1_pre > pli.F1))[0]
+    filtersc_pre = plan.filtersc
+    vitsc_pre = None
+    if P1_pre is not None and plan.cand is not None:
+        cand = plan.cand
         orf_iter = ((int(i), orfs[int(i)]) for i in cand)
-        # batched bias + Viterbi score gates over the F1 survivors
-        # (bit-identical to the per-ORF calls; one OpenMP library
-        # call per stage instead of thousands of transitions)
-        if pli.do_biasfilter and vfsc_pre is None and len(cand):
-            from .native import (bg_filter_score_batch,
-                                 vit_filter_score_batch)
-            bg.set_filter(om.M, om.compo)
-            fsc = bg_filter_score_batch(orfs, cand, bg)
-            if fsc is not None:
-                filtersc_pre = np.full(n_orfs, np.nan)
-                filtersc_pre[cand] = fsc
-                seqscv = (np.asarray(usc_pre, np.float64)[cand]
-                          - fsc) / C.CONST_LOG2
-                P2 = stats.gumbel_surv(seqscv,
-                                       om.evparam[C.EV_MMU],
-                                       om.evparam[C.EV_MLAMBDA])
-                vit_idx = cand[~(P2 > pli.F1) & (P2 > pli.F2)]
+        if plan.vit_idx is not None:
+            vit_idx, P2 = plan.vit_idx, plan.P2
+            # Viterbi score gate over the bias survivors: device
+            # scores when the chunk driver batched them, else one
+            # native OpenMP call (both bit-identical to the scalar
+            # filter)
+            if vitsc is not None:
+                vsc = vitsc if len(vit_idx) else vitsc[:0]
+            else:
+                from .native import vit_filter_score_batch
                 vsc = vit_filter_score_batch(orfs, vit_idx, om)
-                if vsc is not None and len(vit_idx):
-                    vitsc_pre = np.full(n_orfs, np.nan)
-                    vitsc_pre[vit_idx] = vsc
-                if vsc is not None or not len(vit_idx):
-                    # fully-batched cascade: ORFs dying at the bias
-                    # or Viterbi gate contribute their filter-stage
-                    # residue counters here and never materialize;
-                    # the loop handles only capture-stage survivors
-                    lens3 = orfs.lens.astype(np.int64) * 3
-                    surv2 = cand[~(P2 > pli.F1)]
-                    Pv = np.empty(0)
-                    if len(vit_idx):
-                        seqv = (vsc - filtersc_pre[vit_idx]) \
-                            / C.CONST_LOG2
-                        Pv = stats.gumbel_surv(
-                            seqv, om.evparam[C.EV_VMU],
-                            om.evparam[C.EV_VLAMBDA])
-                    dead_vit = (vit_idx[Pv > pli.F2]
-                                if len(vit_idx) else vit_idx)
-                    pli.pos_past_msv += int(
-                        lens3[cand].sum() - lens3[surv2].sum()
-                        + lens3[dead_vit].sum())
-                    pli.pos_past_bias += int(lens3[dead_vit].sum())
-                    keep = np.ones(n_orfs, dtype=bool)
-                    keep[dead_vit] = False
-                    final_idx = surv2[keep[surv2]]
-                    orf_iter = ((int(i), orfs[int(i)])
-                                for i in final_idx)
+            if vsc is not None and len(vit_idx):
+                vitsc_pre = np.full(n_orfs, np.nan)
+                vitsc_pre[vit_idx] = vsc
+            if vsc is not None or not len(vit_idx):
+                # fully-batched cascade: ORFs dying at the bias
+                # or Viterbi gate contribute their filter-stage
+                # residue counters here and never materialize;
+                # the loop handles only capture-stage survivors
+                lens3 = orfs.lens.astype(np.int64) * 3
+                surv2 = cand[~(P2 > pli.F1)]
+                Pv = np.empty(0)
+                if len(vit_idx):
+                    seqv = (vsc - filtersc_pre[vit_idx]) \
+                        / C.CONST_LOG2
+                    Pv = stats.gumbel_surv(
+                        seqv, om.evparam[C.EV_VMU],
+                        om.evparam[C.EV_VLAMBDA])
+                dead_vit = (vit_idx[Pv > pli.F2]
+                            if len(vit_idx) else vit_idx)
+                pli.pos_past_msv += int(
+                    lens3[cand].sum() - lens3[surv2].sum()
+                    + lens3[dead_vit].sum())
+                pli.pos_past_bias += int(lens3[dead_vit].sum())
+                keep = np.ones(n_orfs, dtype=bool)
+                keep[dead_vit] = False
+                final_idx = surv2[keep[surv2]]
+                orf_iter = ((int(i), orfs[int(i)])
+                            for i in final_idx)
+    elif P1_pre is not None:
+        orf_iter = ((int(i), orfs[int(i)])
+                    for i in range(n_orfs))
     else:
         orf_iter = enumerate(orfs)
     for idx, orfsq in orf_iter:
@@ -414,31 +468,20 @@ def pipeline_gates(pli: Pipeline, om: OProfile, data: ScoreData,
 
         old_window_cnt = len(hit_windows)
         if P > pli.F2:
-            if vfsc_pre is None:
-                if vitsc_pre is not None and \
-                        not np.isnan(vitsc_pre[idx]):
-                    nv = float(vitsc_pre[idx])
-                else:
-                    from .native import vit_filter_native
-                    nv = vit_filter_native(orfsq.dsq, om)
-                if nv is not None:
-                    # native gate first; scalar capture only for
-                    # survivors (bit-identical scores)
-                    seqsc = (nv - filtersc) / C.CONST_LOG2
-                    Pn = float(stats.gumbel_surv(
-                        seqsc, om.evparam[C.EV_VMU],
-                        om.evparam[C.EV_VLAMBDA]))
-                    if Pn > pli.F2:
-                        continue
-            if vfsc_pre is not None:
-                # gate on the batched device score first; only
-                # survivors re-run the scalar filter for window capture
-                vfsc = float(vfsc_pre[idx])
-                seqsc = (vfsc - filtersc) / C.CONST_LOG2
-                P = float(stats.gumbel_surv(
+            if vitsc_pre is not None and \
+                    not np.isnan(vitsc_pre[idx]):
+                nv = float(vitsc_pre[idx])
+            else:
+                from .native import vit_filter_native
+                nv = vit_filter_native(orfsq.dsq, om)
+            if nv is not None:
+                # score gate first (batched device/native value,
+                # bit-identical); scalar capture only for survivors
+                seqsc = (nv - filtersc) / C.CONST_LOG2
+                Pn = float(stats.gumbel_surv(
                     seqsc, om.evparam[C.EV_VMU],
                     om.evparam[C.EV_VLAMBDA]))
-                if P > pli.F2:
+                if Pn > pli.F2:
                     continue
             vfsc = viterbi_filter(orfsq.dsq, om, data, filtersc, pli.F2,
                                   hit_windows)

@@ -2,7 +2,12 @@ import os
 
 # Run tests on CPU with a virtual 8-device mesh so sharding tests work
 # without TPU hardware (bench runs use the real chip instead).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# never let tests or their subprocesses touch the TPU tunnel: the
+# sandbox pins JAX_PLATFORMS to the axon plugin, whose registration
+# can stall for minutes when the tunnel is busy, and every test is
+# CPU-only by design (bench runs use the real chip)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

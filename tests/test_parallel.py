@@ -146,3 +146,52 @@ def test_end_to_end_shard_gather_merge():
     key = lambda hs: [(h.seqidx, round(h.score, 4)) for h in hs]
     assert key(a) == key(b)
     assert {h.seqidx for h in a} >= {3, 9, 12}
+
+
+def test_multihost_byte_identical(tmp_path):
+    """bathsearch --hosts N (jax.distributed SPMD over N processes,
+    windows sharded tid %% N, hits/stats all-gathered and merged in
+    stream order) produces output byte-identical to a single-process
+    run — the reference's thread-count invariance contract
+    (i2-search-variation.sh) lifted across hosts."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    target = "/root/repo/tests/data/mesh_target.fa"
+    hmm = "/root/reference/tutorial/AMP_N.bhmm"
+
+    def norm(path):
+        text = open(path).read()
+        return re.sub(r"# (CPU time|Mc/sec):.*", "", text)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BATH_BACKEND="numpy")
+    single = tmp_path / "single.out"
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+         "-o", str(single), hmm, target],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    for n in (2, 3):
+        procs = []
+        for i in range(n):
+            out = tmp_path / f"mh_{n}_{i}.out"
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+                 "--hosts", str(n), "--host-id", str(i),
+                 "--coordinator", f"localhost:{port}",
+                 "-o", str(out), hmm, target],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                cwd="/root/repo", env=env))
+        for p in procs:
+            _, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err[-2000:].decode()
+        assert norm(tmp_path / f"mh_{n}_0.out") == norm(single), n
+        port += 1
