@@ -103,8 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--Eft", type=float, default=0.04)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--informat", default=None,
-                   help="assert input MSA format (stockholm/afa); "
-                        "required hint when reading from stdin")
+                   help="assert input file format (stockholm/pfam/"
+                        "afa/a2m/clustal/psiblast/phylip/fasta); "
+                        "no autodetect")
     p.add_argument("--w_beta", type=float, default=1e-7)
     p.add_argument("--w_length", type=int, default=0)
     return p
@@ -213,13 +214,23 @@ def main(argv=None) -> int:
     t0 = time.time()
     nali = 0
     with open(args.hmmfile_out, "w") as hfp:
-        # try MSA first; fall back to unaligned FASTA single-seq builds
-        try:
-            msas = read_msas(args.msafile)
-            is_msa = True
-        except ValueError:
-            msas = None
-            is_msa = False
+        # try MSA first; fall back to unaligned FASTA single-seq
+        # builds.  --informat asserts the format, no autodetect
+        # (ref: bathbuild.c:119,381-388 — MSA formats go through
+        # esl_msafile_EncodeFormat, 'fasta' means unaligned seqs)
+        if args.informat and args.informat.lower() in ("fasta",
+                                                       "embl",
+                                                       "genbank"):
+            msas, is_msa = None, False
+        else:
+            try:
+                msas = read_msas(args.msafile, fmt=args.informat)
+                is_msa = True
+            except ValueError:
+                if args.informat:
+                    raise
+                msas = None
+                is_msa = False
         if is_msa:
             for i, msa in enumerate(msas):
                 if args.name and len(msas) == 1:

@@ -349,6 +349,209 @@ def read_afa(path: str, abc: Alphabet | None = None) -> list[MSA]:
     return [_finish_msa(a, names, seqs, {}, {}, {})]
 
 
+def read_clustal(path: str, abc: Alphabet | None = None) -> list[MSA]:
+    """Clustal / clustal-like (MUSCLE, PROBCONS, ...) interleaved
+    alignment: a header line, then blocks of 'name  seq' rows with an
+    optional conservation line (leading whitespace) per block.
+    (ref: Easel esl_msafile_clustal, selected by bathbuild
+    --informat clustal — /root/reference/src/bathbuild.c:382)"""
+    from .sequence import _open_text
+    names: list[str] = []
+    seqs: dict[str, str] = {}
+    with _open_text(path) as fh:
+        header = fh.readline()
+        if not header.split() or header.split()[0].upper() not in (
+                "CLUSTAL", "CLUSTALW", "MUSCLE", "PROBCONS", "KALIGN",
+                "MSAPROBS") and "multiple sequence alignment" \
+                not in header.lower():
+            raise ValueError(f"not a clustal file: {path}")
+        for ln in fh:
+            if not ln.strip():
+                continue
+            if ln[0] in " \t":      # conservation line (:.* symbols)
+                continue
+            parts = ln.split()
+            if len(parts) < 2:
+                continue
+            nm = parts[0]
+            chunk = "".join(parts[1:])
+            # trailing residue-count column (clustalw emits it)
+            if chunk and chunk[-1].isdigit():
+                chunk = chunk.rstrip("0123456789")
+            if nm not in seqs:
+                names.append(nm)
+                seqs[nm] = ""
+            seqs[nm] += chunk
+    if not names:
+        return []
+    a = abc or guess_alphabet("".join(seqs[n] for n in names[:4]))
+    return [_finish_msa(a, names, seqs, {}, {}, {})]
+
+
+def read_psiblast(path: str, abc: Alphabet | None = None) -> list[MSA]:
+    """PSI-BLAST interleaved alignment: clustal-like blocks with no
+    header line; gaps '-', match columns uppercase.
+    (ref: Easel esl_msafile_psiblast, --informat psiblast)"""
+    from .sequence import _open_text
+    names: list[str] = []
+    seqs: dict[str, str] = {}
+    with _open_text(path) as fh:
+        for ln in fh:
+            if not ln.strip() or ln[0] in " \t":
+                continue
+            parts = ln.split()
+            if len(parts) < 2:
+                continue
+            nm = parts[0]
+            chunk = "".join(p for p in parts[1:] if not p.isdigit())
+            if nm not in seqs:
+                names.append(nm)
+                seqs[nm] = ""
+            seqs[nm] += chunk
+    if not names:
+        return []
+    a = abc or guess_alphabet("".join(seqs[n] for n in names[:4]))
+    return [_finish_msa(a, names, seqs, {}, {}, {})]
+
+
+def read_a2m(path: str, abc: Alphabet | None = None) -> list[MSA]:
+    """Dotless A2M (UCSC SAM): FASTA-like; uppercase + '-' are
+    consensus (match/delete) columns, lowercase are inserts, '.'
+    optional padding.  Sequences may have ragged insert lengths:
+    each insert region is padded with '.' to the per-region maximum,
+    and an RF consensus annotation is synthesized ('x' = match col).
+    (ref: Easel esl_msafile_a2m, --informat a2m)"""
+    from .sequence import _open_text
+    names, raw = [], {}
+    cur = None
+    with _open_text(path) as fh:
+        for ln in fh:
+            ln = ln.strip()
+            if not ln:
+                continue
+            if ln.startswith(">"):
+                cur = ln[1:].split()[0]
+                names.append(cur)
+                raw[cur] = ""
+            elif cur is not None:
+                raw[cur] += ln.replace(".", "")
+    if not names:
+        return []
+    # split every sequence into (insert0, match1, insert1, ..., matchM,
+    # insertM) runs; match = uppercase or '-'
+    per = {}
+    nmatch = None
+    for nm in names:
+        segs = [""]                 # segs[0] = leading insert
+        for c in raw[nm]:
+            if c.isupper() or c == "-":
+                segs.append(c)      # one match column
+                segs.append("")     # following insert run
+            else:
+                segs[-1] += c
+        nm_match = (len(segs) - 1) // 2
+        if nmatch is None:
+            nmatch = nm_match
+        elif nm_match != nmatch:
+            raise ValueError(
+                f"a2m: {nm} has {nm_match} consensus columns, "
+                f"expected {nmatch}")
+        per[nm] = segs
+    # pad each insert region to its max width
+    maxins = [max(len(per[nm][2 * j]) for nm in names)
+              for j in range(nmatch + 1)]
+    seqs = {}
+    for nm in names:
+        segs = per[nm]
+        out = []
+        for j in range(nmatch + 1):
+            ins = segs[2 * j]
+            out.append(ins + "." * (maxins[j] - len(ins)))
+            if j < nmatch:
+                out.append(segs[2 * j + 1])
+        seqs[nm] = "".join(out)
+    rf = "".join("." * maxins[j] + ("x" if j < nmatch else "")
+                 for j in range(nmatch + 1))
+    a = abc or guess_alphabet("".join(raw[n] for n in names[:4]))
+    out = _finish_msa(a, names, seqs, {}, {}, {})
+    out.rf = rf
+    return [out]
+
+
+def read_phylip(path: str, abc: Alphabet | None = None) -> list[MSA]:
+    """PHYLIP alignment, interleaved or sequential, autodetected:
+    header 'nseq alen', 10-char (or whitespace-delimited) name field.
+    (ref: Easel esl_msafile_phylip, --informat phylip/phylips)"""
+    from .sequence import _open_text
+    with _open_text(path) as fh:
+        lines = [ln.rstrip("\n") for ln in fh]
+    it = iter(lines)
+    hdr = next((ln for ln in it if ln.strip()), None)
+    if hdr is None:
+        return []
+    parts = hdr.split()
+    if len(parts) < 2 or not parts[0].isdigit() or not parts[1].isdigit():
+        raise ValueError(f"not a phylip file: {path}")
+    nseq, alen = int(parts[0]), int(parts[1])
+    body = [ln for ln in it if ln.strip()]
+
+    def namesplit(ln):
+        # strict phylip: name is columns 1-10; relaxed: first token
+        if len(ln) > 10 and ln[10] == " " or (len(ln) >= 10
+                                              and " " not in ln[:10]):
+            nm, rest = ln[:10].strip(), ln[10:]
+            if nm:
+                return nm, rest.replace(" ", "")
+        p = ln.split()
+        return p[0], "".join(p[1:])
+
+    names, seqs = [], {}
+    first = body[:nseq]
+    for ln in first:
+        nm, chunk = namesplit(ln)
+        names.append(nm)
+        seqs[nm] = chunk
+    rest = body[nseq:]
+    if all(len(seqs[n]) >= alen for n in names):
+        pass                        # one-line sequential, done
+    elif rest and namesplit(rest[0])[0] == names[0] \
+            and len(rest) % nseq == 0:
+        # interleaved with repeated names
+        for i, ln in enumerate(rest):
+            nm, chunk = namesplit(ln)
+            seqs[names[i % nseq]] += chunk
+    else:
+        # interleaved continuation blocks (names only in block 1) or
+        # sequential continuation: fill shortest-first for interleave,
+        # else append in order until each reaches alen
+        if rest and len(rest) % nseq == 0:
+            for i, ln in enumerate(rest):
+                seqs[names[i % nseq]] += ln.replace(" ", "")
+        else:
+            i = 0
+            for ln in rest:
+                while i < nseq and len(seqs[names[i]]) >= alen:
+                    i += 1
+                if i >= nseq:
+                    break
+                seqs[names[i]] += ln.replace(" ", "")
+    for n in names:
+        if len(seqs[n]) != alen:
+            raise ValueError(
+                f"phylip: {n} has {len(seqs[n])} cols, header says "
+                f"{alen}")
+    a = abc or guess_alphabet("".join(seqs[n] for n in names[:4]))
+    return [_finish_msa(a, names, seqs, {}, {}, {})]
+
+
+_FORMAT_READERS = {
+    "stockholm": read_stockholm, "pfam": read_stockholm,
+    "afa": read_afa, "a2m": read_a2m, "clustal": read_clustal,
+    "clustallike": read_clustal, "psiblast": read_psiblast,
+    "phylip": read_phylip, "phylips": read_phylip,
+}
+
+
 def guess_alphabet(sample: str) -> Alphabet:
     """DNA if composition is overwhelmingly ACGTUN (Easel's guesser
     heuristic)."""
@@ -360,14 +563,31 @@ def guess_alphabet(sample: str) -> Alphabet:
     return dna() if nuc / len(res) > 0.9 else amino()
 
 
-def read_msas(path: str, abc: Alphabet | None = None) -> list[MSA]:
-    """Autodetect Stockholm vs aligned FASTA (ref: esl_msafile_Open
-    format guessing)."""
+def read_msas(path: str, abc: Alphabet | None = None,
+              fmt: str | None = None) -> list[MSA]:
+    """Read MSAs; <fmt> asserts a format (stockholm/pfam/afa/a2m/
+    clustal/clustallike/psiblast/phylip/phylips — the
+    esl_msafile_EncodeFormat names bathbuild --informat accepts,
+    /root/reference/src/bathbuild.c:382), else autodetect
+    (ref: esl_msafile_Open format guessing)."""
+    if fmt is not None:
+        rd = _FORMAT_READERS.get(fmt.lower())
+        if rd is None:
+            raise ValueError(f"{fmt} is not a recognized MSA format")
+        return rd(path, abc)
     from .sequence import _open_text
     with _open_text(path) as fh:
-        head = fh.read(64)
+        head = fh.read(256)
     if head.startswith("# STOCKHOLM"):
         return read_stockholm(path, abc)
-    if head.lstrip().startswith(">"):
+    first = head.lstrip()
+    tok = first.split()[0].upper() if first.split() else ""
+    if tok in ("CLUSTAL", "CLUSTALW", "MUSCLE", "PROBCONS", "KALIGN",
+               "MSAPROBS"):
+        return read_clustal(path, abc)
+    hp = first.split("\n", 1)[0].split()
+    if len(hp) == 2 and hp[0].isdigit() and hp[1].isdigit():
+        return read_phylip(path, abc)
+    if first.startswith(">"):
         return read_afa(path, abc)
     raise ValueError(f"unrecognized MSA format in {path}")
