@@ -123,6 +123,7 @@ class DeviceCascade:
         self.mesh_sharding = mesh_sharding
         self._fwd_params = None
         self._fs3_params = None
+        self._domdec_params = None
         self._om_fs3 = om_fs3
 
     # -- MSV (F1): every ORF of the chunk ---------------------------
@@ -208,15 +209,66 @@ class DeviceCascade:
                             bucket_b=max(64, BUCKET_B // 4)
                             )[0].astype(np.float32)
 
+    # -- fused Backward parser + domain decoding (F3 survivors) ------
+    # amino-length buckets; keep the compiled-executable set tiny
+    DOMDEC_LS = (128, 512, 2048)
+    DOMDEC_B = 128
+
+    def domdec(self, orfseqs):
+        """Batched device (btot, etot, mocc, ok) for F3 survivors —
+        ok=False (host fallback) for over-bucket ORFs or flagged
+        lanes.  Returns per-item [n_i+1]-sliceable rows."""
+        from .ops.jaxk import kernels as jk
+        if self._domdec_params is None:
+            self._domdec_params = jk.domdec_params(self.om)
+        n = len(orfseqs)
+        lens = np.asarray([s.n for s in orfseqs])
+        Lmax = int(self.DOMDEC_LS[-1])
+        btot = [None] * n
+        etot = [None] * n
+        mocc = [None] * n
+        ok = np.zeros(n, bool)
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            Lb = next((b for b in self.DOMDEC_LS if b >= lens[i]),
+                      None)
+            if Lb is not None:
+                groups.setdefault(Lb, []).append(i)
+        plan = []
+        for Lb, idxs in groups.items():
+            for c0 in range(0, len(idxs), self.DOMDEC_B):
+                chunk = idxs[c0:c0 + self.DOMDEC_B]
+                B = self.DOMDEC_B
+                batch = np.full((B, Lb), 28, np.int32)
+                blens = np.ones(B, np.int32)
+                for r, i in enumerate(chunk):
+                    batch[r, :lens[i]] = np.asarray(orfseqs[i].dsq,
+                                                    np.int32)
+                    blens[r] = lens[i]
+                out = jk.domdec_mb_batch(
+                    *(self._put(batch), self._put(blens)),
+                    self._domdec_params, nj=1.0)
+                plan.append((chunk, out))
+        for chunk, (bt, et, mo, okv) in plan:
+            bt, et, mo, okv = (np.asarray(x) for x in (bt, et, mo,
+                                                       okv))
+            for r, i in enumerate(chunk):
+                btot[i], etot[i], mocc[i] = bt[r], et[r], mo[r]
+                ok[i] = bool(okv[r])
+        return btot, etot, mocc, ok
+
+    def _put(self, arr):
+        if self.mesh_sharding is None:
+            return arr
+        import jax
+        return jax.device_put(arr, self.mesh_sharding)
+
     def _wrap(self, scorer):
         if self.mesh_sharding is None:
             return scorer
-        import jax
 
         def sharded(batch, blens):
-            batch = jax.device_put(batch, self.mesh_sharding)
-            blens = jax.device_put(blens, self.mesh_sharding)
-            return scorer(batch, blens)
+            return scorer(self._put(batch), self._put(blens))
         return sharded
 
 
@@ -329,7 +381,8 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
         pipeline_fwd_stage(pli, om, gm, gm_fs5, bg, e.hits, e.seqid,
                            e.window, hit_windows, e.complementarity,
                            e.cands, e.P_orf, e.fwdsc_arr, e.oxf_holder,
-                           fwd_dev=fwd_all[pos:pos + ncand])
+                           fwd_dev=fwd_all[pos:pos + ncand],
+                           domdec_fn=cascade.domdec)
         pos += ncand
 
     # Phase 3 (--fs): build merged DNA windows per entry, gate them

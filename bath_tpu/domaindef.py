@@ -98,6 +98,51 @@ def is_multidomain_region(ddef: DomainDef, i: int, j: int) -> bool:
     return mx >= ddef.rt3
 
 
+class PosteriorMargin(Exception):
+    """A region-detection comparison with device-computed posteriors
+    landed within the safety margin of its threshold: the caller must
+    redo the ORF with the host kernels so knife-edge trigger decisions
+    never depend on device arithmetic."""
+
+
+def region_scan_margin(btot, etot, mocc, n: int, ddef: DomainDef,
+                       eps: float) -> None:
+    """Dry-run the region-detection automaton of
+    by_posterior_heuristics_bath on (btot, etot, mocc) and raise
+    PosteriorMargin if ANY comparison it makes (rt1/rt2 triggers,
+    the is_multidomain rt3 decision) is within <eps> of its
+    threshold.  If every margin clears, a run with values perturbed
+    by < eps makes identical decisions at every step, so host and
+    device posteriors yield the same regions/envelopes by induction."""
+    rt1, rt2, rt3 = ddef.rt1, ddef.rt2, ddef.rt3
+    i = -1
+    triggered = False
+    for j in range(1, n + 1):
+        if not triggered:
+            if abs((mocc[j] - (btot[j] - btot[j - 1])) - rt2) < eps:
+                raise PosteriorMargin(f"rt2/b at {j}")
+            if abs(mocc[j] - rt1) < eps:
+                raise PosteriorMargin(f"rt1 at {j}")
+            if mocc[j] - (btot[j] - btot[j - 1]) < rt2:
+                i = j
+            elif i == -1:
+                i = j
+            if mocc[j] >= rt1:
+                triggered = True
+        else:
+            if abs((mocc[j] - (etot[j] - etot[j - 1])) - rt2) < eps:
+                raise PosteriorMargin(f"rt2/e at {j}")
+            if mocc[j] - (etot[j] - etot[j - 1]) < rt2:
+                mx = -1.0
+                for z in range(i, j + 1):
+                    mx = max(mx, min(float(etot[z] - etot[i - 1]),
+                                     float(btot[j] - btot[z - 1])))
+                if abs(mx - rt3) < eps:
+                    raise PosteriorMargin(f"rt3 region {i}..{j}")
+                i = -1
+                triggered = False
+
+
 def compute_ali_scores_bath(dom: Domain, tr: Trace, windowsq: Sequence,
                             gm_fs5: FSProfile) -> None:
     """Per-position Viterbi-style scores of a (converted) trace
@@ -295,16 +340,29 @@ def by_posterior_heuristics_bath(orfsq, windowsq: Sequence, ntsqlen: int,
                                  om: OProfile, gm_fs5: FSProfile,
                                  oxf: PMatrix, oxb: PMatrix,
                                  ddef: DomainDef, abc,
-                                 ensemble_fn=None) -> None:
+                                 ensemble_fn=None,
+                                 posteriors=None,
+                                 margin_eps: float = 0.0) -> None:
     """Standard-branch domain definition on an ORF
     (ref: p7_domaindef.c p7_domaindef_ByPosteriorHeuristics_BATH :499).
 
     <ensemble_fn(i, j)> resolves a multidomain region into envelope
-    coordinates; if None, the region is treated as one envelope."""
+    coordinates; if None, the region is treated as one envelope.
+
+    <posteriors>: optional precomputed (btot, etot, mocc) — the device
+    domdec kernel's output — used instead of running the host
+    Backward + p7_DomainDecoding (oxf/oxb may then be None).  With
+    <margin_eps> > 0, PosteriorMargin is raised BEFORE any side
+    effects if a trigger decision is within eps of its threshold."""
     n = orfsq.n
     saveL = om.L
     save_mode_multihit = om.nj > 0
-    btot, etot, mocc = fb.domain_decoding(om, oxf, oxb)
+    if posteriors is not None:
+        btot, etot, mocc = posteriors
+        if margin_eps > 0.0:
+            region_scan_margin(btot, etot, mocc, n, ddef, margin_eps)
+    else:
+        btot, etot, mocc = fb.domain_decoding(om, oxf, oxb)
     ddef.btot, ddef.etot, ddef.mocc = btot, etot, mocc
     ddef.n2sc = np.zeros(n + 1, dtype=F32)
     ddef.nexpected = float(btot[n])

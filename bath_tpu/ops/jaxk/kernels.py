@@ -334,10 +334,15 @@ def fwd_mb_params(om: OProfile, sub_multiple: int = 8) -> FwdMBParams:
     W = np.zeros_like(UTm)
     W[:, :-1] = UTm[:, 1:] * tMD[None, 1:]
     u = 1.0 + W.sum(axis=0, dtype=np.float32)
+    # pre-fold BOTH the next row's D->M read multiplier AND the k-1
+    # read shift into the operator: row t of W3 produces the D-path
+    # term lane t adds directly (D_lane[t-1] * tDM into M_{t+1}), so
+    # the scan body needs no _shift_down on the stored d3 (the fs3
+    # kernel instead stores unshifted and shifts at read)
     tDMv = np.zeros(Mt, np.float32)
-    tDMv[:M] = tfv[:M, C.P_DM]
-    tDM_next = np.concatenate([tDMv[1:], [0.0]]).astype(np.float32)
-    W3 = tDM_next[:, None] * W
+    tDMv[:M] = tfv[:M, C.P_DM]           # slot t = D_t -> M_{t+1}
+    W3 = np.zeros_like(W)
+    W3[1:] = tDMv[1:, None] * W[:-1]
     return FwdMBParams(
         Mt=Mt, M=M, rfvT=jnp.asarray(rfvT.astype(np.float32)),
         tBM=pad(tfv[:M, C.P_BM]), tMM=pad(tfv[:M, C.P_MM]),
@@ -813,3 +818,267 @@ def fs3_score_batch(dsq, lens, params: FS3Params,
                            params.tDM, params.tMDs, params.tMI,
                            params.tII, float(nj), params.Mt, params.UT,
                            params.u)
+
+
+# ---------------------------------------------------------------------
+# Fused Forward + Backward parser + domain decoding, [model, batch].
+#
+# What domain definition actually consumes from the two parser passes
+# is three [L+1] arrays per ORF — btot/etot/mocc (ref: p7_domaindef.c
+# p7_domaindef_ByPosteriorHeuristics_BATH :499 reads only the
+# p7_DomainDecoding output; the per-envelope rescore re-runs its own
+# full DP).  So the device equivalent of the reference's
+# p7_BackwardParser (impl_sse/fwdback.c backward_engine) +
+# p7_DomainDecoding (decoding.c) is one fused kernel: a forward scan
+# that stores per-row specials, a backward scan over the reversed
+# batch that combines them into posterior increments on the fly, and
+# a cumsum.  Scale discipline is log-accumulator based (each pass
+# rescales rows by its own per-row factor and carries a cumulative
+# log), so the combine is exp(logw - logZ)-weighted and immune to
+# the reference's borrowed-scale underflow bookkeeping.
+# ---------------------------------------------------------------------
+@dataclass
+class DomDecParams:
+    fwd: FwdMBParams
+    # backward-only vectors, [Mt], lane t = model position k = t+1
+    tIM_next: jnp.ndarray    # tfv[k, P_IM]   (I_k -> M_{k+1})
+    tMM_next: jnp.ndarray    # tfv[k, P_MM]
+    tDM_next: jnp.ndarray    # tfv[k, P_DM]
+    vMD: jnp.ndarray         # tfv[t, P_MD] on the SOURCE lane of the
+                             # shift-up (new_m[k] += new_d[k+1]*tMD[k+1])
+    UB: jnp.ndarray          # [Mt, Mt] suffix DD closure (upper tri)
+    mask: jnp.ndarray        # [Mt] 1.0 for real model lanes
+
+
+def domdec_params(om: OProfile, sub_multiple: int = 8) -> DomDecParams:
+    fwd = fwd_mb_params(om, sub_multiple)
+    M, Mt = fwd.M, fwd.Mt
+    tfv = om.tfv
+
+    def padv(v, lo):
+        out = np.zeros(Mt, np.float32)
+        out[lo:lo + len(v)] = v
+        return jnp.asarray(out)
+
+    mask = np.zeros(Mt, np.float32)
+    mask[:M] = 1.0
+    # suffix closure: D(k) = pre(k) + tDD[k+1]*D(k+1) has matrix
+    # UB[t, s] = prod_{r=t+1..s} tfv[r, P_DD] (s >= t), which is the
+    # same matrix dd_closure_matrix builds for the forward direction —
+    # applied from the left instead of the right.
+    UB = dd_closure_matrix(tfv[1:M, C.P_DD], Mt)
+    return DomDecParams(
+        fwd=fwd,
+        tIM_next=padv(tfv[1:M, C.P_IM], 0),
+        tMM_next=padv(tfv[1:M, C.P_MM], 0),
+        tDM_next=padv(tfv[1:M, C.P_DM], 0),
+        vMD=padv(tfv[1:M, C.P_MD], 1),
+        UB=jnp.asarray(UB), mask=jnp.asarray(mask))
+
+
+_DD_BL = 8
+# device forward logZ - log(total fwd scale) below this bound means
+# the host backward (borrowed-scale stored values, f32) is at or near
+# its xN underflow RangeError (pipeline skips the ORF); send the item
+# to the host path so that contract is decided by the host kernel
+_DD_UNDERFLOW_LOG = -85.0
+
+
+@partial(jax.jit, static_argnames=("Mt", "nj"))
+def _domdec_mb_impl(dsq, lens, rfvT, tBM, tMM, tIM, tMI, tII, W3, u,
+                    tIM_n, tMM_n, tDM_n, vMD, UB, mask, nj, Mt):
+    """Returns (btot, etot, mocc, ok): [B, Lpad+1] x3 posteriors in
+    the p7_DomainDecoding convention and a per-item validity flag
+    (False -> caller must use the host kernels)."""
+    B, L = dsq.shape
+    BL = _DD_BL
+    Kp = rfvT.shape[1]
+    Lpad = ((L + BL - 1) // BL) * BL
+    if Lpad != L:
+        dsq = jnp.pad(dsq, ((0, 0), (0, Lpad - L)),
+                      constant_values=Kp - 1)
+    Lf = lens.astype(F32)
+    pmove = (2.0 + nj) / (Lf + 2.0 + nj)
+    ploop = 1.0 - pmove
+    emove = 0.5 if nj > 0 else 1.0
+    eloop = 0.5 if nj > 0 else 0.0
+    # f32-exact one-hot emission dots: HIGHEST keeps the selected
+    # table entry at full f32 precision (posterior comparisons feed
+    # threshold logic; bf16's 8 mantissa bits are too coarse here)
+    HI = jax.lax.Precision.HIGHEST
+    tBMc, tMMc, tIMc = tBM[:, None], tMM[:, None], tIM[:, None]
+    tMIc, tIIc = tMI[:, None], tII[:, None]
+    uc = u[None, :]
+    tIMnc, tMMnc, tDMnc = tIM_n[:, None], tMM_n[:, None], tDM_n[:, None]
+    vMDc, maskc = vMD[:, None], mask[:, None]
+    tBMr = tBM[None, :]
+
+    cb = dsq.T.reshape(Lpad // BL, BL * B)
+
+    # ---- forward scan: store per-row specials --------------------
+    def fstep(carry, cblk):
+        m, i_row, d3, xN, xJ, xC, xB, lsf, score, base = carry
+        oh = (cblk[None, :] == jnp.arange(Kp)[:, None]).astype(F32)
+        Ea = jnp.dot(rfvT, oh, precision=HI)
+        ys = []
+        for j in range(BL):
+            i = base + j
+            off = j * B
+            E = jax.lax.slice(Ea, (0, off), (Mt, off + B))
+            mp = _shift_down(m)
+            ip = _shift_down(i_row)
+            sv = (xB[None, :] * tBMc + (mp * tMMc + ip * tIMc + d3)) * E
+            new_i = m * tMIc + i_row * tIIc
+            new_d3 = jnp.dot(W3, sv, preferred_element_type=F32)
+            xE = jnp.dot(uc, sv, preferred_element_type=F32)[0]
+            xN2 = xN * ploop
+            xC2 = xC * ploop + xE * emove
+            xJ2 = xJ * ploop + xE * eloop
+            xB2 = (xJ2 + xN2) * pmove
+            active = (i < lens)
+            # sparse rescale, same cadence as the host kernel
+            # (fwdback.py forward: only when xE > 1e4) — multiplying
+            # by an exact 1.0 between rescales adds no rounding, so
+            # the device/host value streams stay within ~1e-6
+            s = jnp.where(active & (xE > 1.0e4), xE, 1.0)
+            sinv = 1.0 / s
+            m, i_row, d3 = sv * sinv, new_i * sinv, new_d3 * sinv
+            xN, xJ, xC, xB = (xN2 * sinv, xJ2 * sinv, xC2 * sinv,
+                              xB2 * sinv)
+            xEs = xE * sinv
+            lsf = lsf + jnp.log(s)
+            done = (i + 1 == lens)
+            score = jnp.where(done, lsf + jnp.log(xC * pmove), score)
+            ys.append((xB, xN, xJ, xC, xEs, lsf))
+        out = tuple(jnp.stack([y[q] for y in ys]) for q in range(6))
+        return (m, i_row, d3, xN, xJ, xC, xB, lsf, score,
+                base + BL), out
+
+    z = jnp.zeros((Mt, B), F32)
+    zb = jnp.zeros(B, F32)
+    ones = jnp.ones(B, F32)
+    carry0 = (z, z, z, ones, zb, zb, pmove.astype(F32), zb,
+              jnp.full(B, -jnp.inf, F32), jnp.int32(0))
+    fcarry, fys = jax.lax.scan(fstep, carry0, cb)
+    logZ = fcarry[-2]
+    # [Lpad+1, B] per special, row 0 = init (xB=pmove, xN=1, rest 0)
+    row0 = (pmove.astype(F32), ones, zb, zb, zb, zb)
+    fr = tuple(jnp.concatenate([r0[None, :], y.reshape(Lpad, B)])
+               for r0, y in zip(row0, fys))
+    fxB, fxN, fxJ, fxC, fxE, fLS = fr
+    lsf_total = jnp.take_along_axis(fLS, lens[None, :], axis=0)[0]
+
+    # ---- reverse the batch and gather f-specials per bwd step ----
+    ar = jnp.arange(Lpad, dtype=jnp.int32)
+    # residue consumed at bwd step q (0-based) is dsq[lens-1-q]
+    ridx = jnp.clip(lens[None, :] - 1 - ar[:, None], 0, Lpad - 1)
+    rdsq = jnp.take_along_axis(dsq.T, ridx, axis=0)      # [Lpad, B]
+    idx_j = jnp.clip(lens[None, :] - ar[:, None], 0, Lpad)
+    idx_jm1 = jnp.clip(lens[None, :] - 1 - ar[:, None], 0, Lpad)
+    gj = tuple(jnp.take_along_axis(a, idx_j, axis=0) for a in fr)
+    gm1 = tuple(jnp.take_along_axis(a, idx_jm1, axis=0) for a in fr)
+    rcb = rdsq.reshape(Lpad // BL, BL, B)
+    gjb = tuple(a.reshape(Lpad // BL, BL, B) for a in gj)
+    gmb = tuple(a.reshape(Lpad // BL, BL, B) for a in gm1)
+
+    # ---- backward scan with fused decoding combine ----------------
+    def bstep(carry, xs):
+        mc, ic, dc, xNb, xJb, xCb, xEb, lsb, base = carry
+        rblk, gjx, gmx = xs
+        oh = (rblk.reshape(BL * B)[None, :]
+              == jnp.arange(Kp)[:, None]).astype(F32)
+        Ea = jnp.dot(rfvT, oh, precision=HI)
+        ys = []
+        for j in range(BL):
+            q = base + j                     # row being computed: lens-1-q
+            off = j * B
+            E = jax.lax.slice(Ea, (0, off), (Mt, off + B))
+            GJ = tuple(g[j] for g in gjx)    # f at row lens-q
+            GM = tuple(g[j] for g in gmx)    # f at row lens-q-1
+            active = (q < lens)
+            mstar = mc * E
+            xBn = jnp.dot(tBMr, mstar, preferred_element_type=F32)[0]
+            # decoding emissions for output row jrow = lens - q, using
+            # the carry (backward row jrow) and this step's new xB
+            # (backward row jrow-1):
+            term_e = GJ[4] * xEb
+            logw_e = GJ[5] + lsb
+            njcp = (GM[1] * xNb + GM[2] * xJb + GM[3] * xCb) * ploop
+            logw_m = GM[5] + lsb
+            term_b = GM[0] * xBn
+            logw_b = GM[5] + lsb
+            ms1 = jnp.pad(mstar[1:], ((0, 1), (0, 0)))
+            new_i = ic * tIIc + ms1 * tIMnc
+            nm = ic * tMIc + ms1 * tMMnc
+            xCn = xCb * ploop
+            xJn = xBn * pmove + xJb * ploop
+            xNn = xBn * pmove + xNb * ploop
+            xEn = xCn * emove + xJn * eloop
+            nd_pre = (ms1 * tDMnc + xEn[None, :]) * maskc
+            new_d = jnp.dot(UB, nd_pre, preferred_element_type=F32)
+            new_m = (nm + xEn[None, :]) * maskc \
+                + jnp.pad((new_d * vMDc)[1:], ((0, 1), (0, 0)))
+            # sparse rescale: guard overflow AND suffix underflow
+            sb = jnp.where(active & (xBn > 0)
+                           & ((xBn > 1.0e4) | (xBn < 1.0e-4)),
+                           xBn, 1.0)
+            sbi = 1.0 / sb
+            mc, ic, dc = new_m * sbi, new_i * sbi, new_d * sbi
+            xNb, xJb, xCb, xEb = (xNn * sbi, xJn * sbi, xCn * sbi,
+                                  xEn * sbi)
+            lsb = lsb + jnp.log(sb)
+            ys.append((term_e, term_b, njcp, logw_e, logw_b, logw_m))
+        out = tuple(jnp.stack([y[q] for y in ys]) for q in range(6))
+        return (mc, ic, dc, xNb, xJb, xCb, xEb, lsb, base + BL), out
+
+    # init row L (ref backward_engine init): xC = pmove, xE = xC*emove,
+    # mc = dc = xE then suffix DD closure + M->D read
+    xC_L = pmove.astype(F32)
+    xE_L = xC_L * emove
+    d0 = jnp.dot(UB, jnp.broadcast_to(xE_L[None, :], (Mt, B)) * maskc,
+                 preferred_element_type=F32)
+    m0 = jnp.broadcast_to(xE_L[None, :], (Mt, B)) * maskc \
+        + jnp.pad((d0 * vMDc)[1:], ((0, 1), (0, 0)))
+    bcarry0 = (m0, jnp.zeros((Mt, B), F32), d0, zb, zb, xC_L, xE_L,
+               zb, jnp.int32(0))
+    _, bys = jax.lax.scan(bstep, bcarry0, (rcb, gjb, gmb))
+    term_e, term_b, njcp, logw_e, logw_b, logw_m = (
+        y.reshape(Lpad, B) for y in bys)
+
+    # ---- q-order -> row-order remap + normalized combine ----------
+    # output row jrow (1..Lpad) was emitted at step q = lens - jrow
+    jrow = ar[:, None] + 1                                 # [Lpad, B]
+    qidx = jnp.clip(lens[None, :] - jrow, 0, Lpad - 1)
+    valid = (jrow <= lens[None, :]).astype(F32)
+
+    def at_row(a, lw):
+        v = jnp.take_along_axis(a, qidx, axis=0)
+        w = jnp.take_along_axis(lw, qidx, axis=0)
+        return v * jnp.exp(w - logZ[None, :]) * valid
+
+    inc_e = at_row(term_e, logw_e)
+    inc_b = at_row(term_b, logw_b)
+    njr = at_row(njcp, logw_m)
+    z1 = jnp.zeros((1, B), F32)
+    btot = jnp.concatenate([z1, jnp.cumsum(inc_b, axis=0)]).T
+    etot = jnp.concatenate([z1, jnp.cumsum(inc_e, axis=0)]).T
+    mocc = jnp.concatenate([z1, (1.0 - njr) * valid]).T
+    ok = (jnp.isfinite(logZ)
+          & (logZ - lsf_total > _DD_UNDERFLOW_LOG)
+          & jnp.isfinite(btot).all(axis=1)
+          & jnp.isfinite(etot).all(axis=1)
+          & jnp.isfinite(mocc).all(axis=1))
+    return btot, etot, mocc, ok
+
+
+def domdec_mb_batch(dsq, lens, params: DomDecParams, nj: float = 1.0):
+    """Batched device (btot, etot, mocc, ok) for F3-surviving ORFs —
+    the fused equivalent of p7_BackwardParser + p7_DomainDecoding
+    (ref: impl_sse/fwdback.c backward_engine, decoding.c
+    p7_DomainDecoding)."""
+    f = params.fwd
+    return _domdec_mb_impl(
+        jnp.asarray(dsq), jnp.asarray(lens), f.rfvT, f.tBM, f.tMM,
+        f.tIM, f.tMI, f.tII, f.W3, f.u, params.tIM_next,
+        params.tMM_next, params.tDM_next, params.vMD, params.UB,
+        params.mask, float(nj), f.Mt)

@@ -563,12 +563,75 @@ def pipeline_gates(pli: Pipeline, om: OProfile, data: ScoreData,
 DEVICE_GATE_BAND = 8.0
 
 
+# margin (in posterior-probability units) within which a device
+# domain-decoding value is considered too close to an rt1/rt2/rt3
+# trigger threshold to decide on: the ORF falls back to the host
+# Backward + p7_DomainDecoding.  Measured device-vs-host error is
+# <= ~3e-4 on 2 kaa multi-domain ORFs (tests/test_jax_kernels.py);
+# 2e-3 gives ~7x headroom while tripping rarely.
+DOMDEC_MARGIN = 2e-3
+
+
+def _f3_survivor_domaindef(pli, om, gm, gm_fs5, bg, hitlist, seqidx,
+                           dnasq, hit_windows, complementarity, cand,
+                           posteriors=None) -> None:
+    """Domain definition + hit assembly for one F3-surviving ORF
+    (ref: p7_pipeline.c:1740-1771).  <posteriors>: optional device
+    (btot, etot, mocc); the host Backward runs only when absent or
+    when a trigger margin trips (PosteriorMargin)."""
+    from .domaindef import PosteriorMargin
+    from .ensemble import region_trace_ensemble
+    orfsq = cand.orfsq
+    old_window_cnt = cand.win_lo
+    if pli.spliced:
+        for w in hit_windows[old_window_cnt:cand.win_hi]:
+            w.pass_forward = True
+    if complementarity:
+        orf_start = dnasq.n - orfsq.start + 1
+        orf_end = dnasq.n - orfsq.end + 1
+    else:
+        orf_start = orfsq.start
+        orf_end = orfsq.end
+    windowsq = Sequence(
+        name=dnasq.name, acc=dnasq.acc, desc=dnasq.desc,
+        dsq=dnasq.dsq[orf_start - 1:orf_end],
+        start=orf_start, end=orf_end, L=orf_end - orf_start + 1,
+        abc=dnasq.abc)
+    pli.pos_past_fwd += orfsq.n * 3
+    done = False
+    if posteriors is not None:
+        try:
+            by_posterior_heuristics_bath(
+                orfsq, windowsq, dnasq.n, om, gm_fs5, None, None,
+                pli.ddef, amino(), ensemble_fn=region_trace_ensemble,
+                posteriors=posteriors, margin_eps=DOMDEC_MARGIN)
+            done = True
+        except PosteriorMargin:
+            done = False
+    if not done:
+        try:
+            oxf, _ = fb.forward(orfsq.dsq, om, full=False)
+            oxb, _ = fb.backward(orfsq.dsq, om, oxf, full=False)
+        except RangeError:
+            return
+        by_posterior_heuristics_bath(orfsq, windowsq, dnasq.n, om,
+                                     gm_fs5, oxf, oxb, pli.ddef,
+                                     amino(),
+                                     ensemble_fn=region_trace_ensemble)
+    if pli.ddef.nregions == 0 or pli.ddef.nenvelopes == 0:
+        pli.ddef.reuse()
+        return
+    _postdomaindef_bath(pli, om, gm, gm_fs5, bg, hitlist, seqidx,
+                        orf_start, orfsq, dnasq, windowsq,
+                        complementarity)
+
+
 def pipeline_fwd_stage(pli: Pipeline, om: OProfile, gm: Profile,
                        gm_fs5, bg: Background, hitlist: TopHits,
                        seqidx: int, dnasq: Sequence,
                        hit_windows: list[Window], complementarity: int,
                        cands: list[F3Candidate], P_orf, fwdsc_arr,
-                       oxf_holder, fwd_dev=None) -> None:
+                       oxf_holder, fwd_dev=None, domdec_fn=None) -> None:
     """Phase 2: the Forward gate — F3 + domaindef + hit assembly for
     the standard pipeline (ref: p7_pipeline.c:1735-1771), or the
     per-ORF F4 gate for the frameshift pipeline (ref: :1774-1789).
@@ -577,13 +640,18 @@ def pipeline_fwd_stage(pli: Pipeline, om: OProfile, gm: Profile,
     Candidates whose device P-value exceeds threshold*DEVICE_GATE_BAND
     are rejected with no host Forward; the rest are re-scored with the
     bit-exact host kernel so output bytes never depend on the device
-    arithmetic."""
+    arithmetic.
+
+    <domdec_fn(orfseqs) -> (btot, etot, mocc, ok)>: optional batched
+    device domain decoding (the fused Backward-parser kernel) run
+    over every F3 survivor; survivors then skip the per-ORF host
+    Forward+Backward entirely unless flagged or margin-tripped."""
     from .native import fwd_parser_score_native
     thresh = pli.F3 if not pli.fs_pipe else pli.F4
+    survivors = []
     for ci, cand in enumerate(cands):
         idx, orfsq = cand.idx, cand.orfsq
         filtersc, nullsc = cand.filtersc, cand.nullsc
-        old_window_cnt = cand.win_lo
         om.reconfig_length(orfsq.n)
         if fwd_dev is not None:
             sc_dev = float(fwd_dev[ci])
@@ -611,41 +679,7 @@ def pipeline_fwd_stage(pli: Pipeline, om: OProfile, gm: Profile,
                                      om.evparam[C.EV_FLAMBDA]))
             if P > pli.F3:
                 continue
-            try:
-                oxf, _ = fb.forward(orfsq.dsq, om, full=False)
-            except RangeError:
-                continue
-            if pli.spliced:
-                for w in hit_windows[old_window_cnt:cand.win_hi]:
-                    w.pass_forward = True
-
-            if complementarity:
-                orf_start = dnasq.n - orfsq.start + 1
-                orf_end = dnasq.n - orfsq.end + 1
-            else:
-                orf_start = orfsq.start
-                orf_end = orfsq.end
-            windowsq = Sequence(
-                name=dnasq.name, acc=dnasq.acc, desc=dnasq.desc,
-                dsq=dnasq.dsq[orf_start - 1:orf_end],
-                start=orf_start, end=orf_end, L=orf_end - orf_start + 1,
-                abc=dnasq.abc)
-            pli.pos_past_fwd += orfsq.n * 3
-            try:
-                oxb, _ = fb.backward(orfsq.dsq, om, oxf, full=False)
-            except RangeError:
-                continue
-            from .ensemble import region_trace_ensemble
-            by_posterior_heuristics_bath(orfsq, windowsq, dnasq.n, om,
-                                         gm_fs5, oxf, oxb, pli.ddef,
-                                         amino(),
-                                         ensemble_fn=region_trace_ensemble)
-            if pli.ddef.nregions == 0 or pli.ddef.nenvelopes == 0:
-                pli.ddef.reuse()
-                continue
-            _postdomaindef_bath(pli, om, gm, gm_fs5, bg, hitlist, seqidx,
-                                orf_start, orfsq, dnasq, windowsq,
-                                complementarity)
+            survivors.append(cand)
         else:
             # frameshift pipeline F4 gate: run Forward per ORF, save
             # the parser matrix only for gate survivors
@@ -670,6 +704,24 @@ def pipeline_fwd_stage(pli: Pipeline, om: OProfile, gm: Profile,
                     except RangeError:
                         continue
                 oxf_holder[idx] = oxf
+
+    if pli.fs_pipe:
+        return
+    posts = None
+    if domdec_fn is not None and survivors:
+        posts = domdec_fn([c.orfsq for c in survivors])
+    for si, cand in enumerate(survivors):
+        n = cand.orfsq.n
+        om.reconfig_length(n)
+        p = None
+        if posts is not None:
+            btot, etot, mocc, ok = posts
+            if ok[si]:
+                p = (btot[si][:n + 1], etot[si][:n + 1],
+                     mocc[si][:n + 1])
+        _f3_survivor_domaindef(pli, om, gm, gm_fs5, bg, hitlist,
+                               seqidx, dnasq, hit_windows,
+                               complementarity, cand, posteriors=p)
 
 
 def statistics_text(pli: Pipeline, elapsed: float | None = None) -> str:

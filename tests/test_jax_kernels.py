@@ -270,3 +270,92 @@ def test_vit_mb_bitparity(setup):
         ref = viterbi_filter(s, om)
         assert g == ref or (np.isinf(g) and np.isinf(ref)
                             and (g > 0) == (ref > 0)), (len(s), g, ref)
+
+
+def test_domdec_mb_vs_host(setup):
+    """Fused device Forward+Backward+domain-decoding vs the host
+    forward/backward parsers + fb.domain_decoding, on multi-domain
+    ORFs up to 2 kaa with ragged lengths (incl. n=1)
+    (ref: impl_sse/fwdback.c backward_engine + decoding.c
+    p7_DomainDecoding)."""
+    hmm, bg, om = setup
+    p = jk.domdec_params(om)
+    rng = np.random.default_rng(7)
+    cons = np.argmax(hmm.mat, axis=1).astype(np.int32)
+    seqs = []
+    for rep in range(5):
+        L = int(rng.integers(200, 1800))
+        s = rng.integers(0, 20, L).astype(np.int32)
+        for _ in range(1 + rep // 2):
+            k0 = int(rng.integers(0, L - 130))
+            s[k0:k0 + 120] = cons[5:125]
+        seqs.append(s)
+    seqs.append(rng.integers(0, 20, 1).astype(np.int32))
+    lens = np.asarray([len(s) for s in seqs], np.int32)
+    dsq = np.full((len(seqs), int(lens.max())), 28, np.int32)
+    for b, s in enumerate(seqs):
+        dsq[b, :len(s)] = s
+    bt, et, mo, ok = (np.asarray(x) for x in
+                      jk.domdec_mb_batch(dsq, lens, p, nj=1.0))
+    assert ok.all()
+    for b, L in enumerate(lens):
+        L = int(L)
+        om.reconfig_length(L)
+        oxf, _ = fb.forward(seqs[b], om, full=False)
+        oxb, _ = fb.backward(seqs[b], om, oxf, full=False)
+        hbt, het, hmo = fb.domain_decoding(om, oxf, oxb)
+        # device error must stay well inside pipeline.DOMDEC_MARGIN
+        assert np.abs(bt[b, :L + 1] - hbt).max() < 5e-4
+        assert np.abs(et[b, :L + 1] - het).max() < 5e-4
+        assert np.abs(mo[b, :L + 1] - hmo).max() < 5e-4
+
+
+def test_region_scan_margin_matches_loop(setup):
+    """The side-effect-free margin dry-run detects exactly the
+    comparisons by_posterior_heuristics_bath makes: a value placed
+    within eps of rt1 trips, one outside does not."""
+    from bath_tpu.domaindef import (DomainDef, PosteriorMargin,
+                                    region_scan_margin)
+    ddef = DomainDef()
+    n = 10
+    btot = np.zeros(n + 1, np.float32)
+    etot = np.zeros(n + 1, np.float32)
+    mocc = np.zeros(n + 1, np.float32)
+    mocc[5] = ddef.rt1 + 5e-4          # within eps=1e-3 of trigger
+    with pytest.raises(PosteriorMargin):
+        region_scan_margin(btot, etot, mocc, n, ddef, 1e-3)
+    mocc[5] = ddef.rt1 + 0.05          # clear of every threshold
+    region_scan_margin(btot, etot, mocc, n, ddef, 1e-3)
+
+
+def test_jax_backend_golden_hit_target():
+    """bathsearch --backend jax on the tutorial AMP_N target (a real
+    hit: F3 survivors -> device fused domain decoding) is
+    byte-identical to the numpy backend, and its hit/statistics lines
+    match the golden AMP_N.out."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    def run(extra, env_extra):
+        env = dict(os.environ, BATH_JAX_PLATFORM="cpu", **env_extra)
+        r = subprocess.run(
+            [sys.executable, "-m", "bath_tpu.cli.bathsearch", *extra,
+             f"{TUT}/AMP_N.bhmm", f"{TUT}/target-AMP_N.fa"],
+            capture_output=True, text=True, timeout=900,
+            cwd="/root/repo", env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
+
+    a = run(["--backend", "jax"],
+            {"XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+             "BATH_MIN_DEVICE_ORFS": "1"})
+    b = run([], {})
+    strip = lambda s: "\n".join(l for l in s.split("\n")
+                                if not l.startswith("#"))
+    assert strip(a) == strip(b)
+    golden = open(f"{TUT}/AMP_N.out").read()
+    for needle in ("    1.4e-16   47.8   0.0  seq1",
+                   "Residues passing Fwd filter:             237"):
+        assert needle in golden and needle in a
