@@ -124,6 +124,7 @@ class DeviceCascade:
         self._fwd_params = None
         self._fs3_params = None
         self._domdec_params = None
+        self._fs3_domdec_params = None
         self._om_fs3 = om_fs3
 
     # -- MSV (F1): every ORF of the chunk ---------------------------
@@ -248,6 +249,58 @@ class DeviceCascade:
                 out = jk.domdec_mb_batch(
                     *(self._put(batch), self._put(blens)),
                     self._domdec_params, nj=1.0)
+                plan.append((chunk, out))
+        for chunk, (bt, et, mo, okv) in plan:
+            bt, et, mo, okv = (np.asarray(x) for x in (bt, et, mo,
+                                                       okv))
+            for r, i in enumerate(chunk):
+                btot[i], etot[i], mocc[i] = bt[r], et[r], mo[r]
+                ok[i] = bool(okv[r])
+        return btot, etot, mocc, ok
+
+    # -- fused fs3 Backward parser + fs domain decoding --------------
+    # (fs-branch survivor DNA windows); nt-unit buckets
+    FSDOMDEC_LS = (1024, 4096, 16384)
+    FSDOMDEC_B = 32
+
+    def fs3_domdec(self, winseqs, dec_loop: float):
+        """Batched device (btot, etot, mocc, ok) for fs-branch DNA
+        windows — ok=False (host fallback) for over-bucket windows or
+        flagged lanes.  <dec_loop>: N/J/C LOOP prob of the profile
+        the host decoder uses (om_fs5 pinned at multihit(100))."""
+        from .ops.jaxk import kernels as jk
+        if self._fs3_domdec_params is None:
+            self._fs3_domdec_params = jk.fs3_domdec_params(
+                self._om_fs3)
+        n = len(winseqs)
+        lens = np.asarray([s.n for s in winseqs])
+        btot = [None] * n
+        etot = [None] * n
+        mocc = [None] * n
+        ok = np.zeros(n, bool)
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            Lb = next((b for b in self.FSDOMDEC_LS if b >= lens[i]),
+                      None)
+            if Lb is not None:
+                groups.setdefault(Lb, []).append(i)
+        plan = []
+        for Lb, idxs in groups.items():
+            for c0 in range(0, len(idxs), self.FSDOMDEC_B):
+                chunk = idxs[c0:c0 + self.FSDOMDEC_B]
+                # few survivors are the common case: a small-B
+                # executable avoids 4x padded work per flush
+                B = 8 if len(chunk) <= 8 else self.FSDOMDEC_B
+                batch = np.full((B, Lb), 17, np.int32)
+                blens = np.ones(B, np.int32)
+                for r, i in enumerate(chunk):
+                    batch[r, :lens[i]] = np.asarray(winseqs[i].dsq,
+                                                    np.int32)
+                    blens[r] = lens[i]
+                out = jk.fs3_domdec_mb_batch(
+                    *(self._put(batch), self._put(blens)),
+                    self._fs3_domdec_params, dec_loop=dec_loop,
+                    nj=1.0)
                 plan.append((chunk, out))
         for chunk, (bt, et, mo, okv) in plan:
             bt, et, mo, okv = (np.asarray(x) for x in (bt, et, mo,
@@ -407,7 +460,8 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
                                bg, e.hits, e.seqid, e.orfs, e.window,
                                gcode, e.P_orf, e.oxf_holder,
                                e.complementarity, e.fs_cands,
-                               fs3_dev=fs3_all[pos:pos + nfs])
+                               fs3_dev=fs3_all[pos:pos + nfs],
+                               fs_domdec_fn=cascade.fs3_domdec)
             pos += nfs
 
     # hits flow into the global list per entry, in stream order —

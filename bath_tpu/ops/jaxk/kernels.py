@@ -616,9 +616,9 @@ _FS3_BL = 12
 _ABLATE = "full"
 
 
-@partial(jax.jit, static_argnames=("Mt", "nj"))
+@partial(jax.jit, static_argnames=("Mt", "nj", "emit"))
 def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
-                    tMI, tII, nj, Mt, UT=None, u=None):
+                    tMI, tII, nj, Mt, UT=None, u=None, emit=False):
     """Frameshift 3-codon Forward parser, batched.
 
     TPU structure (all DP state in [model, batch] layout — model
@@ -684,20 +684,30 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
     uc = u[:, None] if u is not None else None
     tMIc, tIIc = tMI[:, None], tII[:, None]
     BF16 = jnp.bfloat16
-    T2b, T3b, T4b = T2.astype(BF16), T3.astype(BF16), T4.astype(BF16)
+    if emit:
+        # specials are consumed by threshold logic downstream
+        # (domain decoding): keep emissions f32-exact
+        T2b, T3b, T4b = T2, T3, T4
+    else:
+        T2b, T3b, T4b = T2.astype(BF16), T3.astype(BF16), T4.astype(BF16)
 
     def block(carry, blk, first=False):
         # `first` statically specializes the initial block; steady-state
         # blocks (pos > 12) drop the warm-up masks entirely
         c2_blk, c3_blk, c4_blk = blk
         (mr, ir, dr, pend, ivx, pivx, xNb, xBb, xJb, xCb, logacc,
-         score, base) = carry
+         lcomp, score, base) = carry
         mr, ir, dr, ivx = list(mr), list(ir), list(dr), list(ivx)
         pend, pivx = list(pend), list(pivx)
         xNb, xBb, xJb, xCb = list(xNb), list(xBb), list(xJb), list(xCb)
 
         def emis(tab, cblk):
             n = tab.shape[1]
+            if emit:
+                oh = (cblk[None, :] == jnp.arange(n)[:, None]) \
+                    .astype(F32)
+                return jnp.dot(tab, oh,
+                               precision=jax.lax.Precision.HIGHEST)
             oh = (cblk[None, :] == jnp.arange(n)[:, None]).astype(BF16)
             return jnp.dot(tab, oh, preferred_element_type=BF16)
 
@@ -707,6 +717,7 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
             E2a = emis(T2b, c2_blk)          # [Mt, BL*B] bf16
             E3a = emis(T3b, c3_blk)
             E4a = emis(T4b, c4_blk)
+        ys = []
         for j in range(BL):
             i = base + j
             pos = i + 1
@@ -760,6 +771,8 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
                 xJ2 = jnp.where(ge3, xJ2, xE * eloop)
                 xC2 = jnp.where(ge3, xC2, xE * emove)
             xB2 = xN2 * pmove + xJ2 * pmove
+            if emit:
+                ys.append((xB2, xN2, xJ2, xC2, xE, logacc))
 
             sc = jnp.maximum(xE, 1.0)
             sinv = 1.0 / sc
@@ -779,7 +792,14 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
             for s in range(3):
                 upd = sinv if s == s2 else pivx[s] * sinv
                 pivx[s] = jnp.where(active, upd, pivx[s])
-            logacc = jnp.where(active, logacc + jnp.log(sc), logacc)
+            # Kahan-compensated accumulation: the emitted per-row
+            # log-scale feeds the domain-decoding combine, where raw
+            # f32 drift over multi-kb windows is the dominant
+            # device-vs-host error term (host cumsums scales in f64)
+            ky = jnp.log(sc) - lcomp
+            kt = logacc + ky
+            lcomp = jnp.where(active, (kt - logacc) - ky, lcomp)
+            logacc = jnp.where(active, kt, logacc)
             done = (i + 1 == lens)
             # xC ring: pos_m4 just written (scale sinv); j%4 one step
             # old, (j-1)%4 two steps old — pend folds their scales
@@ -787,9 +807,12 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
                                + xCb[(j - 1) % 4] * pend[(j - 1) % 4]) \
                 * ploop
             score = jnp.where(done, logacc + jnp.log(cl * pmove), score)
+        out = tuple(jnp.stack([y[q] for y in ys])
+                    for q in range(6)) if emit else None
         return (tuple(mr), tuple(ir), tuple(dr), tuple(pend),
                 tuple(ivx), tuple(pivx), tuple(xNb), tuple(xBb),
-                tuple(xJb), tuple(xCb), logacc, score, base + BL), None
+                tuple(xJb), tuple(xCb), logacc, lcomp, score,
+                base + BL), out
 
     zrow = jnp.zeros((Mt, B), F32)
     zb = jnp.zeros(B, F32)
@@ -800,12 +823,18 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
     xBb0 = (pmove.astype(F32), pmove.astype(F32), zb, zb)
     carry0 = ((zrow,) * 4, (zrow,) * 4, (zrow,) * 4, (ones,) * 4,
               (zrow,) * 3, (ones,) * 3, xNb0, xBb0, (zb,) * 4,
-              (zb,) * 4, jnp.zeros(B, F32),
+              (zb,) * 4, jnp.zeros(B, F32), jnp.zeros(B, F32),
               jnp.full(B, -jnp.inf, F32), jnp.int32(0))
-    carry, _ = block(carry0, (c2b[0], c3b[0], c4b[0]), first=True)
-    carry, _ = jax.lax.scan(block, carry,
-                            (c2b[1:], c3b[1:], c4b[1:]))
-    return carry[11]
+    carry, ys0 = block(carry0, (c2b[0], c3b[0], c4b[0]), first=True)
+    carry, ysr = jax.lax.scan(block, carry,
+                              (c2b[1:], c3b[1:], c4b[1:]))
+    if not emit:
+        return carry[12]
+    # per-row specials in host row order: rows (pos) 1..Lpad, channel
+    # order (xB, xN, xJ, xC, xE, LSf-before-row); score = log Z
+    rows = tuple(jnp.concatenate([a[None], b]).reshape(Lpad, B)
+                 for a, b in zip(ys0, (y for y in ysr)))
+    return carry[12], rows, carry[10]
 
 
 def fs3_score_batch(dsq, lens, params: FS3Params,
@@ -1082,3 +1111,289 @@ def domdec_mb_batch(dsq, lens, params: DomDecParams, nj: float = 1.0):
         f.tIM, f.tMI, f.tII, f.W3, f.u, params.tIM_next,
         params.tMM_next, params.tDM_next, params.vMD, params.UB,
         params.mask, float(nj), f.Mt)
+
+
+# ---------------------------------------------------------------------
+# Fused fs3 Forward + Backward parser + frameshift domain decoding.
+#
+# The --fs branch's domain definition consumes only the
+# p7_DomainDecoding_Frameshift posteriors (ref: p7_domaindef.c
+# ByPosteriorHeuristics_Frameshift_BATH :300 3-frame triggers;
+# decoding_fs.c :242), so as with the standard pipeline the device
+# equivalent of p7_BackwardParser_Frameshift_3Codons
+# (ref: impl_sse/fwdback_fs.c :565) is a fused kernel: the fs3 gate
+# scan re-run with per-row specials emission, a reversed backward
+# scan with 4-slot rings and per-slot pending scales, and the
+# stride-3 log-accumulator combine.
+# ---------------------------------------------------------------------
+@dataclass
+class FS3DomDecParams:
+    fs3: FS3Params
+    tIM_next: jnp.ndarray    # [Mt] tfv[k, P_IM] on lane k-1
+    tMM_next: jnp.ndarray
+    tDM_next: jnp.ndarray
+    vMD: jnp.ndarray         # tfv[t, P_MD] on the shift-up source lane
+    UB: jnp.ndarray          # [Mt, Mt] suffix DD closure
+    mask: jnp.ndarray
+
+
+def fs3_domdec_params(om_fs, sub_multiple: int = 8) -> FS3DomDecParams:
+    fs3 = fs3_params(om_fs, sub_multiple)
+    M, Mt = fs3.M, fs3.Mt
+    tfv = om_fs.tfv
+
+    def padv(v, lo):
+        out = np.zeros(Mt, np.float32)
+        out[lo:lo + len(v)] = v
+        return jnp.asarray(out)
+
+    mask = np.zeros(Mt, np.float32)
+    mask[:M] = 1.0
+    UB = dd_closure_matrix(tfv[1:M, C.P_DD], Mt)
+    return FS3DomDecParams(
+        fs3=fs3,
+        tIM_next=padv(tfv[1:M, C.P_IM], 0),
+        tMM_next=padv(tfv[1:M, C.P_MM], 0),
+        tDM_next=padv(tfv[1:M, C.P_DM], 0),
+        vMD=padv(tfv[1:M, C.P_MD], 1),
+        UB=jnp.asarray(UB), mask=jnp.asarray(mask))
+
+
+@partial(jax.jit, static_argnames=("Mt", "nj"))
+def _fs3_domdec_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
+                     tMI, tII, UT, u, tIM_n, tMM_n, tDM_n, vMD, UB,
+                     mask, dec_loop, nj, Mt):
+    """Returns (btot, etot, mocc, ok): [B, Lpad+1] posteriors in the
+    p7_DomainDecoding_Frameshift convention + per-item validity.
+
+    <dec_loop>: the N/J/C LOOP probability of the profile the host
+    passes to p7_DomainDecoding_Frameshift (in production the fs5
+    model pinned at multihit(100), NOT the fs3 parser's per-window
+    length model) — used only in the njcp/mocc combine."""
+    B, L = dsq.shape
+    BL = _FS3_BL
+    # one extra block so the backward scan covers row 0 (the host
+    # parser's termination rows; xJ/xC are zeroed there post-hoc)
+    Lpad = ((L + 1 + BL - 1) // BL) * BL
+    dsq = jnp.pad(dsq, ((0, 0), (0, Lpad - L)), constant_values=17)
+    HI = jax.lax.Precision.HIGHEST
+    Lf = (lens // 3).astype(F32)
+    pmove = (2.0 + nj) / (Lf + 2.0 + nj)
+    ploop = 1.0 - pmove
+    emove = 0.5 if nj > 0 else 1.0
+    eloop = 0.5 if nj > 0 else 0.0
+
+    # ---- forward pass: the gate scan with specials emission -------
+    logZ, frows, lsf_fin = _fs3_score_impl(
+        dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs, tMI, tII,
+        nj, Mt, UT, u, emit=True)
+    # [Lpad+1, B] per channel, row index = host row (0..Lpad)
+    row0 = (pmove.astype(F32), jnp.ones(B, F32), jnp.zeros(B, F32),
+            jnp.zeros(B, F32), jnp.zeros(B, F32), jnp.zeros(B, F32))
+    fr = tuple(jnp.concatenate([r0[None, :], y])
+               for r0, y in zip(row0, frows))
+    fxB, fxN, fxJ, fxC, fxE, fLS = fr
+
+    # ---- reversed codon-channel indices ----------------------------
+    xd = jnp.minimum(dsq, C.MAXNUC).astype(jnp.int32)
+    xm1 = jnp.pad(xd, ((0, 0), (1, 0)), constant_values=C.MAXNUC)[:, :-1]
+    xm2 = jnp.pad(xd, ((0, 0), (2, 0)), constant_values=C.MAXNUC)[:, :-2]
+    xm3 = jnp.pad(xd, ((0, 0), (3, 0)), constant_values=C.MAXNUC)[:, :-3]
+    dg2 = (xd > 3) | (xm1 > 3)
+    dg3 = dg2 | (xm2 > 3)
+    dg4 = dg3 | (xm3 > 3)
+    c2 = jnp.where(dg2, 16, xd * 4 + xm1).T              # [Lpad, B]
+    c3 = jnp.where(dg3, 64, xd * 16 + xm1 * 4 + xm2).T
+    c4 = jnp.where(dg4, 256, xd * 64 + xm1 * 16 + xm2 * 4 + xm3).T
+    ar = jnp.arange(Lpad, dtype=jnp.int32)
+    # backward step q (0-based) computes row i = lens - q; the codon
+    # of length c contributing to ivxb(i) ends at j = i + c, i.e.
+    # column j-1 = lens - q + c - 1 of the c-channel index array
+    def rev_c(carr, c):
+        idx = jnp.clip(lens[None, :] - ar[:, None] + (c - 1),
+                       0, Lpad - 1)
+        return jnp.take_along_axis(carr, idx, axis=0)
+    rc2 = rev_c(c2, 2).reshape(Lpad // BL, BL, B)
+    rc3 = rev_c(c3, 3).reshape(Lpad // BL, BL, B)
+    rc4 = rev_c(c4, 4).reshape(Lpad // BL, BL, B)
+
+    tBMr = tBM[None, :]
+    tMIc, tIIc = tMI[:, None], tII[:, None]
+    tIMnc, tMMnc, tDMnc = tIM_n[:, None], tMM_n[:, None], tDM_n[:, None]
+    vMDc, maskc = vMD[:, None], mask[:, None]
+    cmove = pmove.astype(F32)
+
+    # ---- backward scan ---------------------------------------------
+    # rings of 4: M rows and I rows for i+1..i+4 (M read at i+2..i+4,
+    # I and specials read at i+3); per-slot pending scales
+    def bstep(carry, xs):
+        (mr, irr, pend, xNb, xJb, xCb, spend, lsb, bcomp,
+         base) = carry
+        rb2, rb3, rb4 = xs
+        mr, irr, pend = list(mr), list(irr), list(pend)
+        xNb, xJb, xCb, spend = (list(xNb), list(xJb), list(xCb),
+                                list(spend))
+
+        def emis(tab, cb):
+            n = tab.shape[1]
+            oh = (cb[None, :] == jnp.arange(n)[:, None]).astype(F32)
+            return jnp.dot(tab, oh, precision=HI)
+
+        E2a = emis(T2, rb2.reshape(BL * B))
+        E3a = emis(T3, rb3.reshape(BL * B))
+        E4a = emis(T4, rb4.reshape(BL * B))
+        ys = []
+        for j in range(BL):
+            q = base + j           # row computed: i = lens - q + 1
+            off = j * B
+            E2 = jax.lax.slice(E2a, (0, off), (Mt, off + B))
+            E3 = jax.lax.slice(E3a, (0, off), (Mt, off + B))
+            E4 = jax.lax.slice(E4a, (0, off), (Mt, off + B))
+            # row i+c was written at step q-c, which lives in slot
+            # (q-c-1) % 4 = (j-c) % 4 (base = 1 mod 4, slot = j % 4)
+            m_i2 = mr[(j - 2) % 4] * pend[(j - 2) % 4][None, :]
+            m_i3 = mr[(j - 3) % 4] * pend[(j - 3) % 4][None, :]
+            m_i4 = mr[j % 4] * pend[j % 4][None, :]
+            ivxb = m_i2 * E2 + m_i3 * E3 + m_i4 * E4
+            xBn = jnp.dot(tBMr, ivxb, preferred_element_type=F32)[0]
+            i3 = (j - 3) % 4
+            sp3 = spend[i3]
+            xCn = jnp.where(q == 1, cmove,
+                            jnp.where(q <= 3, ploop * cmove,
+                                      ploop * (xCb[i3] * sp3)))
+            xJn = xBn * pmove + ploop * (xJb[i3] * sp3)
+            xNn = xBn * pmove + ploop * (xNb[i3] * sp3)
+            xEn = xCn * emove + xJn * eloop
+            iv1 = jnp.pad(ivxb[1:], ((0, 1), (0, 0)))
+            bI3 = irr[i3] * pend[i3][None, :]
+            new_i = tIMnc * iv1 + tIIc * bI3
+            nm = tMMnc * iv1 + tMIc * bI3
+            pre_d = (tDMnc * iv1 + xEn[None, :]) * maskc
+            new_d = jnp.dot(UB, pre_d, preferred_element_type=F32)
+            new_m = (nm + xEn[None, :]) * maskc \
+                + jnp.pad((new_d * vMDc)[1:], ((0, 1), (0, 0)))
+            # q = lens + 1 is the host parser's i = 0
+            # termination row (xB/xN only; xJ/xC zeroed in the
+            # combine, where backward rows < 3 are never read)
+            active = (q <= lens + 1)
+            ys.append((xBn, xNn, xJn, xCn, xEn, lsb))
+            # sparse own rescale
+            sb = jnp.where(active & (xBn > 0)
+                           & ((xBn > 1.0e4) | (xBn < 1.0e-4)),
+                           xBn, 1.0)
+            sbi = 1.0 / sb
+            slot = j % 4
+            mr[slot] = new_m
+            irr[slot] = new_i
+            for r in range(4):
+                upd = sbi if r == slot else pend[r] * sbi
+                pend[r] = jnp.where(active, upd, pend[r])
+            xNb[slot], xJb[slot], xCb[slot] = xNn, xJn, xCn
+            for r in range(4):
+                upd = sbi if r == slot else spend[r] * sbi
+                spend[r] = jnp.where(active, upd, spend[r])
+            # Kahan-compensated (see the forward scan)
+            ky = jnp.log(sb) - bcomp
+            kt = lsb + ky
+            bcomp = jnp.where(active, (kt - lsb) - ky, bcomp)
+            lsb = jnp.where(active, kt, lsb)
+        out = tuple(jnp.stack([y[t] for y in ys]) for t in range(6))
+        return (tuple(mr), tuple(irr), tuple(pend), tuple(xNb),
+                tuple(xJb), tuple(xCb), tuple(spend), lsb, bcomp,
+                base + BL), out
+
+    zrow = jnp.zeros((Mt, B), F32)
+    zb = jnp.zeros(B, F32)
+    ones = jnp.ones(B, F32)
+    bcarry0 = ((zrow,) * 4, (zrow,) * 4, (ones,) * 4, (zb,) * 4,
+               (zb,) * 4, (zb,) * 4, (ones,) * 4, zb, zb,
+               jnp.int32(1))
+    _, bys = jax.lax.scan(bstep, bcarry0, (rc2, rc3, rc4))
+    bxB, bxN, bxJ, bxC, bxE, bLS = (y.reshape(Lpad, B) for y in bys)
+
+    # ---- q-order -> row-order remap --------------------------------
+    # row jrow (0..Lpad) was emitted at step q = lens - jrow + 1,
+    # i.e. 0-based scan index lens - jrow
+    jrow = jnp.arange(Lpad + 1, dtype=jnp.int32)[:, None]
+    qidx = jnp.clip(lens[None, :] - jrow, 0, Lpad - 1)
+    valid = (jrow <= lens[None, :]).astype(F32)
+
+    def at_row(a):
+        return jnp.take_along_axis(a, qidx, axis=0) * valid
+
+    BxB, BxN, BxJ, BxC, BxE, BLS = (at_row(a) for a in
+                                    (bxB, bxN, bxJ, bxC, bxE, bLS))
+    # host leaves xJ/xC at the termination rows 0..2 zero
+    r3 = (jrow >= 3).astype(F32)
+    BxJ = BxJ * r3
+    BxC = BxC * r3
+
+    # ---- stride-3 combine (ref: decoding_fs.c formulas) ------------
+    lz = logZ[None, :]
+
+    def w(lsf_at, lsb_at):
+        return jnp.exp(lsf_at + lsb_at - lz)
+
+    # increments at row i (i >= 3)
+    sh3 = lambda a: jnp.concatenate([jnp.zeros((3, B), a.dtype),
+                                     a[:-3]])  # value at i-3 for i>=3
+    fxB3, fxN3, fxJ3, fxC3, fLS3 = (sh3(a) for a in
+                                    (fxB, fxN, fxJ, fxC, fLS))
+    BxB3, BxN3, BxJ3, BxC3, BLS3 = (sh3(a) for a in
+                                    (BxB, BxN, BxJ, BxC, BLS))
+    inc_b = fxB3 * BxB3 * w(fLS3, BLS3)
+    inc_e = fxE * BxE * w(fLS, BLS)
+    # njcp over frames (i-3,i), (i-2,i+1), (i-1,i+2); hi > L dropped
+    njcp = jnp.zeros((Lpad + 1, B), F32)
+    for d in range(3):
+        sh = 3 - d
+
+        def shl(a, s=sh):
+            return jnp.concatenate([jnp.zeros((s, B), a.dtype),
+                                    a[:Lpad + 1 - s]])
+
+        def shr(a, s=d):
+            if s == 0:
+                return a
+            return jnp.concatenate([a[s:],
+                                    jnp.zeros((s, B), a.dtype)])
+        hi_ok = ((jrow + d) <= lens[None, :]).astype(F32)
+        ww = w(shl(fLS), shr(BLS)) * hi_ok
+        njcp = njcp + (shl(fxN) * shr(BxN)
+                       + shl(fxJ) * shr(BxJ)
+                       + shl(fxC) * shr(BxC)) * dec_loop[None, :] * ww
+    def cum3(inc):
+        # btot[i] = btot[i-3] + inc[i]: three interleaved cumsums
+        n3 = -((Lpad + 1) // -3) * 3
+        a = jnp.concatenate([inc, jnp.zeros((n3 - (Lpad + 1), B),
+                                            F32)])
+        a = a.reshape(n3 // 3, 3, B)
+        return jnp.cumsum(a, axis=0).reshape(n3, B)[:Lpad + 1]
+
+    mask3 = (jrow >= 3).astype(F32) * valid
+    btot = cum3(inc_b * mask3).T
+    etot = cum3(inc_e * mask3).T
+    mocc = ((1.0 - njcp) * mask3).T
+    ok = (jnp.isfinite(logZ)
+          & (logZ - lsf_fin > _DD_UNDERFLOW_LOG)
+          & jnp.isfinite(btot).all(axis=1)
+          & jnp.isfinite(etot).all(axis=1)
+          & jnp.isfinite(mocc).all(axis=1))
+    return btot, etot, mocc, ok
+
+
+def fs3_domdec_mb_batch(dsq, lens, params: FS3DomDecParams,
+                        dec_loop: float, nj: float = 1.0):
+    """Batched device (btot, etot, mocc, ok) for fs-branch DNA
+    windows — the fused equivalent of
+    p7_BackwardParser_Frameshift_3Codons + p7_DomainDecoding_Frameshift
+    (ref: impl_sse/fwdback_fs.c :565, decoding_fs.c :242).
+    <dec_loop>: xf[N, LOOP] of the profile the host decoder uses."""
+    f = params.fs3
+    return _fs3_domdec_impl(
+        jnp.asarray(dsq), jnp.asarray(lens), f.T2, f.T3, f.T4, f.tBM,
+        f.tMM, f.tIM, f.tDM, f.tMDs, f.tMI, f.tII, f.UT, f.u,
+        params.tIM_next, params.tMM_next, params.tDM_next, params.vMD,
+        params.UB, params.mask,
+        jnp.broadcast_to(jnp.asarray(dec_loop, jnp.float32),
+                         jnp.asarray(lens).shape), float(nj), f.Mt)

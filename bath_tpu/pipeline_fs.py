@@ -522,14 +522,122 @@ def rescore_isolated_domain_fs(ddef, pli, om_fs5, gm_fs5, windowsq,
     return True
 
 
+def fs_domdec_margin(wlen: int) -> float:
+    """Safety margin (posterior-probability units) for device fs3
+    domain-decoding trigger decisions.  Measured device-vs-host error
+    on the compared quantities grows ~7e-7*L up to 13 kb windows
+    (tests/test_jax_kernels.py pins it); this gives >=4x headroom."""
+    return 8e-3 + 2e-6 * wlen
+
+
+def region_scan_margin_fs(btot, etot, mocc, n: int, ddef,
+                          eps: float) -> None:
+    """Dry-run the 3-frame region-detection automaton of
+    by_posterior_heuristics_fs on (btot, etot, mocc) and raise
+    PosteriorMargin if ANY comparison it makes (the rt1 trigger, the
+    rt2 start/end backtracks, is_multidomain_region_fs's rt3) is
+    within <eps> of its threshold.  If every margin clears, a run
+    with values perturbed by < eps makes identical decisions at every
+    step, so host and device posteriors yield the same
+    regions/envelopes by induction (mirror of
+    domaindef.region_scan_margin for the fs automaton)."""
+    from .domaindef import PosteriorMargin
+    rt1, rt2, rt3 = ddef.rt1, ddef.rt2, ddef.rt3
+
+    def near(v, t, what, at):
+        if abs(float(v) - t) < eps:
+            raise PosteriorMargin(f"{what} at {at}")
+
+    def bcond(d):
+        v = mocc[d] - (btot[d] - btot[d - 3])
+        near(v, rt2, "rt2/b", d)
+        return v < rt2
+
+    def econd(d):
+        v = mocc[d] - (etot[d] - etot[d - 3])
+        near(v, rt2, "rt2/e", d)
+        return v < rt2
+
+    i = -1
+    triggered = start = end = False
+    j = 1
+    L = n
+    d = 0
+    while j < L:
+        if not triggered:
+            near(mocc[j], rt1, "rt1", j)
+            if mocc[j] >= rt1:
+                triggered = True
+            d = j
+        else:
+            while d > 1 and not start:
+                d -= 1
+                if d > 3 and bcond(d):
+                    d -= 1
+                    if d > 3 and bcond(d):
+                        d -= 1
+                        if d > 3 and bcond(d):
+                            d -= 1
+                            start = True
+            i = max(1, d - 3)
+            d = j + 1
+            while d < L and not end:
+                d += 1
+                if d < L and econd(d):
+                    d += 1
+                    if d < L and econd(d):
+                        d += 1
+                        if d < L and econd(d):
+                            d += 1
+                            end = True
+            j = min(L, d + 3)
+            if j - i + 1 < 12:
+                i = -1
+                triggered = start = end = False
+                j += 1
+                continue
+            # is_multidomain_region_fs's rt3 decision, with margin
+            mx = -1.0
+            f = (j - i + 1) % 3
+            for z in range(i + 2, j - f + 1, 3):
+                mx = max(mx, min(float(etot[z] - etot[i - 1]),
+                                 float(btot[j - f] - btot[z - 3])))
+            f = (j - i) % 3
+            for z in range(i + 3, j - f + 1, 3):
+                mx = max(mx, min(float(etot[z] - etot[i]),
+                                 float(btot[j - f] - btot[z - 3])))
+            f = (j - i - 1) % 3
+            for z in range(i + 4, j - f + 1, 3):
+                mx = max(mx, min(float(etot[z] - etot[i + 1]),
+                                 float(btot[j - f] - btot[z - 3])))
+            near(mx, rt3, "rt3", f"{i}..{j}")
+            i = -1
+            triggered = start = end = False
+        j += 1
+
+
 def by_posterior_heuristics_fs(pli, windowsq, om_fs5, gm_fs5, bg, gcode,
-                               oxf, oxb, ensemble_fn=None):
-    """ref: p7_domaindef_ByPosteriorHeuristics_Frameshift_BATH :300."""
+                               oxf, oxb, ensemble_fn=None,
+                               posteriors=None,
+                               margin_eps: float = 0.0):
+    """ref: p7_domaindef_ByPosteriorHeuristics_Frameshift_BATH :300.
+
+    <posteriors>: optional precomputed (btot, etot, mocc) — the device
+    fs3 fused domdec kernel's output — used instead of the host
+    p7_DomainDecoding_Frameshift (oxf/oxb may then be None).  With
+    <margin_eps> > 0, PosteriorMargin is raised BEFORE any side
+    effects if a trigger decision is within eps of its threshold."""
     ddef = pli.ddef
     n = windowsq.n
     saveL = gm_fs5.L
     save_multi = gm_fs5.nj > 0
-    btot, etot, mocc = ffs.domain_decoding_fs(om_fs5, oxf, oxb)
+    if posteriors is not None:
+        btot, etot, mocc = posteriors
+        if margin_eps > 0.0:
+            region_scan_margin_fs(btot, etot, mocc, n, ddef,
+                                  margin_eps)
+    else:
+        btot, etot, mocc = ffs.domain_decoding_fs(om_fs5, oxf, oxb)
     ddef.btot, ddef.etot, ddef.mocc = btot, etot, mocc
     ddef.n2sc = np.zeros(n + 1, dtype=F32)
     ddef.nexpected = float(btot[n])
@@ -539,7 +647,7 @@ def by_posterior_heuristics_fs(pli, windowsq, om_fs5, gm_fs5, bg, gcode,
     i = -1
     triggered = start = end = False
     j = 1
-    L = oxf.L
+    L = n if oxf is None else oxf.L
     while j < L:
         if not triggered:
             if mocc[j] >= ddef.rt1:
@@ -803,27 +911,38 @@ def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
 
 def fs_gate_and_define(pli, om, gm, om_fs3, om_fs5, gm_fs5, bg, hitlist,
                        seqidx, orfs, dnasq, gcode, P_orf, oxf_holder,
-                       complementarity, cands, fs3_dev=None):
+                       complementarity, cands, fs3_dev=None,
+                       fs_domdec_fn=None):
     """Phase 2 of the frameshift branch: fs3-Forward gate,
     arbitration, domain definition and hit assembly per prepared DNA
     window (ref: p7_pli_Frameshift :1450-1511).  <fs3_dev>: optional
     per-window device fs3-Forward scores (nats); windows whose device
     P is above F3*DEVICE_GATE_BAND skip the host fs3 parser entirely
     (the exact P can only be within the band, so it also fails the
-    gate), the rest are re-scored bit-exactly on the host."""
+    gate), the rest are re-scored bit-exactly on the host.
+
+    <fs_domdec_fn(seqs, dec_loop) -> (btot, etot, mocc, ok)>: optional
+    batched device fused fs3 Backward-parser + domain-decoding run
+    over the fs-branch survivors; survivors then skip the host full
+    fs3 Forward + Backward parsers entirely unless flagged or
+    margin-tripped (ref: impl_sse/fwdback_fs.c :565,
+    decoding_fs.c :242)."""
     from .domaindef import by_posterior_heuristics_bath
     from .ops.reference import fwdback as fb
     from .pipeline import DEVICE_GATE_BAND, _postdomaindef_bath
 
+    # ---- pass 1: the fs3-Forward gate + arbitration per window ----
+    # branch[ci]: True = fs branch, False = std branch, None = window
+    # skipped (parser over/underflow, ref p7_pipeline.c:1471)
+    branch: list = [False] * len(cands)
     for ci, cand in enumerate(cands):
-        w_idx, wn, wlen = cand.w_idx, cand.wn, cand.wlen
+        wlen = cand.wlen
         tmpseq = cand.tmpseq
         nullsc, filtersc = cand.nullsc, cand.filtersc
         P_tot, P_min, orf_cnt = cand.P_tot, cand.P_min, cand.orf_cnt
 
         om_fs3.reconfig_length(wlen // 3)
         fs_branch = True
-        oxf = None
         if fs3_dev is not None:
             sc_dev = float(fs3_dev[ci])
             P_dev = float(stats.exp_surv(
@@ -839,9 +958,10 @@ def fs_gate_and_define(pli, om, gm, om_fs3, om_fs5, gm_fs5, bg, hitlist,
                 from .native import fs3_parser_score_native
                 fwdsc = fs3_parser_score_native(tmpseq.dsq, om_fs3)
                 if fwdsc is None:
-                    oxf, fwdsc = ffs.forward_parser_fs3(tmpseq.dsq,
-                                                        om_fs3)
+                    _, fwdsc = ffs.forward_parser_fs3(tmpseq.dsq,
+                                                      om_fs3)
             except RangeError:
+                branch[ci] = None
                 continue
             seqscore = (fwdsc - filtersc) / C.CONST_LOG2
             P_fs = float(stats.exp_surv(seqscore,
@@ -856,33 +976,79 @@ def fs_gate_and_define(pli, om, gm, om_fs3, om_fs5, gm_fs5, bg, hitlist,
                 P_null < P_tot
                 or (P_null == P_tot and orf_cnt > 1)
                 or P_min > pli.F3)
+        branch[ci] = fs_branch
+
+    # ---- batched device fused Backward + domain decoding ----------
+    fs_idx = [ci for ci, b in enumerate(branch) if b]
+    posts = None
+    if fs_domdec_fn is not None and fs_idx:
+        # the host decoder runs with the fs5 model pinned at
+        # multihit(100) (see below), whose N/J/C LOOP = 100/103
+        posts = fs_domdec_fn([cands[ci].tmpseq for ci in fs_idx],
+                             dec_loop=100.0 / 103.0)
+    post_of = {ci: k for k, ci in enumerate(fs_idx)}
+
+    # ---- pass 2: domain definition + hit assembly, window order ---
+    for ci, cand in enumerate(cands):
+        fs_branch = branch[ci]
+        if fs_branch is None:
+            continue
+        w_idx, wn, wlen = cand.w_idx, cand.wn, cand.wlen
+        tmpseq = cand.tmpseq
 
         if fs_branch:
+            om_fs3.reconfig_length(wlen // 3)
             pli.pos_past_fwd += wlen
-            try:
-                if oxf is None:
+            from .domaindef import PosteriorMargin
+            from .ensemble import region_trace_ensemble_fs
+            done = False
+            if posts is not None and ci in post_of:
+                bt, et, mo, okv = posts
+                k = post_of[ci]
+                if okv[k]:
+                    # pin the fs5 models (see the host-path comment
+                    # below) BEFORE domain definition
+                    gm_fs5.reconfig_multihit(100)
+                    om_fs5.reconfig_multihit(100)
+                    try:
+                        by_posterior_heuristics_fs(
+                            pli, tmpseq, om_fs5, gm_fs5, bg, gcode,
+                            None, None,
+                            ensemble_fn=region_trace_ensemble_fs,
+                            posteriors=(bt[k][:wlen + 1],
+                                        et[k][:wlen + 1],
+                                        mo[k][:wlen + 1]),
+                            margin_eps=fs_domdec_margin(wlen))
+                        done = True
+                    except PosteriorMargin:
+                        done = False
+                    except RangeError:
+                        continue
+            if not done:
+                try:
                     oxf, _ = ffs.forward_parser_fs3(tmpseq.dsq,
                                                     om_fs3)
-                oxb, _ = ffs.backward_parser_fs3(tmpseq.dsq, om_fs3, oxf)
-            except RangeError:
-                continue
-            # pin the fs5 models to their canonical initial config
-            # before domain definition: the reference enters with
-            # whatever length/mode the PREVIOUS window's last envelope
-            # left behind (p7_domaindef.c:313-325 saveL chain, om_fs5
-            # never restored), making results depend on window
-            # processing order.  The canonical state (L=100 multihit =
-            # a fresh worker = every single-window golden) makes
-            # output invariant to window order and worker count.
-            gm_fs5.reconfig_multihit(100)
-            om_fs5.reconfig_multihit(100)
-            try:
-                from .ensemble import region_trace_ensemble_fs
-                by_posterior_heuristics_fs(
-                    pli, tmpseq, om_fs5, gm_fs5, bg, gcode, oxf, oxb,
-                    ensemble_fn=region_trace_ensemble_fs)
-            except RangeError:
-                continue
+                    oxb, _ = ffs.backward_parser_fs3(tmpseq.dsq,
+                                                     om_fs3, oxf)
+                except RangeError:
+                    continue
+                # pin the fs5 models to their canonical initial config
+                # before domain definition: the reference enters with
+                # whatever length/mode the PREVIOUS window's last
+                # envelope left behind (p7_domaindef.c:313-325 saveL
+                # chain, om_fs5 never restored), making results depend
+                # on window processing order.  The canonical state
+                # (L=100 multihit = a fresh worker = every
+                # single-window golden) makes output invariant to
+                # window order and worker count.
+                gm_fs5.reconfig_multihit(100)
+                om_fs5.reconfig_multihit(100)
+                try:
+                    by_posterior_heuristics_fs(
+                        pli, tmpseq, om_fs5, gm_fs5, bg, gcode, oxf,
+                        oxb, ensemble_fn=region_trace_ensemble_fs)
+                except RangeError:
+                    continue
             if pli.ddef.nregions == 0 or pli.ddef.nenvelopes == 0:
                 pli.ddef.reuse()
                 continue

@@ -310,6 +310,92 @@ def test_domdec_mb_vs_host(setup):
         assert np.abs(mo[b, :L + 1] - hmo).max() < 5e-4
 
 
+def test_fs3_domdec_mb_vs_host(setup):
+    """Fused device fs3 Forward+Backward parser + frameshift domain
+    decoding vs the host forward_parser_fs3/backward_parser_fs3 +
+    domain_decoding_fs, on multi-domain DNA windows up to ~3 kb with
+    ragged lengths incl. non-multiples of 3 and of the scan block
+    (ref: impl_sse/fwdback_fs.c :97,:565, decoding_fs.c :242).  The
+    error bound pinned here must stay well inside
+    pipeline_fs.fs_domdec_margin."""
+    from bath_tpu.pipeline_fs import fs_domdec_margin
+
+    hmm, bg, om = setup
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    gm3 = profile_config_fs(hmm, bg, gcode, 3, 100)
+    om3 = ffs.fs_oprofile_convert(gm3)
+    p = jk.fs3_domdec_params(om3)
+    rng = np.random.default_rng(11)
+    cons = np.argmax(hmm.mat, axis=1).astype(np.int32)
+    aa2codon = {}
+    for ci in range(64):
+        a = gcode.basic[ci]
+        if a < 20 and a not in aa2codon:
+            aa2codon[a] = (ci // 16, (ci // 4) % 4, ci % 4)
+    seqs = []
+    for rep in range(5):
+        L = int(rng.integers(300, 3000))
+        s = rng.integers(0, 4, L).astype(np.int32)
+        for _ in range(1 + rep // 2):
+            k0 = int(rng.integers(0, L - 3 * 130))
+            pos = k0
+            for aa in cons[5:125]:
+                c = aa2codon.get(int(aa))
+                if c:
+                    s[pos:pos + 3] = c
+                    pos += 3
+        seqs.append(s)
+    seqs.append(rng.integers(0, 4, 31).astype(np.int32))
+    lens = np.asarray([len(s) for s in seqs], np.int32)
+    dsq = np.full((len(seqs), int(lens.max())), 17, np.int32)
+    for b, s in enumerate(seqs):
+        dsq[b, :len(s)] = s
+    # per-item dec_loop = the host decoder profile's N LOOP at the
+    # same length model used for the host comparison below
+    dec = np.asarray([(L // 3) / ((L // 3) + 3.0) for L in lens],
+                     np.float32)
+    bt, et, mo, ok = (np.asarray(x) for x in jk.fs3_domdec_mb_batch(
+        dsq, lens, p, dec_loop=dec, nj=1.0))
+    assert ok.all()
+    for b, L in enumerate(lens):
+        L = int(L)
+        om3.reconfig_length(L // 3)
+        d = dsq[b, :L]
+        oxf, _ = ffs.forward_parser_fs3(d, om3)
+        oxb, _ = ffs.backward_parser_fs3(d, om3, oxf)
+        hbt, het, hmo = ffs.domain_decoding_fs(om3, oxf, oxb)
+        # raw cumsum drift AND the local trigger quantities must stay
+        # well inside the production margin (>=3x headroom)
+        bound = fs_domdec_margin(L) / 3.0
+        assert np.abs(mo[b, :L + 1] - hmo).max() < bound
+        db3 = (bt[b, 3:L + 1] - bt[b, :L - 2]) - (hbt[3:] - hbt[:-3])
+        de3 = (et[b, 3:L + 1] - et[b, :L - 2]) - (het[3:] - het[:-3])
+        assert np.abs(db3).max() < bound
+        assert np.abs(de3).max() < bound
+
+
+def test_region_scan_margin_fs_matches_loop(setup):
+    """The fs margin dry-run detects exactly the comparisons
+    by_posterior_heuristics_fs makes: a value placed within eps of
+    rt1 trips, one outside does not."""
+    from bath_tpu.domaindef import DomainDef, PosteriorMargin
+    from bath_tpu.pipeline_fs import region_scan_margin_fs
+
+    ddef = DomainDef()
+    n = 60
+    btot = np.zeros(n + 1, np.float32)
+    etot = np.zeros(n + 1, np.float32)
+    mocc = np.zeros(n + 1, np.float32)
+    # flat non-trigger profile, one value close to rt1
+    mocc[:] = 0.05
+    mocc[30] = ddef.rt1 - 5e-4
+    with pytest.raises(PosteriorMargin):
+        region_scan_margin_fs(btot, etot, mocc, n, ddef, 1e-3)
+    # outside eps: no trip
+    region_scan_margin_fs(btot, etot, mocc, n, ddef, 1e-4)
+
+
 def test_region_scan_margin_matches_loop(setup):
     """The side-effect-free margin dry-run detects exactly the
     comparisons by_posterior_heuristics_bath makes: a value placed
