@@ -524,6 +524,11 @@ def run(argv=None) -> int:
                     yield tid_, w_, s_
 
         ncpu = max(0, int(args.cpu or 0))
+        if args.backend == "jax" and ncpu > 1:
+            print("# note: --cpu is ignored with --backend jax "
+                  "(the device cascade batches across windows; "
+                  "forked workers would each re-init the device)",
+                  file=sys.stderr)
         if args.backend == "jax":
             ncpu = 0            # the device path is already batched
         if ncpu > 1:

@@ -93,6 +93,23 @@ def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
     return out
 
 
+def _perturb(scores: np.ndarray) -> np.ndarray:
+    """Test hook (BATH_DEVICE_PERTURB=<nats>): inject alternating-sign
+    error into the device gate scores.  tests/test_device_pipeline.py
+    drives this up to the DEVICE_GATE_BAND bound to prove output bytes
+    are invariant to device-score error within the band."""
+    eps = float(os.environ.get("BATH_DEVICE_PERTURB", 0) or 0)
+    if not eps:
+        return scores
+    if eps < 0:                  # uniform downward error (worst case)
+        signs = np.ones(len(scores))
+    else:                        # alternating-sign error
+        signs = np.where(np.arange(len(scores)) % 2 == 0, 1.0, -1.0)
+    return np.where(np.isfinite(scores),
+                    scores + np.float32(eps) * signs,
+                    scores).astype(np.float32)
+
+
 def _enable_compile_cache():
     """Persistent XLA compile cache: gate-kernel compiles are
     seconds-to-minutes (hardware backends especially), and every
@@ -191,8 +208,9 @@ class DeviceCascade:
         def scorer(batch, blens):
             return jk.fwd_mb_score_batch(batch, blens,
                                          self._fwd_params, nj=1.0)
-        return run_bucketed(self._wrap(scorer), seqs, lens,
-                            pad_value=28)[0].astype(np.float32)
+        out = run_bucketed(self._wrap(scorer), seqs, lens,
+                           pad_value=28)[0].astype(np.float32)
+        return _perturb(out)
 
     # -- fs3 Forward (the --fs window gate) --------------------------
     def fs3_scores(self, seqs, lens) -> np.ndarray:
@@ -204,11 +222,12 @@ class DeviceCascade:
             return jk.fs3_score_batch(batch, blens,
                                       self._fs3_params, nj=1.0)
         # nt-unit buckets: windows run up to 2*max_length*3
-        return run_bucketed(self._wrap(scorer), seqs, lens,
-                            pad_value=17,
-                            bucket_ls=(512, 2048, 8192, 65536),
-                            bucket_b=max(64, BUCKET_B // 4)
-                            )[0].astype(np.float32)
+        out = run_bucketed(self._wrap(scorer), seqs, lens,
+                           pad_value=17,
+                           bucket_ls=(512, 2048, 8192, 65536),
+                           bucket_b=max(64, BUCKET_B // 4)
+                           )[0].astype(np.float32)
+        return _perturb(out)
 
     # -- fused Backward parser + domain decoding (F3 survivors) ------
     # amino-length buckets; keep the compiled-executable set tiny

@@ -94,9 +94,12 @@ class HMM:
         for k in range(2, M + 1):
             mocc[k] = (mocc[k - 1] * (t[k - 1, C.H_MM] + t[k - 1, C.H_MI])
                        + (np.float32(1.0) - mocc[k - 1]) * t[k - 1, C.H_DM])
-        iocc[0] = t[0, C.H_MI] / t[0, C.H_IM]
-        for k in range(1, M + 1):
-            iocc[k] = mocc[k] * t[k, C.H_MI] / t[k, C.H_IM]
+        # C divides freely here (0/0 -> NaN, x/0 -> inf, silently);
+        # match that without numpy's RuntimeWarning noise
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iocc[0] = t[0, C.H_MI] / t[0, C.H_IM]
+            for k in range(1, M + 1):
+                iocc[k] = mocc[k] * t[k, C.H_MI] / t[k, C.H_IM]
         return mocc, iocc
 
     # ref: p7_hmm.c p7_hmm_SetComposition

@@ -27,7 +27,7 @@ kernel (48 GCUPS): ablations show ~2.3us/pos in the emission path
 and ~4.4us/pos in the VPU/scalar chain at Bt=1024 — Mosaic is not
 overlapping the prefetched dots with the VPU chain as intended.
 Kept as the working base for the VMEM-resident optimization work;
-bench.py --sub selects it.
+`python bench.py --sub` selects it (wired in bench.py main()).
 
 Same recurrence and pending-scale folding as
 ops/jaxk/kernels._fs3_score_impl (ref: impl_sse/fwdback_fs.c

@@ -66,19 +66,30 @@ def allgather_bytes(payload: bytes) -> list[bytes]:
     return [gathered[i, :int(lens[i])].tobytes() for i in range(n)]
 
 
-def allgather_results(results: list) -> list:
-    """All-gather a per-process list of (tid, hits, hit_windows,
-    counter_deltas) tuples and return the combined list sorted by
-    tid — the global window-stream order, so downstream stable sorts
-    see exactly the serial path's hit ordering (ref:
-    p7_tophits_Merge preserving worker block order)."""
-    mine = pickle.dumps(results, protocol=pickle.HIGHEST_PROTOCOL)
-    parts = allgather_bytes(mine)
+def merge_results(parts: list[list]) -> list:
+    """Combine per-process result lists of (tid, hits, hit_windows,
+    counter_deltas) tuples into global window-stream order (sorted by
+    tid) — so downstream stable sorts see exactly the serial path's
+    hit ordering (ref: p7_tophits_Merge preserving worker block
+    order).  tids are unique across ranks (windows are sharded
+    tid % nprocs), so the result is independent of rank count and
+    rank arrival order."""
     combined = []
     for p in parts:
-        combined.extend(pickle.loads(p))
+        combined.extend(p)
     combined.sort(key=lambda t: t[0])
     return combined
+
+
+def allgather_results(results: list) -> list:
+    """All-gather a per-process list of (tid, hits, hit_windows,
+    counter_deltas) tuples and return the merged global list (hit
+    serialization for the cross-host merge: pickled tuples — hits
+    carry ragged alignment displays, so the fixed-shape discipline
+    lives in allgather_bytes' padded transport, not the record)."""
+    mine = pickle.dumps(results, protocol=pickle.HIGHEST_PROTOCOL)
+    parts = allgather_bytes(mine)
+    return merge_results([pickle.loads(p) for p in parts])
 
 
 def psum_counters(deltas: dict) -> dict:

@@ -130,16 +130,26 @@ def main():
     p3 = jk.fs3_params(om3)
 
     use_pallas = "--pallas" in sys.argv
-    # the Mosaic variant keeps its original shape (host-side codon
+    use_sub = "--sub" in sys.argv
+    # the Mosaic variants keep their own shapes (host-side codon
     # index prep at the jnp path's larger shape dominates its timing)
     B, L = (1024, 4092) if use_pallas else (4096, 8184)
+    if use_sub:
+        B, L = 1024, 8184
     rng = np.random.default_rng(0)
     # distinct inputs per iteration so no layer can cache executions
     n_iter = 6
     batches = [jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int32))
                for _ in range(n_iter)]
     lens = jnp.asarray(np.full(B, L, np.int32))
-    if use_pallas:
+    if use_sub:
+        from bath_tpu.ops.pallas.fs3_sub import (fs3_params_sub,
+                                                 fs3_score_sub)
+        ps = fs3_params_sub(om3)
+
+        def run(d):
+            return fs3_score_sub(d, lens, ps, nj=1.0)
+    elif use_pallas:
         from bath_tpu.ops.pallas.fs3 import (codon_indices_fs3,
                                              fs3_params_pallas,
                                              fs3_score_pallas)

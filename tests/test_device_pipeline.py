@@ -1,0 +1,76 @@
+"""DEVICE_GATE_BAND contract: bathsearch --backend jax output bytes
+are invariant to device gate-score error within the band.
+
+The chunked device cascade (device_pipeline.py) hard-rejects a
+Forward/fs3 candidate only when its device P-value exceeds
+threshold * DEVICE_GATE_BAND; every other candidate is re-scored by
+the bit-exact host kernel.  The contract (pipeline.py
+DEVICE_GATE_BAND): output bytes equal the numpy backend's as long as
+the device score error stays below ln(BAND)/lambda bits.  These tests
+prove it constructively by injecting worst-case alternating-sign
+score error (the BATH_DEVICE_PERTURB hook in device_pipeline.py)
+just under the bound and asserting byte-identical output; the real
+kernels' measured error is ~0.01 bits (tests/test_jax_kernels.py
+test_fwd_mb_vs_numpy), ~200x inside the band.
+"""
+
+import math
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+TUT = "/root/reference/tutorial"
+LN2 = math.log(2.0)
+
+
+def run_search(backend, extra=(), env_extra=None):
+    env = dict(os.environ, BATH_JAX_PLATFORM="cpu")
+    env.update(env_extra or {})
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+         "--backend", backend, *extra,
+         f"{TUT}/AMP_N.bhmm", f"{TUT}/target-AMP_N.fa"],
+        capture_output=True, text=True, timeout=900,
+        cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
+
+
+def band_bound_nats():
+    """Max device score error (nats) that cannot change gate
+    decisions: seqsc error of ln(BAND)/lambda bits, converted to
+    nats.  lambda from the query's calibrated Forward tail."""
+    from bath_tpu.hmmfile import read_hmm
+    from bath_tpu import constants as C
+    from bath_tpu.pipeline import DEVICE_GATE_BAND
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    flambda = float(hmm.evparam[C.EV_FLAMBDA])
+    return math.log(DEVICE_GATE_BAND) / flambda * LN2
+
+
+@pytest.mark.parametrize("extra", [[], ["--fs"]])
+@pytest.mark.parametrize("sign", [1.0, -1.0])
+def test_gate_band_perturbation_byte_invariant(extra, sign):
+    """Inject 0.9 * ln(BAND)/lambda bits of device gate-score error
+    (alternating-sign, and the uniform-downward worst case that
+    inflates every P toward false hard-rejects); bytes must not
+    change (std and --fs cascades)."""
+    eps = sign * 0.9 * band_bound_nats()
+    assert abs(eps) > 1.0     # sanity: the band allows >1 nat of error
+    want = run_search("numpy", extra)
+    got = run_search("jax", extra,
+                     env_extra={"BATH_DEVICE_PERTURB": f"{eps:.6f}"})
+    assert got == want
+
+
+def test_gate_band_overdrive_changes_decisions():
+    """The perturbation hook is live: pushing the error far beyond
+    the band (-60 nats uniform — AMP_N's true hit sits ~30 nats
+    above the gate) must hard-reject true hits and change the
+    output — i.e. the band test above has teeth."""
+    want = run_search("numpy")
+    got = run_search("jax", env_extra={"BATH_DEVICE_PERTURB": "-60.0"})
+    assert got != want

@@ -1,11 +1,14 @@
-"""Multi-shard merge semantics: hit-record pack/gather/merge is exact
-and shard-count invariant (ref: SURVEY.md section 2.4 P3/P4)."""
+"""Multi-shard merge semantics: the production cross-host hit
+serialization (pickled result tuples, hosts.merge_results stream-order
+combine) is exact and shard-count invariant (ref: SURVEY.md section
+2.4 P3/P4)."""
+
+import pickle
 
 import numpy as np
 
 from bath_tpu.domaindef import Domain
-from bath_tpu.parallel.hitrecord import (REC_WIDTH, merge_gathered,
-                                         pack_hits, unpack_hits)
+from bath_tpu.parallel.hosts import merge_results
 from bath_tpu.tophits import Hit
 
 
@@ -19,29 +22,31 @@ def _mk(seqidx, score, lnp, iali):
     return h
 
 
-def test_pack_unpack_roundtrip():
+def test_result_serialization_roundtrip():
+    """The production payload (tid, hits, windows, counter deltas)
+    survives the pickle transport with full hit/domain fields."""
     hits = [_mk(0, 47.8, -30.0, 7), _mk(1, 12.0, -5.0, 100)]
-    recs = pack_hits(hits, 4)
-    assert recs.shape == (4, REC_WIDTH)
-    back = unpack_hits(recs)
-    assert len(back) == 2
-    assert abs(back[0].score - 47.8) < 1e-4
-    assert back[0].dcl[0].iali == 7
+    results = [(3, hits, [], {"n_past_msv": 2})]
+    back = pickle.loads(pickle.dumps(results))
+    (tid, bh, _, deltas), = back
+    assert tid == 3 and deltas == {"n_past_msv": 2}
+    assert abs(bh[0].score - 47.8) < 1e-12
+    assert bh[0].dcl[0].iali == 7 and bh[1].seqidx == 1
 
 
-def test_merge_shard_count_invariant():
-    all_hits = [_mk(i % 3, 50.0 - i, -40.0 + i, 10 * i)
-                for i in range(12)]
-    # 2-shard split vs 4-shard split must merge identically
-    def gather(nsh):
-        per = len(all_hits) // nsh
-        return np.stack([pack_hits(all_hits[s * per:(s + 1) * per], per)
-                         for s in range(nsh)])
-    a = merge_gathered(gather(2))
-    b = merge_gathered(gather(4))
-    assert [(round(h.score, 3), h.seqidx, h.dcl[0].iali) for h in a] == \
-        [(round(h.score, 3), h.seqidx, h.dcl[0].iali) for h in b]
-    assert abs(a[0].score - 50.0) < 1e-4
+def test_merge_results_shard_count_invariant():
+    """merge_results output is independent of how windows were
+    sharded across ranks and of rank arrival order."""
+    stream = [(tid, [_mk(tid % 3, 50.0 - tid, -40.0 + tid, 10 * tid)],
+               [], {}) for tid in range(12)]
+
+    def split(nsh):
+        return [[r for r in stream if r[0] % nsh == s]
+                for s in range(nsh)]
+    a = merge_results(split(2))
+    b = merge_results(split(4))
+    c = merge_results(list(reversed(split(4))))
+    assert a == stream and b == stream and c == stream
 
 
 def test_sharded_pipeline_step_shard_count_invariant():
@@ -99,10 +104,10 @@ def test_sharded_pipeline_step_shard_count_invariant():
 
 def test_end_to_end_shard_gather_merge():
     """Integrated multi-chip flow on a virtual 8-device mesh: sharded
-    device gates -> per-shard top-K hit-record pack -> all_gather ->
-    canonical host merge.  The merged hit list is identical for 2- and
-    8-way shardings (ref: the merge discipline of bathsearch.c
-    :887-892 re-imagined as collectives)."""
+    device gates -> per-shard pickled result payloads -> stream-order
+    merge (the production hosts.py path).  The merged hit list is
+    identical for 2- and 8-way shardings (ref: the merge discipline
+    of bathsearch.c :887-892 re-imagined as collectives)."""
     import jax
     import jax.numpy as jnp
 
@@ -128,21 +133,21 @@ def test_end_to_end_shard_gather_merge():
     scores = np.asarray(jk.forward_score_perlen(
         jnp.asarray(batch), jnp.asarray(lens), fp, nj=1.0))
 
-    def run(n_shards, k):
-        per = B // n_shards
-        gathered = []
+    def run(n_shards):
+        parts = []
         for s in range(n_shards):
-            sh_scores = scores[s * per:(s + 1) * per]
-            hits = []
-            for i, sc in enumerate(sh_scores):
-                if sc > 0:
-                    hits.append(_mk(s * per + i, float(sc),
-                                    -float(sc), 1))
-            gathered.append(pack_hits(hits, k))
-        return merge_gathered(np.stack(gathered))
+            mine = []
+            for i in range(B):
+                if i % n_shards == s and scores[i] > 0:
+                    mine.append((i, [_mk(i, float(scores[i]),
+                                         -float(scores[i]), 1)],
+                                 [], {}))
+            parts.append(pickle.loads(pickle.dumps(mine)))
+        merged = merge_results(parts)
+        return [h for _, hs, _, _ in merged for h in hs]
 
-    a = run(2, 8)
-    b = run(8, 8)
+    a = run(2)
+    b = run(8)
     key = lambda hs: [(h.seqidx, round(h.score, 4)) for h in hs]
     assert key(a) == key(b)
     assert {h.seqidx for h in a} >= {3, 9, 12}

@@ -379,9 +379,10 @@ def test_full_viterbi_score_matches_trace():
         om.reconfig_unihit(n)
         vx, sc = fb.viterbi(dsq, om)
         tr = fb.viterbi_trace(dsq, om, vx)
-        ltfv = np.log(om.tfv.astype(np.float32))
-        lrfv = np.log(om.rfv.astype(np.float32))
-        lxf = np.log(om.xf.astype(np.float32))
+        with np.errstate(divide="ignore"):     # log(0) -> -inf is fine
+            ltfv = np.log(om.tfv.astype(np.float32))
+            lrfv = np.log(om.rfv.astype(np.float32))
+            lxf = np.log(om.xf.astype(np.float32))
         s = 0.0
         for z in range(1, tr.N):
             st, k, i = tr.st[z], tr.k[z], tr.i[z]
