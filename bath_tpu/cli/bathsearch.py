@@ -566,7 +566,10 @@ def run(argv=None) -> int:
             # preserves stream order, so output bytes match the
             # serial per-window path)
             from ..device_pipeline import ChunkEntry, flush_chunk
-            CHUNK_ORFS = int(os.environ.get("BATH_CHUNK_ORFS", 16384))
+            # sized to fill ~16 full device batches per flush: calls,
+            # not bytes, are the scarce resource on tunneled backends
+            # (see device_pipeline.BUCKET_B)
+            CHUNK_ORFS = int(os.environ.get("BATH_CHUNK_ORFS", 65536))
             chunk: list = []
             pending_orfs = 0
 

@@ -27,15 +27,43 @@ import numpy as np
 
 F32 = np.float32
 
+# BATH_DEVICE_STATS=1: per-stage device-call accounting printed at
+# process exit (calls, padded MB shipped, wall seconds blocked on the
+# device) — the tool for finding tunnel-latency/padding-waste
+# bottlenecks in the e2e cascade.
+_STATS: dict[str, list] = {}
+
+
+def _stat(stage, calls, mbytes, secs):
+    if not os.environ.get("BATH_DEVICE_STATS"):
+        return
+    s = _STATS.setdefault(stage, [0, 0.0, 0.0])
+    s[0] += calls
+    s[1] += mbytes
+    s[2] += secs
+    if len(_STATS) == 1 and s[0] == calls:
+        import atexit
+
+        def report():
+            import sys
+            for k, (c, mb, t) in sorted(_STATS.items()):
+                print(f"# device-stats {k}: calls={c} padded_MB="
+                      f"{mb:.1f} wall_s={t:.2f}", file=sys.stderr)
+        atexit.register(report)
+
 # L buckets (sequence positions: aminos for MSV/Fwd, nt for fs3) and
 # the batch lane count per device call.  One compiled executable per
 # (kernel, bucket); keep the set small.
-BUCKET_LS = (128, 512, 2048, 16384)
-BUCKET_B = int(os.environ.get("BATH_DEVICE_BUCKET_B", 1024))
+BUCKET_LS = (64, 128, 512, 2048, 16384)
+# Measured on the tunneled v5e backend: per-call overhead is ~60-100ms
+# regardless of shape (dispatch+fetch round trips), while quadrupling
+# the batch costs ~20% more — so the default lane count is large and
+# chunks are sized to fill it (BATH_CHUNK_ORFS in cli/bathsearch.py).
+BUCKET_B = int(os.environ.get("BATH_DEVICE_BUCKET_B", 32768))
 
 
 def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
-                 bucket_ls=BUCKET_LS, out_rows=1):
+                 bucket_ls=BUCKET_LS, out_rows=1, stage="?"):
     """Pack ragged sequences into fixed-shape [B, Lb] batches, issue
     every scorer call asynchronously, fetch ALL results with one
     device->host transfer, and scatter them back.
@@ -68,28 +96,59 @@ def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
         groups.setdefault(Lb, []).append(int(i))
     if not groups:
         return out
+    import time as _time
+    t0 = _time.perf_counter()
+    mb = 0.0
     plan = []                       # (idx chunk, device result)
+    # Row-count ladder: per-call overhead on the tunneled backend is
+    # ~60-100ms regardless of shape, so the planner prefers ONE call
+    # per L bucket with rows rounded up the ladder; a per-call entry
+    # cap only splits genuinely huge stages.  The small fixed ladder
+    # keeps the compiled-executable set bounded.
+    LADDER = (8, 64, 512, 4096, 32768)
+    CAP = 1 << 25                   # 32M int8 entries per call
     for Lb, idxs in groups.items():
-        for c0 in range(0, len(idxs), B):
-            chunk = idxs[c0:c0 + B]
-            batch = np.full((B, Lb), pad_value, np.int32)
-            blens = np.ones(B, np.int32)
+        per = max(8, min(LADDER[-1], CAP // Lb, B))
+        for c0 in range(0, len(idxs), per):
+            chunk = idxs[c0:c0 + per]
+            Bc = next((c for c in LADDER if len(chunk) <= c <= per),
+                      per)
+            # int8 residues (values <= 28): 4x less host->device
+            # traffic; kernels upcast on device
+            batch = np.full((Bc, Lb), pad_value, np.int8)
+            blens = np.ones(Bc, np.int32)
             for r, i in enumerate(chunk):
-                d = np.asarray(seqs[i], np.int32)[:Lb]
+                d = np.asarray(seqs[i], np.int8)[:Lb]
                 batch[r, :len(d)] = d
                 blens[r] = len(d)
+            mb += batch.nbytes / 1e6
+            ti = _time.perf_counter()
             plan.append((chunk, jnp.ravel(scorer(batch, blens))))
+            if os.environ.get("BATH_DEVICE_STATS") == "2":
+                import sys
+                print(f"#   {stage} issue Bc={Bc} Lb={Lb} n="
+                      f"{len(chunk)} {_time.perf_counter() - ti:.2f}s",
+                      file=sys.stderr)
+    # ONE dependent device op + ONE fetch for the whole stage — the
+    # only pattern that reliably dodges the axon tunnel's per-sync
+    # stalls (sequential np.asarray and device_get on in-flight
+    # arrays both degrade 10-100x, measured).  Concat shape tuples
+    # stay canonical because row counts come from the small ladder.
+    tf = _time.perf_counter()
     if len(plan) == 1:
         fetched = [np.asarray(plan[0][1])]
     else:
-        # one transfer for the whole stage
         flat = np.asarray(jnp.concatenate([p[1] for p in plan]))
         sizes = [p[1].shape[0] for p in plan]
-        cuts = np.cumsum(sizes)[:-1]
-        fetched = np.split(flat, cuts)
+        fetched = np.split(flat, np.cumsum(sizes)[:-1])
+    if os.environ.get("BATH_DEVICE_STATS") == "2":
+        import sys
+        print(f"#   {stage} fetch x{len(plan)} "
+              f"{_time.perf_counter() - tf:.2f}s", file=sys.stderr)
     for (chunk, _), sc in zip(plan, fetched):
         rows = sc.reshape(out_rows, -1)
         out[:, chunk] = rows[:, :len(chunk)]
+    _stat(stage, len(plan), mb, _time.perf_counter() - t0)
     return out
 
 
@@ -157,7 +216,7 @@ class DeviceCascade:
             return jnp.concatenate([ints.astype(jnp.float32),
                                     infs.astype(jnp.float32)])
         rows = run_bucketed(self._wrap(scorer), seqs, lens,
-                            pad_value=28, out_rows=2)
+                            pad_value=28, out_rows=2, stage="msv")
         ints, infs = rows[0], rows[1]
         sc = np.float32((ints - float(self.msv.base))
                         / self.msv.scale - 3.0)
@@ -184,7 +243,7 @@ class DeviceCascade:
                                     has.astype(jnp.float32),
                                     ovf.astype(jnp.float32)])
         rows = run_bucketed(self._wrap(scorer), seqs, lens,
-                            pad_value=28, out_rows=3)
+                            pad_value=28, out_rows=3, stage="vit")
         ints, has, ovf = rows
         sc = np.float32((ints - float(self.vit.base))
                         / self.vit.scale - 3.0)
@@ -209,7 +268,8 @@ class DeviceCascade:
             return jk.fwd_mb_score_batch(batch, blens,
                                          self._fwd_params, nj=1.0)
         out = run_bucketed(self._wrap(scorer), seqs, lens,
-                           pad_value=28)[0].astype(np.float32)
+                           pad_value=28, stage="fwd")[0] \
+            .astype(np.float32)
         return _perturb(out)
 
     # -- fs3 Forward (the --fs window gate) --------------------------
@@ -225,8 +285,8 @@ class DeviceCascade:
         out = run_bucketed(self._wrap(scorer), seqs, lens,
                            pad_value=17,
                            bucket_ls=(512, 2048, 8192, 65536),
-                           bucket_b=max(64, BUCKET_B // 4)
-                           )[0].astype(np.float32)
+                           bucket_b=max(64, BUCKET_B // 4),
+                           stage="fs3")[0].astype(np.float32)
         return _perturb(out)
 
     # -- fused Backward parser + domain decoding (F3 survivors) ------
@@ -259,19 +319,21 @@ class DeviceCascade:
             for c0 in range(0, len(idxs), self.DOMDEC_B):
                 chunk = idxs[c0:c0 + self.DOMDEC_B]
                 B = self.DOMDEC_B
-                batch = np.full((B, Lb), 28, np.int32)
+                batch = np.full((B, Lb), 28, np.int8)
                 blens = np.ones(B, np.int32)
                 for r, i in enumerate(chunk):
                     batch[r, :lens[i]] = np.asarray(orfseqs[i].dsq,
-                                                    np.int32)
+                                                    np.int8)
                     blens[r] = lens[i]
                 out = jk.domdec_mb_batch(
                     *(self._put(batch), self._put(blens)),
                     self._domdec_params, nj=1.0)
                 plan.append((chunk, out))
-        for chunk, (bt, et, mo, okv) in plan:
-            bt, et, mo, okv = (np.asarray(x) for x in (bt, et, mo,
-                                                       okv))
+        # parallel fetch of every plan output in one device_get (see
+        # run_bucketed: sequential per-array fetches stall the tunnel)
+        import jax
+        fetched = jax.device_get([p[1] for p in plan])
+        for (chunk, _), (bt, et, mo, okv) in zip(plan, fetched):
             for r, i in enumerate(chunk):
                 btot[i], etot[i], mocc[i] = bt[r], et[r], mo[r]
                 ok[i] = bool(okv[r])
@@ -310,20 +372,22 @@ class DeviceCascade:
                 # few survivors are the common case: a small-B
                 # executable avoids 4x padded work per flush
                 B = 8 if len(chunk) <= 8 else self.FSDOMDEC_B
-                batch = np.full((B, Lb), 17, np.int32)
+                batch = np.full((B, Lb), 17, np.int8)
                 blens = np.ones(B, np.int32)
                 for r, i in enumerate(chunk):
                     batch[r, :lens[i]] = np.asarray(winseqs[i].dsq,
-                                                    np.int32)
+                                                    np.int8)
                     blens[r] = lens[i]
                 out = jk.fs3_domdec_mb_batch(
                     *(self._put(batch), self._put(blens)),
                     self._fs3_domdec_params, dec_loop=dec_loop,
                     nj=1.0)
                 plan.append((chunk, out))
-        for chunk, (bt, et, mo, okv) in plan:
-            bt, et, mo, okv = (np.asarray(x) for x in (bt, et, mo,
-                                                       okv))
+        # parallel fetch of every plan output in one device_get (see
+        # run_bucketed: sequential per-array fetches stall the tunnel)
+        import jax
+        fetched = jax.device_get([p[1] for p in plan])
+        for (chunk, _), (bt, et, mo, okv) in zip(plan, fetched):
             for r, i in enumerate(chunk):
                 btot[i], etot[i], mocc[i] = bt[r], et[r], mo[r]
                 ok[i] = bool(okv[r])

@@ -48,6 +48,7 @@ def _ssv_msv_mb_impl(dsq, lens, tjb, sbvT, rbvT, Mt, base, tec, tbm,
     semantics of msv_exact._ssv_msv_impl (same select logic; the f64
     score conversion happens on the host)."""
     B, L = dsq.shape
+    dsq = dsq.astype(jnp.int32)   # device-side upcast (int8 transfers)
     BL = _MSV_BL
     Lpad = ((L + BL - 1) // BL) * BL
     if Lpad != L:
@@ -134,6 +135,7 @@ def _vit_mb_impl(dsq, lens, rwvT, tBM, tMM, tIM, tDM, tMD, tDD, tMI,
     int32; the DD correction is a log-depth (max, +) scan over the
     model sublanes."""
     B, L = dsq.shape
+    dsq = dsq.astype(jnp.int32)   # device-side upcast (int8 transfers)
     BL = _MSV_BL
     Kp = rwvT.shape[1]
     NEG = -32768
@@ -282,7 +284,7 @@ class VitExactMB:
     def ints(self, dsq_batch, lens):
         move_w = jnp.asarray(self.move_for(lens))
         return _vit_mb_impl(
-            jnp.asarray(dsq_batch, dtype=jnp.int32),
+            jnp.asarray(dsq_batch),
             jnp.asarray(lens, dtype=jnp.int32), self.rwvT, self.tBM,
             self.tMM, self.tIM, self.tDM, self.tMD, self.tDD,
             self.tMI, self.tII, move_w, self.Mt, self.base,
@@ -338,7 +340,7 @@ class MSVExactMB:
         """Device part only: returns (out_int, out_inf) jnp arrays."""
         tjb = jnp.asarray(self.tjb_for(lens))
         return _ssv_msv_mb_impl(
-            jnp.asarray(dsq_batch, dtype=jnp.int32),
+            jnp.asarray(dsq_batch),
             jnp.asarray(lens, dtype=jnp.int32), tjb,
             self.sbvT, self.rbvT, self.Mt, self.base,
             self.tec, self.tbm, self.bias)

@@ -161,6 +161,7 @@ def _onehot_rows(idx, table):
 def _forward_score_impl(dsq, lens, rfv, tBM, tMM, tIM, tDM, tMD, tDD,
                         tMI, tII, xf, Mp):
     B, L = dsq.shape
+    dsq = dsq.astype(jnp.int32)   # device-side upcast (int8 transfers)
     nloop, nmove = xf[C.X_N, C.LOOP], xf[C.X_N, C.MOVE]
     jloop, jmove = xf[C.X_J, C.LOOP], xf[C.X_J, C.MOVE]
     cloop, cmove = xf[C.X_C, C.LOOP], xf[C.X_C, C.MOVE]
@@ -230,6 +231,7 @@ def _forward_score_perlen_impl(dsq, lens, rfv, tBM, tMM, tIM, tDM, tMD,
     probabilities use its own length (ref: p7_oprofile_ReconfigLength
     called per ORF in the pipeline)."""
     B, L = dsq.shape
+    dsq = dsq.astype(jnp.int32)   # device-side upcast (int8 transfers)
     Lf = lens.astype(F32)
     pmove = (2.0 + nj) / (Lf + 2.0 + nj)
     ploop = 1.0 - pmove
@@ -362,6 +364,7 @@ def _fwd_mb_impl(dsq, lens, rfvT, tBM, tMM, tIM, tMI, tII, W3, u,
     step's 1/s) is folded in on read (ref rescaling discipline:
     impl_sse/fwdback.c sparse rescale)."""
     B, L = dsq.shape
+    dsq = dsq.astype(jnp.int32)   # device-side upcast (int8 transfers)
     BL = _FWD_BL
     Kp = rfvT.shape[1]
     Lpad = ((L + BL - 1) // BL) * BL
@@ -467,6 +470,7 @@ def msv_params(om: OProfile, lane_multiple: int = 128) -> MSVParams:
 def _msv_score_impl(dsq, lens, rbv, Mp, bias, base, tbm, tec, scale,
                     tjb_per):
     B, L = dsq.shape
+    dsq = dsq.astype(jnp.int32)   # device-side upcast (int8 transfers)
 
     def step(carry, xi):
         dp, xJ, xB, overflow, score = carry
@@ -652,6 +656,7 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
       dominant HBM traffic of the naive formulation (3.5x measured).
     """
     B, L = dsq.shape
+    dsq = dsq.astype(jnp.int32)   # device-side upcast (int8 transfers)
     BL = _FS3_BL
     Lpad = ((L + BL - 1) // BL) * BL
     PLACE = C.MAXCODONS3
@@ -920,6 +925,7 @@ def _domdec_mb_impl(dsq, lens, rfvT, tBM, tMM, tIM, tMI, tII, W3, u,
     the p7_DomainDecoding convention and a per-item validity flag
     (False -> caller must use the host kernels)."""
     B, L = dsq.shape
+    dsq = dsq.astype(jnp.int32)   # device-side upcast (int8 transfers)
     BL = _DD_BL
     Kp = rfvT.shape[1]
     Lpad = ((L + BL - 1) // BL) * BL
@@ -1171,6 +1177,7 @@ def _fs3_domdec_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
     model pinned at multihit(100), NOT the fs3 parser's per-window
     length model) — used only in the njcp/mocc combine."""
     B, L = dsq.shape
+    dsq = dsq.astype(jnp.int32)   # device-side upcast (int8 transfers)
     BL = _FS3_BL
     # one extra block so the backward scan covers row 0 (the host
     # parser's termination rows; xJ/xC are zeroed there post-hoc)
