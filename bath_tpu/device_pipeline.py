@@ -53,13 +53,16 @@ def _stat(stage, calls, mbytes, secs):
 
 # L buckets (sequence positions: aminos for MSV/Fwd, nt for fs3) and
 # the batch lane count per device call.  One compiled executable per
-# (kernel, bucket); keep the set small.
-BUCKET_LS = (64, 128, 512, 2048, 16384)
-# Measured on the tunneled v5e backend: per-call overhead is ~60-100ms
-# regardless of shape (dispatch+fetch round trips), while quadrupling
-# the batch costs ~20% more — so the default lane count is large and
-# chunks are sized to fill it (BATH_CHUNK_ORFS in cli/bathsearch.py).
-BUCKET_B = int(os.environ.get("BATH_DEVICE_BUCKET_B", 32768))
+# (kernel, bucket); keep the set small.  The 32 bucket matters on
+# random DNA: the mean stop-to-stop ORF is ~21 aa, so most of the MSV
+# batch would otherwise pad 2x into the 64 bucket.
+BUCKET_LS = (32, 64, 128, 512, 2048, 16384)
+# Lane count per device call: large enough to amortize the ~60-100ms
+# tunnel dispatch+fetch overhead, small enough that the scan carry
+# ([Mt,B] rows) stays VMEM-resident — at B=32768 a single [136,B]
+# int32 carry is 18 MB > VMEM and the MSV gate collapsed ~100x
+# (403s device wall for 20 MB of DNA, measured round 3).
+BUCKET_B = int(os.environ.get("BATH_DEVICE_BUCKET_B", 4096))
 
 
 def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
@@ -105,7 +108,7 @@ def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
     # per L bucket with rows rounded up the ladder; a per-call entry
     # cap only splits genuinely huge stages.  The small fixed ladder
     # keeps the compiled-executable set bounded.
-    LADDER = (8, 64, 512, 4096, 32768)
+    LADDER = (8, 64, 512, 4096)
     CAP = 1 << 25                   # 32M int8 entries per call
     for Lb, idxs in groups.items():
         per = max(8, min(LADDER[-1], CAP // Lb, B))

@@ -20,6 +20,10 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..ops import jaxk as _jaxk  # noqa: F401  (applies the
+# BATH_JAX_PLATFORM override before any backend init here — without
+# it make_mesh's jax.devices() freezes the env-default platform and
+# a virtual-CPU mesh can never form)
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -56,8 +60,6 @@ def make_pipeline_step(mesh: Mesh, fwd_params, msv_params, fs3_params,
     p7_Pipeline_BATH's filter cascade followed by
     p7_pipeline_Merge (ref: p7_pipeline.c:735, :1583).
     """
-    from jax.experimental.shard_map import shard_map
-
     from ..ops.jaxk import kernels as jk
 
     fp, mp, p3 = fwd_params, msv_params, fs3_params
@@ -79,9 +81,9 @@ def make_pipeline_step(mesh: Mesh, fwd_params, msv_params, fs3_params,
         npass = jax.lax.psum((fwd > 0).sum() + (fs3 > 0).sum(), axis)
         return fwd, msv, fs3, jnp.stack([nres, npass])
 
-    mapped = shard_map(
+    mapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis, None), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(mapped)

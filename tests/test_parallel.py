@@ -153,6 +153,56 @@ def test_end_to_end_shard_gather_merge():
     assert {h.seqidx for h in a} >= {3, 9, 12}
 
 
+def test_multihost_device_cascade_byte_identical(tmp_path):
+    """--hosts 2 combined with --backend jax (the combination that
+    runs on a pod slice: sharded device gate batches per rank +
+    cross-host allgather merge) produces output byte-identical to the
+    single-process numpy run.  Ranks run the DeviceCascade on the cpu
+    platform (BATH_JAX_PLATFORM pin, same as the jax golden tests)."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    target = "/root/repo/tests/data/mesh_target.fa"
+    hmm = "/root/reference/tutorial/AMP_N.bhmm"
+
+    def norm(path):
+        text = open(path).read()
+        return re.sub(r"# (CPU time|Mc/sec):.*", "", text)
+
+    base = dict(os.environ, JAX_PLATFORMS="cpu",
+                BATH_JAX_PLATFORM="cpu")
+    single = tmp_path / "single.out"
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+         "--backend", "numpy", "-o", str(single), hmm, target],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo", env=base)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    n = 2
+    procs = []
+    for i in range(n):
+        out = tmp_path / f"mhj_{i}.out"
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+             "--backend", "jax",
+             "--hosts", str(n), "--host-id", str(i),
+             "--coordinator", f"localhost:{port}",
+             "-o", str(out), hmm, target],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd="/root/repo", env=base))
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:].decode()
+    assert norm(tmp_path / "mhj_0.out") == norm(single)
+
+
 def test_multihost_byte_identical(tmp_path):
     """bathsearch --hosts N (jax.distributed SPMD over N processes,
     windows sharded tid %% N, hits/stats all-gathered and merged in
