@@ -66,7 +66,8 @@ BUCKET_B = int(os.environ.get("BATH_DEVICE_BUCKET_B", 4096))
 
 
 def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
-                 bucket_ls=BUCKET_LS, out_rows=1, stage="?"):
+                 bucket_ls=BUCKET_LS, out_rows=1, stage="?",
+                 ladder=None, cap=None):
     """Pack ragged sequences into fixed-shape [B, Lb] batches, issue
     every scorer call asynchronously, fetch ALL results with one
     device->host transfer, and scatter them back.
@@ -104,12 +105,14 @@ def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
     mb = 0.0
     plan = []                       # (idx chunk, device result)
     # Row-count ladder: per-call overhead on the tunneled backend is
-    # ~60-100ms regardless of shape, so the planner prefers ONE call
-    # per L bucket with rows rounded up the ladder; a per-call entry
-    # cap only splits genuinely huge stages.  The small fixed ladder
-    # keeps the compiled-executable set bounded.
-    LADDER = (8, 64, 512, 4096)
-    CAP = 1 << 25                   # 32M int8 entries per call
+    # ~15-130ms (dispatch + transfer), so the planner prefers ONE
+    # call per L bucket with rows rounded up the ladder; a per-call
+    # entry cap only splits genuinely huge stages.  The small fixed
+    # ladder keeps the compiled-executable set bounded.  Stages
+    # whose scan carry is small (MSV: two [Mt,B] i32 rows) pass a
+    # taller ladder to halve their call count.
+    LADDER = ladder or (8, 64, 512, 4096)
+    CAP = cap or (1 << 25)          # padded entries per call
     for Lb, idxs in groups.items():
         per = max(8, min(LADDER[-1], CAP // Lb, B))
         for c0 in range(0, len(idxs), per):
@@ -218,8 +221,14 @@ class DeviceCascade:
             # both halves are small ints, exact in f32
             return jnp.concatenate([ints.astype(jnp.float32),
                                     infs.astype(jnp.float32)])
+        # MSV's scan carry is two [Mt,B] i32 rows, so lanes up to
+        # 8192 stay VMEM-resident — half the calls of the default
+        # ladder (per-call tunnel overhead dominates this stage)
         rows = run_bucketed(self._wrap(scorer), seqs, lens,
-                            pad_value=28, out_rows=2, stage="msv")
+                            pad_value=28, out_rows=2, stage="msv",
+                            ladder=(8, 512, 8192),
+                            bucket_b=max(BUCKET_B, 8192),
+                            cap=1 << 26)
         ints, infs = rows[0], rows[1]
         sc = np.float32((ints - float(self.msv.base))
                         / self.msv.scale - 3.0)
@@ -245,8 +254,12 @@ class DeviceCascade:
             return jnp.concatenate([ints.astype(jnp.float32),
                                     has.astype(jnp.float32),
                                     ovf.astype(jnp.float32)])
+        # bias survivors are few: one wide L bucket + a short ladder
+        # means ~one executable launch per flush instead of four
+        # (per-call overhead, not padded compute, prices this stage)
         rows = run_bucketed(self._wrap(scorer), seqs, lens,
-                            pad_value=28, out_rows=3, stage="vit")
+                            pad_value=28, out_rows=3, stage="vit",
+                            bucket_ls=(512, 2048, 16384))
         ints, has, ovf = rows
         sc = np.float32((ints - float(self.vit.base))
                         / self.vit.scale - 3.0)
@@ -270,8 +283,11 @@ class DeviceCascade:
         def scorer(batch, blens):
             return jk.fwd_mb_score_batch(batch, blens,
                                          self._fwd_params, nj=1.0)
+        # Vit survivors are few: one wide L bucket (call count, not
+        # padded compute, prices this stage — see vit_scores)
         out = run_bucketed(self._wrap(scorer), seqs, lens,
-                           pad_value=28, stage="fwd")[0] \
+                           pad_value=28, stage="fwd",
+                           bucket_ls=(512, 2048, 16384))[0] \
             .astype(np.float32)
         return _perturb(out)
 

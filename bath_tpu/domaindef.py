@@ -257,6 +257,19 @@ def rescore_isolated_domain_bath(ddef: DomainDef, om: OProfile,
     """Envelope rescore for the standard (non-frameshift) branch
     (ref: p7_domaindef.c rescore_isolated_domain_bath :1236).
     Returns True if a domain was registered."""
+    from .phasestats import phase
+    with phase("envelope-std"):
+        return _rescore_isolated_domain_bath(
+            ddef, om, gm_fs5, orfsq, windowsq, ntsqlen, i, j,
+            null2_is_done, abc)
+
+
+def _rescore_isolated_domain_bath(ddef: DomainDef, om: OProfile,
+                                  gm_fs5: FSProfile, orfsq,
+                                  windowsq: Sequence, ntsqlen: int,
+                                  i: int, j: int,
+                                  null2_is_done: bool,
+                                  abc) -> bool:
     Ld = j - i + 1
     om.reconfig_length(Ld)
     sub = orfsq.dsq[i - 1:j]

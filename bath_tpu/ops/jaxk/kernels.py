@@ -842,16 +842,46 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
     return carry[12], rows, carry[10]
 
 
+def fs3_max_lanes(Mt: int) -> int:
+    """Largest batch-lane count whose scan carry (15 [Mt, B] f32 ring
+    rows) stays VMEM-resident.  Beyond it XLA spills the carry to HBM
+    every block and throughput collapses ~2.4x (measured at B=8192,
+    Mt=136, round 2)."""
+    cap = (4096 * 136) // max(Mt, 8)
+    return max(512, (cap // 512) * 512)
+
+
 def fs3_score_batch(dsq, lens, params: FS3Params,
                     nj: float = 1.0) -> jnp.ndarray:
     """Frameshift 3-codon Forward scores (nats) for a padded batch of
-    DNA windows, with per-item amino-unit length models."""
-    return _fs3_score_impl(jnp.asarray(dsq), jnp.asarray(lens),
-                           params.T2, params.T3, params.T4,
-                           params.tBM, params.tMM, params.tIM,
-                           params.tDM, params.tMDs, params.tMI,
-                           params.tII, float(nj), params.Mt, params.UT,
-                           params.u)
+    DNA windows, with per-item amino-unit length models.  Batches
+    wider than the VMEM-resident lane cap are scored in sequential
+    lane chunks (same executable per chunk shape), so throughput is
+    flat in B instead of collapsing past the carry-spill cliff."""
+    dsq = jnp.asarray(dsq)
+    lens = jnp.asarray(lens)
+    B = dsq.shape[0]
+    cap = fs3_max_lanes(params.Mt)
+
+    def one(d, ln):
+        return _fs3_score_impl(d, ln, params.T2, params.T3, params.T4,
+                               params.tBM, params.tMM, params.tIM,
+                               params.tDM, params.tMDs, params.tMI,
+                               params.tII, float(nj), params.Mt,
+                               params.UT, params.u)
+
+    if B <= cap:
+        return one(dsq, lens)
+    outs = [one(dsq[c:c + cap], lens[c:c + cap])
+            for c in range(0, B - B % cap, cap)]
+    if B % cap:
+        # ragged tail padded up to the cap so at most two executables
+        # exist per L bucket (full-cap and padded-tail share one)
+        pad = cap - B % cap
+        outs.append(one(jnp.pad(dsq[B - B % cap:], ((0, pad), (0, 0)),
+                                constant_values=17),
+                        jnp.pad(lens[B - B % cap:], (0, pad)))[:B % cap])
+    return jnp.concatenate(outs)
 
 
 # ---------------------------------------------------------------------

@@ -392,6 +392,14 @@ def is_multidomain_region_fs(ddef, i, j):
 def rescore_isolated_domain_fs(ddef, pli, om_fs5, gm_fs5, windowsq,
                                i, j, bg, gcode) -> bool:
     """ref: p7_domaindef.c rescore_isolated_domain_frameshift :992."""
+    from .phasestats import phase
+    with phase("envelope-fs5"):
+        return _rescore_isolated_domain_fs(
+            ddef, pli, om_fs5, gm_fs5, windowsq, i, j, bg, gcode)
+
+
+def _rescore_isolated_domain_fs(ddef, pli, om_fs5, gm_fs5, windowsq,
+                                i, j, bg, gcode) -> bool:
     Ld = j - i + 1
     if Ld < 15:
         return True

@@ -91,7 +91,88 @@ def _tpu_alive(timeout_s: float = 120.0) -> bool:
         return False
 
 
+def _sweep_hmm(M_target):
+    """An HMM of roughly M_target nodes: bundled models where one
+    fits, else built once from a sampled long MSA (cached)."""
+    from bath_tpu.hmmfile import read_hmm
+    if M_target <= 150:
+        return read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+    if M_target <= 500:
+        return read_hmm("/root/reference/tutorial/MET.bhmm")  # M=409
+    import subprocess
+    path = f"/tmp/bench_sweep_M{M_target}.bhmm"
+    if not os.path.exists(path):
+        amp = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+        rng = np.random.default_rng(3)
+        AA = "ACDEFGHIKLMNPQRSTVWY"
+        reps = (M_target + amp.M - 1) // amp.M
+        seqs = []
+        for s in range(6):
+            cols = []
+            for _ in range(reps):
+                for k in range(1, amp.M + 1):
+                    p = np.asarray(amp.mat[k][:20], np.float64)
+                    cols.append(AA[rng.choice(20, p=p / p.sum())])
+            seqs.append("".join(cols[:M_target]))
+        sto = f"/tmp/bench_sweep_M{M_target}.sto"
+        with open(sto, "w") as f:
+            f.write("# STOCKHOLM 1.0\n#=GF ID SWEEP\n")
+            for i, s in enumerate(seqs):
+                f.write(f"seq{i}  {s}\n")
+            f.write("//\n")
+        r = subprocess.run(
+            [sys.executable, "-m", "bath_tpu.cli.bathbuild", path, sto],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        assert r.returncode == 0, r.stderr[-2000:]
+    return read_hmm(path)
+
+
+def _sweep():
+    """Per-(M, B) GCUPS table for the fs3 gate kernel (VERDICT r2 ask
+    4: Pfam-realistic model sizes + the lane-cap cliff check).  Prints
+    one JSON line per combo; the lane-chunked fs3_score_batch must
+    hold GCUPS flat past the VMEM carry cap."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import jax.numpy as jnp
+
+    from bath_tpu.bg import Background
+    from bath_tpu.gencode import GeneticCode
+    from bath_tpu.ops.jaxk import kernels as jk
+    from bath_tpu.ops.reference.fwdback_fs import fs_oprofile_convert
+    from bath_tpu.profile import profile_config_fs
+
+    bg = Background()
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    rng = np.random.default_rng(0)
+    CELLS = 1 << 32                       # ~device-seconds per combo
+    for M_target in (134, 409, 1000):
+        hmm = _sweep_hmm(M_target)
+        om3 = fs_oprofile_convert(
+            profile_config_fs(hmm, bg, gcode, 3, 100))
+        p3 = jk.fs3_params(om3)
+        for B in (1024, 4096, 8192):
+            L = max(504, int(CELLS / (B * hmm.M)) // 504 * 504)
+            d = jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int8))
+            lens = jnp.asarray(np.full(B, L, np.int32))
+            np.asarray(jk.fs3_score_batch(d, lens, p3, nj=1.0))
+            t0 = time.perf_counter()
+            out = jk.fs3_score_batch(d, lens, p3, nj=1.0)
+            np.asarray(out)
+            dt = time.perf_counter() - t0
+            gcups = B * L * hmm.M / dt / 1e9
+            print(json.dumps({
+                "metric": "fs3-gate GCUPS", "M": hmm.M, "B": B,
+                "L": L, "value": round(gcups, 2),
+                "lane_cap": jk.fs3_max_lanes(p3.Mt)}))
+
+
 def main():
+    if "--sweep" in sys.argv:
+        _sweep()
+        return
     fallback = ""
     if "--cpu" not in sys.argv:
         for attempt in range(3):
@@ -131,10 +212,11 @@ def main():
 
     use_pallas = "--pallas" in sys.argv
     use_sub = "--sub" in sys.argv
+    use_v2 = "--v2" in sys.argv
     # the Mosaic variants keep their own shapes (host-side codon
     # index prep at the jnp path's larger shape dominates its timing)
     B, L = (1024, 4092) if use_pallas else (4096, 8184)
-    if use_sub:
+    if use_sub or use_v2:
         B, L = 1024, 8184
     rng = np.random.default_rng(0)
     # distinct inputs per iteration so no layer can cache executions
@@ -142,7 +224,19 @@ def main():
     batches = [jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int32))
                for _ in range(n_iter)]
     lens = jnp.asarray(np.full(B, L, np.int32))
-    if use_sub:
+    if use_v2:
+        from bath_tpu.ops.pallas.fs3v2 import fs3_params_v2, fs3_score_v2
+        ps = fs3_params_v2(om3)
+        bt = 512
+        if "--btile" in sys.argv:
+            bt = int(sys.argv[sys.argv.index("--btile") + 1])
+        lb = 96
+        if "--lblk" in sys.argv:
+            lb = int(sys.argv[sys.argv.index("--lblk") + 1])
+
+        def run(d):
+            return fs3_score_v2(d, lens, ps, nj=1.0, btile=bt, lblk=lb)
+    elif use_sub:
         from bath_tpu.ops.pallas.fs3_sub import (fs3_params_sub,
                                                  fs3_score_sub)
         ps = fs3_params_sub(om3)

@@ -70,6 +70,34 @@ def test_fs3_sub_pallas_vs_jnp_interpret():
     assert np.abs(out[fin] - ref[fin]).max() < 0.02, (out, ref)
 
 
+def test_fs3_v2_pallas_vs_jnp_interpret():
+    """v2 (W3-only MXU closure, write-time ring folding) vs the jnp
+    kernel: mixed lengths including non-multiples of the 24-position
+    block and a never-finishing lane (-inf contract), plus batch
+    padding (B=6 not a multiple of btile=8)."""
+    from bath_tpu.ops.pallas.fs3v2 import fs3_params_v2, fs3_score_v2
+
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    bg = Background()
+    gcode = GeneticCode.create(1)
+    gcode.set_initiator_any()
+    om3 = fs_oprofile_convert(profile_config_fs(hmm, bg, gcode, 3, 100))
+    params = fs3_params_v2(om3)
+    rng = np.random.default_rng(7)
+    B, L = 6, 48
+    dsq = rng.integers(0, 4, (B, L)).astype(np.int32)
+    lens_np = np.array([48, 40, 37, 48, 0, 29], np.int32)
+    out = np.asarray(fs3_score_v2(
+        jnp.asarray(dsq), jnp.asarray(lens_np), params, nj=1.0,
+        btile=8, lblk=24, interpret=True))
+    ref = np.asarray(jk.fs3_score_batch(
+        jnp.asarray(dsq), jnp.asarray(lens_np), jk.fs3_params(om3),
+        nj=1.0))
+    assert out[4] == -np.inf and ref[4] == -np.inf
+    fin = np.isfinite(ref)
+    assert np.abs(out[fin] - ref[fin]).max() < 0.02, (out, ref)
+
+
 def test_ssv_pallas_vs_scalar_interpret():
     """Pallas SSV xEu == the scalar SSV inner-loop running uint8 max,
     bit for bit (ref: ssvfilter.c :875)."""
