@@ -243,6 +243,67 @@ class DeviceCascade:
             sc[i] = msv_filter(np.asarray(seqs[i], np.int32), self.om)
         return sc
 
+    # -- SSV_BATH window capture (bias survivors under F2) -----------
+    # small survivor batches: domdec-style fixed buckets
+    SSVB_LS = (128, 512, 2048)
+    SSVB_B = 128
+
+    def ssv_captures(self, seqs, lens, nulls, F1):
+        """Batched device capture events for p7_SSVFilter_BATH.
+        Returns {i: (nwin, [(row, k, sc), ...])} for in-bucket items;
+        missing keys (over-bucket) and overflowed lanes fall back to
+        the host scan (ref: impl_sse/msvfilter.c :250)."""
+        import math as _math
+
+        import jax
+
+        from .ops.jaxk.filters_mb import SSVBathMB
+        from .stats import gumbel_invsurv
+        if getattr(self, "_ssvb", None) is None:
+            self._ssvb = SSVBathMB(self.om, self.msv)
+        om = self.om
+        from . import constants as C
+        invP = float(gumbel_invsurv(F1, om.evparam[C.EV_MMU],
+                                    om.evparam[C.EV_MLAMBDA]))
+        tjb = self.msv.tjb_for(lens)
+        val = ((np.asarray(nulls, np.float64) + invP * C.CONST_LOG2
+                + 3.0) * om.scale_b + om.base_b + om.tec_b + tjb)
+        thr = np.where(np.isfinite(val),
+                       np.ceil(val), -(1 << 30)).astype(np.int64)
+        if not _math.isfinite(invP):
+            thr[:] = -(1 << 30)
+        n = len(lens)
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            Lb = next((b for b in self.SSVB_LS if b >= lens[i]), None)
+            if Lb is not None:
+                groups.setdefault(Lb, []).append(i)
+        plan = []
+        for Lb, idxs in groups.items():
+            for c0 in range(0, len(idxs), self.SSVB_B):
+                chunk = idxs[c0:c0 + self.SSVB_B]
+                B = 8 if len(chunk) <= 8 else self.SSVB_B
+                batch = np.full((B, Lb), 28, np.int8)
+                blens = np.ones(B, np.int32)
+                bthr = np.full(B, 1 << 30, np.int32)
+                for r, i in enumerate(chunk):
+                    batch[r, :lens[i]] = np.asarray(seqs[i], np.int8)
+                    blens[r] = lens[i]
+                    bthr[r] = thr[i]
+                out = self._ssvb.captures(self._put(batch),
+                                          self._put(blens), bthr)
+                plan.append((chunk, out))
+        caps = {}
+        if not plan:
+            return caps
+        fetched = jax.device_get([p[1] for p in plan])
+        for (chunk, _), (nwin, wi, wk, wsc) in zip(plan, fetched):
+            for r, i in enumerate(chunk):
+                nv = int(nwin[r])
+                caps[i] = (nv, list(zip(wi[:nv, r], wk[:nv, r],
+                                        wsc[:nv, r])))
+        return caps
+
     # -- ViterbiFilter (F2): bias survivors --------------------------
     def vit_scores(self, seqs, lens) -> np.ndarray:
         """Bit-identical to ops.reference.filters.viterbi_filter's
@@ -507,6 +568,27 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
     vsc_all = cascade.vit_scores(vit_seqs, np.asarray(vit_lens,
                                                       np.int64)) \
         if vit_lens else np.empty(0, F32)
+
+    # SSV_BATH window capture for bias survivors already under F2
+    # (they skip Viterbi): batched device capture events; the host
+    # keeps only the O(window) diagonal walks
+    ssv_seqs: list = []
+    ssv_lens: list = []
+    ssv_nulls: list = []
+    ssv_cuts = []
+    for k, (e, p) in enumerate(zip(chunk, plans)):
+        lo = len(ssv_seqs)
+        if p is not None and p.ssv_idx is not None:
+            for i in p.ssv_idx:
+                o = e.orfs[int(i)]
+                ssv_seqs.append(o.dsq)
+                ssv_lens.append(o.n)
+                ssv_nulls.append(float(p.null[int(i)]))
+        ssv_cuts.append((lo, len(ssv_seqs)))
+    caps_all = cascade.ssv_captures(
+        ssv_seqs, np.asarray(ssv_lens, np.int64),
+        np.asarray(ssv_nulls), pli.F1) if ssv_lens else {}
+
     for k, (e, p, sk) in enumerate(zip(chunk, plans, skip)):
         from .tophits import TopHits
         e.hits = TopHits()
@@ -517,10 +599,17 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
         lo, hi = vit_cuts[k]
         vitsc = vsc_all[lo:hi] if p is not None \
             and p.vit_idx is not None else None
+        slo, _shi = ssv_cuts[k]
+        ssvcaps = None
+        if p is not None and p.ssv_idx is not None and caps_all:
+            ssvcaps = {int(i): caps_all[slo + r]
+                       for r, i in enumerate(p.ssv_idx)
+                       if (slo + r) in caps_all}
         e.win_start = len(hit_windows)
         e.cands, e.P_orf, e.fwdsc_arr, e.oxf_holder = pipeline_gates(
             pli, om, data, bg, e.window, e.orfs, hit_windows,
-            e.seqid, e.complementarity, plan=p, vitsc=vitsc)
+            e.seqid, e.complementarity, plan=p, vitsc=vitsc,
+            ssvcaps=ssvcaps)
         e.win_end = len(hit_windows)
 
     # Phase 2: device Forward over every Vit survivor of the chunk,

@@ -298,6 +298,115 @@ class VitExactMB:
         return np.where(np.asarray(ovf), np.float32(np.inf), sc)
 
 
+SSVB_NCAP = 16   # capture slots per lane; overflow -> host fallback
+
+
+@partial(jax.jit, static_argnames=("Mt", "M", "base", "tbm", "bias"))
+def _ssv_bath_mb_impl(dsq, lens, tjb, thresh, rbvT, Mt, M, base, tbm,
+                      bias):
+    """Batched p7_SSVFilter_BATH capture scan (ref:
+    impl_sse/msvfilter.c :250).  Per lane: the single-row SSV DP with
+    constant xB; whenever any cell crosses the lane's sc_thresh,
+    record (row i, striped-order argmax k, score) and reset the DP —
+    exactly the reference's capture events.  The backward diagonal
+    walk and forward extension are O(window) host work on static
+    tables (ops.reference.filters._ssv_walk).
+
+    Returns (nwin [B] i32 incl. overflow count, wi/wk/wsc
+    [SSVB_NCAP, B] i32)."""
+    B, L = dsq.shape
+    dsq = dsq.astype(jnp.int32)
+    BL = _MSV_BL
+    Lpad = ((L + BL - 1) // BL) * BL
+    Kp = rbvT.shape[1]
+    if Lpad != L:
+        dsq = jnp.pad(dsq, ((0, 0), (0, Lpad - L)),
+                      constant_values=Kp - 1)
+    cb = dsq.T.reshape(Lpad // BL, BL * B)
+    rT = rbvT.astype(BF16)
+    xB = jnp.maximum(0, base - (tjb + tbm))          # [B], constant
+    # striped traversal order of the reference's argmax loop
+    # (q-major over Qb stripes of 16): order(k) = ((k-1) % Qb)*16
+    # + (k-1)//Qb; ties keep the first in this order
+    Qb = max(2, (M + 15) // 16)
+    # pack (score, order) into one int key: factor = pow2 above the
+    # largest order so score stays the primary sort key; dead rows
+    # get the max order (lowest priority at equal score 0)
+    FACT = 1 << int(np.ceil(np.log2(16 * Qb + 2)))
+    korder = np.full(Mt, FACT - 1, np.int32)
+    for k in range(1, M + 1):
+        korder[k - 1] = ((k - 1) % Qb) * 16 + (k - 1) // Qb
+    korder = jnp.asarray(korder)[:, None]            # [Mt, 1]
+    kidx = jnp.asarray(np.arange(1, Mt + 1, dtype=np.int32))[:, None]
+    capslot = jnp.asarray(
+        np.arange(SSVB_NCAP, dtype=np.int32))[:, None]  # [NCAP, 1]
+    live = jnp.asarray(
+        (np.arange(Mt) < M).astype(np.int32))[:, None]
+
+    def block(carry, cblk):
+        dp, nwin, wi, wk, wsc, base_i = carry
+        oh = (cblk[None, :] == jnp.arange(Kp)[:, None]).astype(BF16)
+        rE = jnp.dot(rT, oh, preferred_element_type=F32)
+        for j in range(BL):
+            i = base_i + j
+            off = j * B
+            rrow = jax.lax.slice(rE, (0, off), (Mt, off + B)) \
+                .astype(I32)
+            active = (i < lens)
+            mpv = _shift_down_i(dp, 0)
+            sv = jnp.maximum(mpv, xB[None, :])
+            sv = jnp.minimum(sv + bias, 255)
+            sv = jnp.maximum(sv - rrow, 0)
+            sv = sv * live                    # dead model rows = 0
+            # capture event: any cell >= the lane threshold
+            # key packs (score DESC, striped order ASC) so the max
+            # reproduces the reference's first-max-in-striped-order
+            key = sv * FACT + (FACT - 1 - korder)
+            mkey = key.max(axis=0)                       # [B]
+            msc = mkey // FACT
+            crossed = active & (msc >= thresh)
+            ksel = jnp.max(jnp.where(key == mkey[None, :], kidx, 0),
+                           axis=0)
+            # record into slot nwin (lanes past NCAP only count)
+            rec = crossed[None, :] & (capslot == nwin[None, :])
+            wi = jnp.where(rec, i + 1, wi)
+            wk = jnp.where(rec, ksel[None, :], wk)
+            wsc = jnp.where(rec, msc[None, :], wsc)
+            nwin = nwin + crossed.astype(I32)
+            # reference resets the whole DP row after a capture
+            dp = jnp.where(active[None, :],
+                           jnp.where(crossed[None, :], 0, sv), dp)
+        return (dp, nwin, wi, wk, wsc, base_i + BL), None
+
+    z = jnp.zeros((SSVB_NCAP, B), I32)
+    carry0 = (jnp.zeros((Mt, B), I32), jnp.zeros(B, I32), z, z, z,
+              jnp.int32(0))
+    (dp, nwin, wi, wk, wsc, _), _ = jax.lax.scan(block, carry0, cb)
+    return nwin, wi, wk, wsc
+
+
+class SSVBathMB:
+    """Batched device window-capture for p7_SSVFilter_BATH: the
+    capture-event scan runs on device over bias survivors; the host
+    finishes each event with the O(window) diagonal walks (ref:
+    impl_sse/msvfilter.c :250)."""
+
+    def __init__(self, om, msv: "MSVExactMB"):
+        self.om = om
+        self.m = msv
+
+    def captures(self, dsq_batch, lens, thresh):
+        """[B, Lmax] aminos + [B] lens + [B] int thresholds ->
+        (nwin, wi, wk, wsc) device arrays."""
+        tjb = jnp.asarray(self.m.tjb_for(lens))
+        return _ssv_bath_mb_impl(
+            jnp.asarray(dsq_batch),
+            jnp.asarray(lens, dtype=jnp.int32), tjb,
+            jnp.asarray(thresh, dtype=jnp.int32),
+            self.m.rbvT, self.m.Mt, self.om.M, self.m.base,
+            self.m.tbm, self.m.bias)
+
+
 class MSVExactMB:
     """[model, batch] drop-in for msv_exact.MSVExact: same .scores
     contract (bit-identical to ops.reference.filters.msv_filter per

@@ -201,38 +201,78 @@ def ssv_filter_bath(dsq: np.ndarray, om: OProfile, data: ScoreData,
                         end = k
                         rem_sc = int(dp[k])
             dp[:] = 0          # reset DP after window capture
-            sc = rem_sc
-            # walk the diagonal backwards to its start
-            start, tstart = end, i
-            while rem_sc > base - tjbm:
-                rem_sc -= om.bias_b - int(
-                    data.ssv_scores[start * Kp + dsq[tstart - 1]])
-                start -= 1
-                tstart -= 1
-            start += 1
-            tstart += 1
-            # forward single-diagonal extension
-            k2, n2 = end + 1, i + 1
-            max_end, max_sc, pos_since_max = i, sc, 0
-            while k2 < M and n2 <= L:
-                sc += om.bias_b - int(data.ssv_scores[k2 * Kp + dsq[n2 - 1]])
-                if sc >= max_sc:
-                    max_sc, max_end, pos_since_max = sc, n2, 0
-                else:
-                    pos_since_max += 1
-                    if pos_since_max == 5:
-                        break
-                k2 += 1
-                n2 += 1
-            end += max_end - i
-            ret_sc = (float(max_sc - om.tjb_b) - float(om.base_b)) \
-                / om.scale_b - 3.0
-            windows.append(Window(id=0, n=tstart, k=end,
-                                  length=end - start + 1,
-                                  score=float(np.float32(ret_sc)),
-                                  complementarity=C.NOCOMPLEMENT,
-                                  target_len=L))
+            _ssv_walk(dsq, om, data, i, end, rem_sc, windows, L)
         i += 1
+
+
+def _ssv_walk(dsq, om, data, i, end, rem_sc, windows, L):
+    """Complete one SSV_BATH capture event (row i, diagonal end k,
+    captured score) into a Window: backward walk to the diagonal
+    start + forward single-diagonal extension on the static score
+    table (ref: impl_sse/msvfilter.c :250 capture tail).  Shared by
+    the scalar scan above and the batched device capture kernel
+    (ops.jaxk.filters_mb._ssv_bath_mb_impl)."""
+    M, Kp = om.M, om.Kp
+    tjbm = om.tjb_b + om.tbm_b
+    base = om.base_b
+    sc = rem_sc
+    # walk the diagonal backwards to its start
+    start, tstart = end, i
+    while rem_sc > base - tjbm:
+        rem_sc -= om.bias_b - int(
+            data.ssv_scores[start * Kp + dsq[tstart - 1]])
+        start -= 1
+        tstart -= 1
+    start += 1
+    tstart += 1
+    # forward single-diagonal extension
+    k2, n2 = end + 1, i + 1
+    max_end, max_sc, pos_since_max = i, sc, 0
+    while k2 < M and n2 <= L:
+        sc += om.bias_b - int(data.ssv_scores[k2 * Kp + dsq[n2 - 1]])
+        if sc >= max_sc:
+            max_sc, max_end, pos_since_max = sc, n2, 0
+        else:
+            pos_since_max += 1
+            if pos_since_max == 5:
+                break
+        k2 += 1
+        n2 += 1
+    end += max_end - i
+    ret_sc = (float(max_sc - om.tjb_b) - float(om.base_b)) \
+        / om.scale_b - 3.0
+    windows.append(Window(id=0, n=tstart, k=end,
+                          length=end - start + 1,
+                          score=float(np.float32(ret_sc)),
+                          complementarity=C.NOCOMPLEMENT,
+                          target_len=L))
+
+
+def ssv_thresh_bath(om, nullsc: float, P: float) -> int:
+    """sc_thresh of p7_SSVFilter_BATH (ref: msvfilter.c :250) — the
+    integer capture threshold derived from the F1 P-value; -2^30
+    for P=1 (--max: capture everything)."""
+    invP = float(gumbel_invsurv(P, om.evparam[C.EV_MMU],
+                                om.evparam[C.EV_MLAMBDA]))
+    val = (nullsc + invP * C.CONST_LOG2 + 3.0) * om.scale_b \
+        + om.base_b + om.tec_b + om.tjb_b
+    return int(math.ceil(val)) if math.isfinite(val) else -(1 << 30)
+
+
+def ssv_windows_from_captures(dsq, om, data, caps, windows,
+                              sc_thresh=None) -> bool:
+    """Turn device capture tuples (nwin, [(i, k, sc), ...]) into
+    Windows via the shared walks.  Returns False (caller must run the
+    full scalar/native path) when the device capture overflowed its
+    slots."""
+    nwin, events = caps
+    if nwin > len(events):
+        return False
+    L = len(dsq)
+    for i, end, rem_sc in events[:nwin]:
+        _ssv_walk(dsq, om, data, int(i), int(end), int(rem_sc),
+                  windows, L)
+    return True
 
 
 # ---------------------------------------------------------------------

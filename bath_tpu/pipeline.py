@@ -273,10 +273,10 @@ class GatePlan:
     the Viterbi scores — the seam where the chunk driver batches the
     device ViterbiFilter across windows."""
     __slots__ = ("usc", "null", "P1", "cand", "filtersc", "P2",
-                 "vit_idx")
+                 "vit_idx", "ssv_idx")
 
     def __init__(self, usc=None, null=None, P1=None, cand=None,
-                 filtersc=None, P2=None, vit_idx=None):
+                 filtersc=None, P2=None, vit_idx=None, ssv_idx=None):
         self.usc = usc
         self.null = null
         self.P1 = P1
@@ -284,6 +284,7 @@ class GatePlan:
         self.filtersc = filtersc
         self.P2 = P2
         self.vit_idx = vit_idx
+        self.ssv_idx = ssv_idx
 
 
 def pipeline_gate_plan(pli: Pipeline, om: OProfile, bg: Background,
@@ -344,6 +345,11 @@ def pipeline_gate_plan(pli: Pipeline, om: OProfile, bg: Background,
             plan.filtersc = filtersc_pre
             plan.P2 = P2
             plan.vit_idx = cand[~(P2 > pli.F1) & (P2 > pli.F2)]
+            # bias survivors already under F2 skip Viterbi and go
+            # straight to SSV window capture (ref: p7_pipeline.c
+            # :1669-1677 else-branch) — the chunk driver batches
+            # those captures on device
+            plan.ssv_idx = cand[~(P2 > pli.F1) & ~(P2 > pli.F2)]
     return plan
 
 
@@ -351,7 +357,8 @@ def pipeline_gates(pli: Pipeline, om: OProfile, data: ScoreData,
                    bg: Background, dnasq: Sequence, orfs,
                    hit_windows: list[Window], seqidx: int,
                    complementarity: int, usc_pre=None,
-                   plan: GatePlan | None = None, vitsc=None):
+                   plan: GatePlan | None = None, vitsc=None,
+                   ssvcaps=None):
     """Phase 1 of the pipeline: MSV -> bias -> Viterbi gates plus
     window capture and local-compo rescue.  Returns (candidates for
     the Forward stage, P_orf, fwdsc_arr, oxf_holder) — the last three
@@ -492,8 +499,17 @@ def pipeline_gates(pli: Pipeline, om: OProfile, data: ScoreData,
                 del hit_windows[old_window_cnt:]
                 continue
         else:
-            ssv_filter_bath(orfsq.dsq, om, data, nullsc, pli.F1,
-                            hit_windows)
+            done = False
+            if ssvcaps is not None and idx in ssvcaps:
+                # device capture events: only the O(window) diagonal
+                # walks run on host (overflowed lanes fall back)
+                from .ops.reference.filters import \
+                    ssv_windows_from_captures
+                done = ssv_windows_from_captures(
+                    orfsq.dsq, om, data, ssvcaps[idx], hit_windows)
+            if not done:
+                ssv_filter_bath(orfsq.dsq, om, data, nullsc, pli.F1,
+                                hit_windows)
         for w in hit_windows[old_window_cnt:]:
             w.id = idx
         pli.pos_past_vit += orfsq.n * 3

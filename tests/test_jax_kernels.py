@@ -445,3 +445,72 @@ def test_jax_backend_golden_hit_target():
     for needle in ("    1.4e-16   47.8   0.0  seq1",
                    "Residues passing Fwd filter:             237"):
         assert needle in golden and needle in a
+
+
+def test_ssv_bath_capture_device_parity(setup):
+    """Device SSV_BATH capture events + host walks == the scalar
+    window-capture scan, window-for-window (n, k, length, f32 score)
+    on hot ORFs and random aminos; P=1 (--max) overflows the capture
+    slots and reports fallback (ref: impl_sse/msvfilter.c :250)."""
+    from bath_tpu.gencode import extract_orfs
+    from bath_tpu.ops.jaxk.filters_mb import MSVExactMB, SSVBathMB
+    from bath_tpu.ops.reference import filters as flt
+    from bath_tpu.scoredata import score_data_create
+    import bath_tpu.native as nat
+
+    hmm, bg, om = setup
+    data = score_data_create(om)
+    msv = MSVExactMB(om)
+    ssvb = SSVBathMB(om, msv)
+    rng = np.random.default_rng(17)
+    seq = "".join(l.strip() for l in open(f"{TUT}/target-AMP_N.fa")
+                  if not l.startswith(">"))
+    mp = {"A": 0, "C": 1, "G": 2, "T": 3}
+    hot = np.array([mp[c] for c in seq], np.int32)
+    gc = GeneticCode.create(1)
+    gc.set_initiator_any()
+    cases = [orf.dsq for orf in extract_orfs(gc, hot, minlen=20)]
+    cases.append(rng.integers(0, 20, 200).astype(np.int32))
+    # batch: pad to one shape
+    Lmax = max(len(d) for d in cases)
+    B = len(cases)
+    batch = np.full((B, Lmax), 28, np.int8)
+    lens = np.zeros(B, np.int32)
+    thr = np.zeros(B, np.int32)
+    nulls = np.zeros(B)
+    for r, d in enumerate(cases):
+        batch[r, :len(d)] = d
+        lens[r] = len(d)
+        om.reconfig_length(len(d))
+        bg.set_length(len(d))
+        nulls[r] = bg.null_one(len(d))
+        thr[r] = flt.ssv_thresh_bath(om, nulls[r], 0.02)
+    nwin, wi, wk, wsc = (np.asarray(x) for x in
+                         ssvb.captures(batch, lens, thr))
+    for r, d in enumerate(cases):
+        om.reconfig_length(len(d))
+        w1: list = []
+        orig = nat.ssv_filter_bath_native
+        nat.ssv_filter_bath_native = lambda *a: None
+        try:
+            flt.ssv_filter_bath(d, om, data, nulls[r], 0.02, w1)
+        finally:
+            nat.ssv_filter_bath_native = orig
+        w2: list = []
+        nv = int(nwin[r])
+        caps = (nv, list(zip(wi[:nv, r], wk[:nv, r], wsc[:nv, r])))
+        ok = flt.ssv_windows_from_captures(d, om, data, caps, w2)
+        assert ok, r
+        a = [(w.n, w.k, w.length, w.score) for w in w1]
+        b = [(w.n, w.k, w.length, w.score) for w in w2]
+        assert a == b, (r, a, b)
+    # P=1: threshold is -2^30, every row captures -> overflow -> the
+    # from-captures path must report fallback
+    thr1 = np.full(B, -(1 << 30), np.int32)
+    nwin1, wi1, wk1, wsc1 = (np.asarray(x) for x in
+                             ssvb.captures(batch, lens, thr1))
+    r = int(np.argmax(lens))
+    assert int(nwin1[r]) > 16
+    caps = (int(nwin1[r]), list(zip(wi1[:, r], wk1[:, r], wsc1[:, r])))
+    assert not flt.ssv_windows_from_captures(
+        cases[r], om, data, caps, [])
