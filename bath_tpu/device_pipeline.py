@@ -67,7 +67,7 @@ BUCKET_B = int(os.environ.get("BATH_DEVICE_BUCKET_B", 4096))
 
 def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
                  bucket_ls=BUCKET_LS, out_rows=1, stage="?",
-                 ladder=None, cap=None):
+                 ladder=None, cap=None, flat=None, offs=None):
     """Pack ragged sequences into fixed-shape [B, Lb] batches, issue
     every scorer call asynchronously, fetch ALL results with one
     device->host transfer, and scatter them back.
@@ -76,7 +76,10 @@ def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
     size-independent on tunneled backends, so per-call np.asarray
     would serialize the whole cascade on round trips.
 
-    <seqs>: indexable of 1-D int arrays;
+    <seqs>: indexable of 1-D int arrays; alternatively <flat>/<offs>
+    give one concatenated int8 stream + per-item offsets, which packs
+    each batch with a single vectorized gather (the per-row Python
+    loop is ~15% of e2e host wall at 100MB, measured round 3);
     <scorer(batch, lens) -> jnp array of shape [out_rows*B] or [B]>.
     Returns [out_rows, n] float64 (row-major per scorer row)."""
     import jax
@@ -121,12 +124,29 @@ def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
                       per)
             # int8 residues (values <= 28): 4x less host->device
             # traffic; kernels upcast on device
-            batch = np.full((Bc, Lb), pad_value, np.int8)
             blens = np.ones(Bc, np.int32)
-            for r, i in enumerate(chunk):
-                d = np.asarray(seqs[i], np.int8)[:Lb]
-                batch[r, :len(d)] = d
-                blens[r] = len(d)
+            if flat is not None:
+                ch = np.asarray(chunk)
+                cl = np.minimum(lens[ch], Lb).astype(np.int64)
+                blens[:len(ch)] = cl
+                # vectorized gather: one fancy-index instead of a
+                # per-row Python loop
+                co = np.asarray(offs)[ch]
+                idx = co[:, None] + np.arange(Lb, dtype=np.int64)
+                mask = np.arange(Lb)[None, :] < cl[:, None]
+                rows = flat[np.minimum(idx, len(flat) - 1)]
+                rows = np.where(mask, rows, pad_value).astype(np.int8)
+                if Bc == len(ch):
+                    batch = rows
+                else:
+                    batch = np.full((Bc, Lb), pad_value, np.int8)
+                    batch[:len(ch)] = rows
+            else:
+                batch = np.full((Bc, Lb), pad_value, np.int8)
+                for r, i in enumerate(chunk):
+                    d = np.asarray(seqs[i], np.int8)[:Lb]
+                    batch[r, :len(d)] = d
+                    blens[r] = len(d)
             mb += batch.nbytes / 1e6
             ti = _time.perf_counter()
             plan.append((chunk, jnp.ravel(scorer(batch, blens))))
@@ -210,9 +230,12 @@ class DeviceCascade:
         self._om_fs3 = om_fs3
 
     # -- MSV (F1): every ORF of the chunk ---------------------------
-    def msv_scores(self, seqs, lens) -> np.ndarray:
+    def msv_scores(self, seqs, lens, flat=None, offs=None
+                   ) -> np.ndarray:
         """Bit-identical to ops.reference.filters.msv_filter per
-        item (integer DP on device, f64 conversion here)."""
+        item (integer DP on device, f64 conversion here).  Pass
+        either <seqs> (list of arrays) or <flat>/<offs> (one int8
+        stream + per-item offsets; vectorized packing)."""
         import jax.numpy as jnp
 
         def scorer(batch, blens):
@@ -228,7 +251,7 @@ class DeviceCascade:
                             pad_value=28, out_rows=2, stage="msv",
                             ladder=(8, 512, 8192),
                             bucket_b=max(BUCKET_B, 8192),
-                            cap=1 << 26)
+                            cap=1 << 26, flat=flat, offs=offs)
         ints, infs = rows[0], rows[1]
         sc = np.float32((ints - float(self.msv.base))
                         / self.msv.scale - 3.0)
@@ -240,7 +263,9 @@ class DeviceCascade:
         for i in np.nonzero(np.isnan(ints))[0]:
             from .ops.reference.filters import msv_filter
             self.om.reconfig_length(int(lens[i]))
-            sc[i] = msv_filter(np.asarray(seqs[i], np.int32), self.om)
+            d = (flat[offs[i]:offs[i] + lens[i]]
+                 if flat is not None else seqs[i])
+            sc[i] = msv_filter(np.asarray(d, np.int32), self.om)
         return sc
 
     # -- SSV_BATH window capture (bias survivors under F2) -----------
@@ -525,24 +550,36 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
     sizes = [len(e.orfs) if e.orfs is not None else 0 for e in chunk]
     skip = [e.orfs is None or len(e.orfs) == 0 or e.window.n < 15
             for e in chunk]
-    all_seqs: list = []
+    # one concatenated int8 residue stream for the whole chunk: the
+    # MSV packer gathers rows vectorized instead of a per-ORF loop
+    flats: list = []
+    all_offs: list = []
     all_lens: list = []
+    base = 0
     for e, sk in zip(chunk, skip):
         if sk:
             continue
         if getattr(e.orfs, "flat", None) is not None:
-            offs, lens = e.orfs.offs, e.orfs.lens
-            flat = e.orfs.flat
-            all_seqs.extend(
-                flat[int(offs[i]):int(offs[i]) + int(lens[i])]
-                for i in range(len(lens)))
-            all_lens.extend(int(x) for x in lens)
+            f = np.asarray(e.orfs.flat, np.int8)
+            flats.append(f)
+            all_offs.extend(int(o) + base for o in e.orfs.offs)
+            all_lens.extend(int(x) for x in e.orfs.lens)
+            base += len(f)
         else:
-            all_seqs.extend(o.dsq for o in e.orfs)
-            all_lens.extend(o.n for o in e.orfs)
-    usc_all = cascade.msv_scores(all_seqs, np.asarray(all_lens,
-                                                      np.int64)) \
-        if all_lens else np.empty(0, F32)
+            for o in e.orfs:
+                f = np.asarray(o.dsq, np.int8)
+                flats.append(f)
+                all_offs.append(base)
+                all_lens.append(o.n)
+                base += len(f)
+    if all_lens:
+        flat_all = (flats[0] if len(flats) == 1
+                    else np.concatenate(flats))
+        usc_all = cascade.msv_scores(
+            None, np.asarray(all_lens, np.int64), flat=flat_all,
+            offs=np.asarray(all_offs, np.int64))
+    else:
+        usc_all = np.empty(0, F32)
     pos = 0
     plans = [None] * len(chunk)
     for k, (e, sz, sk) in enumerate(zip(chunk, sizes, skip)):
