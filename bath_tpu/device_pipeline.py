@@ -380,12 +380,29 @@ class DeviceCascade:
     # -- fs3 Forward (the --fs window gate) --------------------------
     def fs3_scores(self, seqs, lens) -> np.ndarray:
         from .ops.jaxk import kernels as jk
-        if self._fs3_params is None:
-            self._fs3_params = jk.fs3_params(self._om_fs3)
+        # BATH_FS3_KERNEL=v2 selects the Pallas fs3v2 kernel (banded
+        # gate: its ~4e-4-nat bf16 drift at L=2400 is far inside
+        # DEVICE_GATE_BAND); default jnp
+        if os.environ.get("BATH_FS3_KERNEL") == "v2":
+            import jax
 
-        def scorer(batch, blens):
-            return jk.fs3_score_batch(batch, blens,
-                                      self._fs3_params, nj=1.0)
+            from .ops.pallas.fs3v2 import fs3_params_v2, fs3_score_v2
+            if getattr(self, "_fs3v2_params", None) is None:
+                self._fs3v2_params = fs3_params_v2(self._om_fs3)
+            # Mosaic has no CPU backend: interpret mode keeps the
+            # selection testable on the cpu-platform suite
+            interp = jax.default_backend() == "cpu"
+
+            def scorer(batch, blens):
+                return fs3_score_v2(batch, blens, self._fs3v2_params,
+                                    nj=1.0, interpret=interp)
+        else:
+            if self._fs3_params is None:
+                self._fs3_params = jk.fs3_params(self._om_fs3)
+
+            def scorer(batch, blens):
+                return jk.fs3_score_batch(batch, blens,
+                                          self._fs3_params, nj=1.0)
         # nt-unit buckets: windows run up to 2*max_length*3
         out = run_bucketed(self._wrap(scorer), seqs, lens,
                            pad_value=17,

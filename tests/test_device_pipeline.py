@@ -74,3 +74,14 @@ def test_gate_band_overdrive_changes_decisions():
     want = run_search("numpy")
     got = run_search("jax", env_extra={"BATH_DEVICE_PERTURB": "-60.0"})
     assert got != want
+
+
+def test_fs3_v2_kernel_selection_byte_identical():
+    """BATH_FS3_KERNEL=v2 routes the fs3 gate through the Pallas v2
+    kernel (interpret mode on cpu); output bytes must equal the numpy
+    backend's (the banded-gate contract absorbs the kernel's ~4e-4
+    nat bf16 drift)."""
+    a = run_search("numpy", ["--fs"])
+    b = run_search("jax", ["--fs"],
+                   env_extra={"BATH_FS3_KERNEL": "v2"})
+    assert a == b
