@@ -173,9 +173,35 @@ def main():
     if "--sweep" in sys.argv:
         _sweep()
         return
-    fallback = ""
+    if "--cpu" not in sys.argv and "--_device" not in sys.argv:
+        # run the device measurement in a child with a hard timeout:
+        # a tunnel flap mid-measurement would otherwise hang this
+        # process on the result fetch forever (jax has no deadline)
+        import subprocess
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--_device", *sys.argv[1:]],
+                timeout=3000, capture_output=True, text=True)
+            if r.returncode == 0 and '"metric"' in r.stdout:
+                sys.stdout.write(r.stdout[r.stdout.index('{"'):])
+                return
+            sys.stderr.write(r.stderr[-2000:])
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("# device bench timed out (tunnel "
+                             "flap mid-measurement)\n")
+        sys.argv.append("--cpu")        # surrendered: CPU fallback
+        sys.argv.append("--_surrendered")
+    fallback = (" (CPU FALLBACK: TPU tunnel unreachable)"
+                if "--_surrendered" in sys.argv else "")
     if "--cpu" not in sys.argv:
-        for attempt in range(3):
+        # the tunnel flaps in windows of minutes (round-3 measured);
+        # probe for up to ~20 min before surrendering to the CPU
+        # fallback — a flap must not cost the round its chip number
+        # (this branch runs in the --_device child; the parent holds
+        # the overall 3000s deadline, so probing stops at ~15 min to
+        # leave the measurement time)
+        for attempt in range(10):
             if _tpu_alive():
                 break
             time.sleep(30)
