@@ -615,3 +615,24 @@ def test_decoding_underflow_realign_succeeds(tmp_path, monkeypatch):
     exon_counts = sorted(h[6] for h in hits1)
     assert "3" in exon_counts, hits1
     assert len(hits1) == 2, hits1
+
+
+def test_splice_jax_backend_byte_identical():
+    """--splice under the device cascade (--backend jax; cpu
+    platform): the seed windows feeding the splice graph come from
+    the device capture paths, so the full spliced output must stay
+    byte-identical to the numpy backend on the PTHR37536 golden
+    drive."""
+    import os
+    env = dict(os.environ, BATH_JAX_PLATFORM="cpu")
+    outs = {}
+    for backend in ("numpy", "jax"):
+        r = subprocess.run(
+            [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+             "--splice", "--backend", backend,
+             f"{TUT}/PTHR37536.bhmm", f"{TUT}/target-PTHR37536.fa"],
+            capture_output=True, text=True, timeout=900,
+            cwd="/root/repo", env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[backend] = _strip_run_meta(r.stdout)
+    assert outs["jax"] == outs["numpy"]
