@@ -230,43 +230,133 @@ class DeviceCascade:
         self._om_fs3 = om_fs3
 
     # -- MSV (F1): every ORF of the chunk ---------------------------
+    # stream-call lane ladder: VMEM = 2 [Mt,S] i32 carries + 3
+    # [64,S] i32 latch arrays -> S=4096 tops out ~7.5MB
+    STREAM_S_MAX = 4096
+
+    def _msv_stream(self, flat, offs, lens, out_sc):
+        """Stream-packed MSV/SSV for ORFs <= STREAM_CUTOFF aminos:
+        dense [T, S] planes, ~1 executable launch per flush instead
+        of ~8 (the bucketed path's per-call tunnel overhead dominated
+        the stage).  Fills out_sc in place; returns the boolean mask
+        of ORFs it covered."""
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.jaxk import filters_mb as fmb
+        m = self.msv
+        lens = np.asarray(lens, np.int64)
+        packable = lens <= fmb.STREAM_CUTOFF
+        idx = np.nonzero(packable)[0]
+        if not len(idx):
+            return packable
+        t0 = _time.perf_counter()
+        tjb = m.tjb_for(lens[idx])
+        tjbm = (tjb + m.tbm) & 0xFF
+        packed = fmb.pack_orf_streams(flat, np.asarray(offs)[idx],
+                                      lens[idx], tjbm)
+        if packed is None:          # >STREAM_SLOTS ORFs in a stream
+            packable[:] = False     # (tiny --minlen): bucketed path
+            return packable
+        dsq, tjp, flg, s_of, slot = packed
+        S = dsq.shape[1]
+        plan = []
+        mb = 0.0
+        for c0 in range(0, S, self.STREAM_S_MAX):
+            c1 = min(S, c0 + self.STREAM_S_MAX)
+            Sc = c1 - c0
+            Sc_pad = max(128, -(-Sc // 128) * 128)
+            sl = (slice(None), slice(c0, c0 + Sc_pad))
+            if c0 + Sc_pad > S:
+                padw = c0 + Sc_pad - S
+                args = [np.pad(a, ((0, 0), (0, padw)))[sl]
+                        for a in (dsq, tjp, flg)]
+            else:
+                args = [a[sl] for a in (dsq, tjp, flg)]
+            mb += sum(a.nbytes for a in args) / 1e6
+            out = fmb._ssv_msv_stream_impl(
+                *(self._put(a) for a in args), m.sbvT, m.rbvT,
+                m.Mt, m.base, m.tec, m.tbm, m.bias)
+            plan.append((c0, out))
+        fetched = jax.device_get([p[1] for p in plan])
+        nse = np.zeros(S, np.int64)
+        ex = np.zeros((fmb.STREAM_SLOTS, S), np.int64)
+        ej = np.zeros_like(ex)
+        em = np.zeros_like(ex)
+        for (c0, _), (n_, xe_, xj_, mv_) in zip(plan, fetched):
+            w = min(self.STREAM_S_MAX, S - c0)
+            nse[c0:c0 + w] = n_[:w]
+            ex[:, c0:c0 + w] = xe_[:, :w]
+            ej[:, c0:c0 + w] = xj_[:, :w]
+            em[:, c0:c0 + w] = mv_[:, :w]
+        xEu = ex[slot, s_of]
+        xJm = ej[slot, s_of]
+        movf = em[slot, s_of]
+        out_int, out_inf = fmb.ssv_msv_post_np(
+            xEu, xJm, movf, m.base, tjb, m.tbm, m.tec, m.bias)
+        sc = np.float32((out_int.astype(np.float64) - float(m.base))
+                        / m.scale - 3.0)
+        out_sc[idx] = np.where(out_inf, np.float32(np.inf), sc) \
+            .astype(np.float32)
+        _stat("msv-stream", len(plan), mb, _time.perf_counter() - t0)
+        return packable
+
     def msv_scores(self, seqs, lens, flat=None, offs=None
                    ) -> np.ndarray:
         """Bit-identical to ops.reference.filters.msv_filter per
         item (integer DP on device, f64 conversion here).  Pass
         either <seqs> (list of arrays) or <flat>/<offs> (one int8
-        stream + per-item offsets; vectorized packing)."""
+        stream + per-item offsets; vectorized packing + the
+        stream-packed kernel for short ORFs)."""
         import jax.numpy as jnp
 
-        def scorer(batch, blens):
-            ints, infs = self.msv.ints(batch, blens)
-            # one device array per call so the stage fetches once;
-            # both halves are small ints, exact in f32
-            return jnp.concatenate([ints.astype(jnp.float32),
-                                    infs.astype(jnp.float32)])
-        # MSV's scan carry is two [Mt,B] i32 rows, so lanes up to
-        # 8192 stay VMEM-resident — half the calls of the default
-        # ladder (per-call tunnel overhead dominates this stage)
-        rows = run_bucketed(self._wrap(scorer), seqs, lens,
-                            pad_value=28, out_rows=2, stage="msv",
-                            ladder=(8, 512, 8192),
-                            bucket_b=max(BUCKET_B, 8192),
-                            cap=1 << 26, flat=flat, offs=offs)
-        ints, infs = rows[0], rows[1]
-        sc = np.float32((ints - float(self.msv.base))
-                        / self.msv.scale - 3.0)
-        sc = np.where(infs != 0.0, np.float32(np.inf), sc) \
-            .astype(np.float32)
-        # ORFs longer than the largest bucket (no device score):
-        # bit-exact scalar fallback — the F1 result must be real for
-        # every ORF, unlike the banded F3/F4 gates
-        for i in np.nonzero(np.isnan(ints))[0]:
-            from .ops.reference.filters import msv_filter
-            self.om.reconfig_length(int(lens[i]))
-            d = (flat[offs[i]:offs[i] + lens[i]]
-                 if flat is not None else seqs[i])
-            sc[i] = msv_filter(np.asarray(d, np.int32), self.om)
-        return sc
+        lens = np.asarray(lens, np.int64)
+        n = len(lens)
+        sc_out = np.full(n, np.nan, np.float32)
+        covered = np.zeros(n, bool)
+        if flat is not None and \
+                os.environ.get("BATH_MSV_STREAM", "1") != "0":
+            covered = self._msv_stream(flat, offs, lens, sc_out)
+        rest = np.nonzero(~covered)[0]
+        if len(rest):
+            def scorer(batch, blens):
+                ints, infs = self.msv.ints(batch, blens)
+                # one device array per call so the stage fetches
+                # once; both halves are small ints, exact in f32
+                return jnp.concatenate([ints.astype(jnp.float32),
+                                        infs.astype(jnp.float32)])
+            # MSV's scan carry is two [Mt,B] i32 rows, so lanes up to
+            # 8192 stay VMEM-resident
+            rows = run_bucketed(
+                self._wrap(scorer),
+                None if flat is not None
+                else [seqs[int(i)] for i in rest],
+                lens[rest], pad_value=28, out_rows=2, stage="msv",
+                ladder=(8, 512, 8192),
+                bucket_b=max(BUCKET_B, 8192), cap=1 << 26,
+                flat=flat,
+                offs=None if flat is None
+                else np.asarray(offs)[rest])
+            ints, infs = rows[0], rows[1]
+            sc = np.float32((ints - float(self.msv.base))
+                            / self.msv.scale - 3.0)
+            sc = np.where(infs != 0.0, np.float32(np.inf), sc) \
+                .astype(np.float32)
+            sc_out[rest] = sc
+            # ORFs longer than the largest bucket (no device score):
+            # bit-exact scalar fallback — the F1 result must be real
+            # for every ORF, unlike the banded F3/F4 gates
+            for r in np.nonzero(np.isnan(ints))[0]:
+                from .ops.reference.filters import msv_filter
+                i = int(rest[r])
+                self.om.reconfig_length(int(lens[i]))
+                d = (flat[offs[i]:offs[i] + lens[i]]
+                     if flat is not None else seqs[i])
+                sc_out[i] = msv_filter(np.asarray(d, np.int32),
+                                       self.om)
+        return sc_out
 
     # -- SSV_BATH window capture (bias survivors under F2) -----------
     # small survivor batches: domdec-style fixed buckets

@@ -298,6 +298,165 @@ class VitExactMB:
         return np.where(np.asarray(ovf), np.float32(np.inf), sc)
 
 
+STREAM_SLOTS = 64   # max ORFs per packed stream (T // minlen bound)
+
+
+@partial(jax.jit, static_argnames=("Mt", "base", "tec", "tbm",
+                                   "bias"))
+def _ssv_msv_stream_impl(dsq, tjbm8, flags, sbvT, rbvT, Mt, base,
+                         tec, tbm, bias):
+    """Stream-packed SSV+MSV: ORFs laid back-to-back in [T, S] dense
+    planes (dsq residues, per-position tjb+tbm byte, start/end flag
+    bits), state reset at ORF starts and results latched into
+    [STREAM_SLOTS, S] slot arrays at ORF ends.  One executable launch
+    scores S*T/avg_len ORFs — the padding-free answer to the
+    per-call tunnel overhead that dominates the bucketed MSV stage
+    (~500 launches per 100MB, measured round 3).
+
+    Same integer dynamics as _ssv_msv_mb_impl per ORF (a reset
+    reproduces that kernel's carry0 exactly, with the new ORF's tjbm
+    byte).  Returns (nse [S] i32 slot counts, exEu, exJm, emovf
+    [STREAM_SLOTS, S] i32)."""
+    T, S = dsq.shape
+    dsq = dsq.astype(jnp.int32)
+    BL = _MSV_BL
+    Kp = sbvT.shape[1]
+    cb = dsq.reshape(T // BL, BL * S)
+    tj = tjbm8.astype(jnp.int32).reshape(T // BL, BL * S)
+    fl = flags.astype(jnp.int32).reshape(T // BL, BL * S)
+    sT = sbvT.astype(BF16)
+    rT = rbvT.astype(BF16)
+    slot_iota = jnp.arange(STREAM_SLOTS, dtype=jnp.int32)[:, None]
+
+    def block(carry, xs):
+        (d, dp, xEu, xJm, xBm, movf, cur, nse, exEu, exJm, emovf) \
+            = carry
+        cblk, tjblk, flblk = xs
+        oh = (cblk[None, :] == jnp.arange(Kp)[:, None]).astype(BF16)
+        sE = jnp.dot(sT, oh, preferred_element_type=F32)
+        rE = jnp.dot(rT, oh, preferred_element_type=F32)
+        for j in range(BL):
+            off = j * S
+            srow = jax.lax.slice(sE, (0, off), (Mt, off + S)) \
+                .astype(I32)
+            rrow = jax.lax.slice(rE, (0, off), (Mt, off + S)) \
+                .astype(I32)
+            tjbm = jax.lax.slice(tjblk, (off,), (off + S,))
+            f = jax.lax.slice(flblk, (off,), (off + S,))
+            is_start = (f & 1) != 0
+            is_end = (f & 2) != 0
+            # ORF-start reset == _ssv_msv_mb_impl's carry0 (with the
+            # incoming ORF's length-dependent tjbm byte).  Stream-tail
+            # padding needs no masking: results latch at is_end, so
+            # post-ORF evolution is never observed.
+            d = jnp.where(is_start[None, :], -128, d)
+            dp = jnp.where(is_start[None, :], 0, dp)
+            xEu = jnp.where(is_start, 0, xEu)
+            xJm = jnp.where(is_start, 0, xJm)
+            xBm = jnp.where(is_start,
+                            jnp.maximum(0, base - tjbm), xBm)
+            movf = jnp.where(is_start, False, movf)
+            # ---- SSV (ref: ssvfilter.c :875) ----
+            dshift = _shift_down_i(d, -128)
+            d = jnp.clip(dshift - srow, -128, 127)
+            xEu = jnp.maximum(xEu, (d & 0xFF).max(axis=0))
+            # ---- MSV (ref: msvfilter.c :76) ----
+            mpv = _shift_down_i(dp, 0)
+            sv = jnp.maximum(mpv, xBm[None, :])
+            sv = jnp.minimum(sv + bias, 255)
+            dp = jnp.maximum(sv - rrow, 0)
+            xE = dp.max(axis=0)
+            ovf = xE + bias >= 255
+            xE = jnp.maximum(0, xE - tec)
+            xJm = jnp.maximum(xJm, xE)
+            xBm = jnp.maximum(0, jnp.maximum(base, xJm) - tjbm)
+            movf = movf | ovf
+            # ---- latch at ORF end ----
+            rec = (slot_iota == cur[None, :]) & is_end[None, :]
+            exEu = jnp.where(rec, xEu[None, :], exEu)
+            exJm = jnp.where(rec, xJm[None, :], exJm)
+            emovf = jnp.where(rec, movf[None, :].astype(I32), emovf)
+            cur = cur + is_end.astype(I32)
+            nse = nse + is_end.astype(I32)
+        return (d, dp, xEu, xJm, xBm, movf, cur, nse, exEu, exJm,
+                emovf), None
+
+    z_s = jnp.zeros(S, I32)
+    z_e = jnp.zeros((STREAM_SLOTS, S), I32)
+    carry0 = (jnp.full((Mt, S), -128, I32), jnp.zeros((Mt, S), I32),
+              z_s, z_s, z_s, jnp.zeros(S, bool), z_s, z_s,
+              z_e, z_e, z_e)
+    carry, _ = jax.lax.scan(block, carry0, (cb, tj, fl))
+    (_, _, _, _, _, _, _, nse, exEu, exJm, emovf) = carry
+    return nse, exEu, exJm, emovf
+
+
+STREAM_T = 768       # positions per stream (multiple of _MSV_BL)
+STREAM_TQ = 576      # quota per stream; reserve = T - TQ bounds the
+STREAM_CUTOFF = STREAM_T - STREAM_TQ   # longest packable ORF
+
+
+def pack_orf_streams(flat, offs, lens, tjbm):
+    """Vectorized dense packing of ORFs into [T, S] planes for
+    _ssv_msv_stream_impl.  <flat> int8 residue stream, <offs>/<lens>
+    per-ORF, <tjbm> per-ORF (tjb+tbm)&0xFF byte.  All ORFs must have
+    len <= STREAM_CUTOFF (caller filters).  Returns (dsq_plane,
+    tjbm_plane, flags_plane, stream_of, slot_of) with planes
+    [T, S] uint8 and per-ORF (stream, slot) output coordinates, or
+    None when a stream would exceed STREAM_SLOTS ORFs."""
+    lens = np.asarray(lens, np.int64)
+    offs = np.asarray(offs, np.int64)
+    n = len(lens)
+    cum = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=cum[1:])
+    s_of = cum[:-1] // STREAM_TQ
+    pos = cum[:-1] % STREAM_TQ
+    S = int(s_of[-1]) + 1 if n else 1
+    S = max(128, -(-S // 128) * 128)
+    # slot = rank within stream (packing order == end order)
+    first = np.r_[True, s_of[1:] != s_of[:-1]]
+    start_rank = np.maximum.accumulate(np.where(first, np.arange(n),
+                                                0))
+    slot = np.arange(n) - start_rank
+    if n and slot.max() >= STREAM_SLOTS:
+        return None
+    dsq = np.full((STREAM_T, S), 28, np.uint8)
+    tjp = np.zeros((STREAM_T, S), np.uint8)
+    flg = np.zeros((STREAM_T, S), np.uint8)
+    if n:
+        rep_id = np.repeat(np.arange(n), lens)
+        k = np.arange(cum[-1]) - np.repeat(cum[:-1], lens)
+        tgt = (np.repeat(pos, lens) + k) * S + np.repeat(s_of, lens)
+        src = np.repeat(offs, lens) + k
+        dsq.ravel()[tgt] = np.asarray(flat, np.uint8)[src]
+        tjp.ravel()[tgt] = np.asarray(tjbm, np.uint8)[rep_id]
+        cell_s = pos * S + s_of
+        cell_e = (pos + lens - 1) * S + s_of
+        np.bitwise_or.at(flg.ravel(), cell_s, 1)
+        np.bitwise_or.at(flg.ravel(), cell_e, 2)
+    return dsq, tjp, flg, s_of.astype(np.int64), slot.astype(np.int64)
+
+
+def ssv_msv_post_np(xEu, xJm, movf, base, tjb, tbm, tec, bias):
+    """The per-ORF uint16-wraparound SSV post-processing (identical
+    to _ssv_msv_mb_impl's tail, numpy over latched stream outputs).
+    Returns (out_int, out_inf)."""
+    no_ssv = (tjb + tbm + tec + bias) >= 127
+    ovf1 = xEu >= 255 - bias
+    none1 = base - tjb - tbm < 128
+    xE2 = (xEu + base - tjb - tbm) & 0xFFFF
+    xE2 = (xE2 - 128) & 0xFFFF
+    ovf2 = xE2 >= 255 - bias
+    xJ = (xE2 - tec) & 0xFFFF
+    none2 = xJ > base
+    ssv_int = xJ - tjb
+    ssv_none = no_ssv | (ovf1 & none1) | none2
+    ssv_inf = (~ssv_none) & ((ovf1 & ~none1) | ovf2)
+    out_int = np.where(ssv_none, xJm - tjb, ssv_int)
+    out_inf = np.where(ssv_none, movf != 0, ssv_inf)
+    return out_int, out_inf
+
+
 SSVB_NCAP = 16   # capture slots per lane; overflow -> host fallback
 
 

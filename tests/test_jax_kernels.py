@@ -514,3 +514,42 @@ def test_ssv_bath_capture_device_parity(setup):
     caps = (int(nwin1[r]), list(zip(wi1[:, r], wk1[:, r], wsc1[:, r])))
     assert not flt.ssv_windows_from_captures(
         cases[r], om, data, caps, [])
+
+
+def test_msv_stream_packed_bitparity(setup):
+    """Stream-packed MSV/SSV (dense [T,S] planes, reset-at-start,
+    latch-at-end) == the bucketed MSVExactMB scores bit-for-bit over
+    mixed-length random ORFs + hot ORFs, via the production
+    msv_scores flat/offs path."""
+    from bath_tpu.device_pipeline import DeviceCascade
+    from bath_tpu.gencode import extract_orfs
+
+    hmm, bg, om = setup
+    cascade = DeviceCascade(om)
+    rng = np.random.default_rng(23)
+    seq = "".join(l.strip() for l in open(f"{TUT}/target-AMP_N.fa")
+                  if not l.startswith(">"))
+    mp = {"A": 0, "C": 1, "G": 2, "T": 3}
+    hot = np.array([mp[c] for c in seq], np.int32)
+    gc = GeneticCode.create(1)
+    gc.set_initiator_any()
+    cases = [orf.dsq for orf in extract_orfs(gc, hot, minlen=20)]
+    for L in (20, 21, 37, 64, 65, 150, 192, 193, 500, 2500):
+        cases.append(rng.integers(0, 20, L).astype(np.int32))
+    for _ in range(300):   # enough mass for several streams
+        cases.append(rng.integers(
+            0, 20, int(rng.integers(20, 90))).astype(np.int32))
+    lens = np.array([len(c) for c in cases], np.int64)
+    flat = np.concatenate(cases).astype(np.int8)
+    offs = np.zeros(len(cases), np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+
+    a = cascade.msv_scores(None, lens, flat=flat, offs=offs)
+    import os
+    os.environ["BATH_MSV_STREAM"] = "0"
+    try:
+        b = cascade.msv_scores(None, lens, flat=flat, offs=offs)
+    finally:
+        del os.environ["BATH_MSV_STREAM"]
+    assert np.array_equal(np.asarray(a), np.asarray(b)), \
+        (np.nonzero(a != b), a[a != b], b[a != b])
