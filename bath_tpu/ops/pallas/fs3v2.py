@@ -205,9 +205,13 @@ def _fs3v2_kernel(c2_ref, c3_ref, c4_ref, lens_ref, pmove_ref,
 
     @pl.when(lb == 0)
     def _first_block():
-        # statically peeled: positions 1..12 with exact warm-up masks
+        # statically peeled: positions 1..12 with exact warm-up
+        # masks.  p stays a python int: Mosaic cannot lower a
+        # dynamic-start ref load inside a cond branch (pytree
+        # mismatch in _load_lowering_rule), and these positions are
+        # static anyway.
         for j in range(12):
-            position(j, jnp.int32(j), jnp.int32(j), static_pos=j + 1)
+            position(j, j, jnp.int32(j), static_pos=j + 1)
 
     def block(bi, _):
         base = bi * 12
