@@ -419,6 +419,80 @@ class DeviceCascade:
                                         wsc[:nv, r])))
         return caps
 
+    # -- ViterbiFilter_BATH window capture (F2 survivors) ------------
+    VITB_LS = (512, 2048, 16384)
+    VITB_B = 32
+
+    def vit_captures(self, seqs, lens, filterscs, F2):
+        """Batched device capture-event scan for p7_ViterbiFilter_
+        BATH over the few F2 survivors.  Returns {i: (rows, ks)} —
+        ascending 1-based crossing rows + striped-order k_start,
+        truncated at the int16-overflow row exactly as the
+        reference's eslERANGE return does; missing keys (over-bucket
+        items) fall back to the host scan (ref: impl_sse/vitfilter.c
+        :286)."""
+        import math as _math
+        import time as _time
+
+        import jax
+
+        from . import constants as C
+        from .ops.jaxk.filters_mb import VitBathMB
+        from .stats import gumbel_invsurv
+        if getattr(self, "_vitb", None) is None:
+            self._vitb = VitBathMB(self.om, self.vit)
+        om = self.om
+        lens = np.asarray(lens, np.int64)
+        invP = float(gumbel_invsurv(F2, om.evparam[C.EV_VMU],
+                                    om.evparam[C.EV_VLAMBDA]))
+        # sc_thresh per lane: xw[C][MOVE] is length-dependent, so it
+        # comes from the same wordified pmove cache the score kernel
+        # uses (exact vit_thresh_bath op order, f64)
+        cmove = self.vit.move_for(lens).astype(np.float64)
+        val = (np.asarray(filterscs, np.float64)
+               + C.CONST_LOG2 * invP + 3.0) * om.scale_w \
+            - float(self.vit.emove) - cmove + float(om.base_w)
+        thr = np.where(np.isfinite(val), np.ceil(val),
+                       -(1 << 30)).astype(np.int64)
+        if not _math.isfinite(invP):
+            thr[:] = -(1 << 30)
+        n = len(lens)
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            Lb = next((b for b in self.VITB_LS if b >= lens[i]), None)
+            if Lb is not None:
+                groups.setdefault(Lb, []).append(i)
+        t0 = _time.perf_counter()
+        mb = 0.0
+        plan = []
+        for Lb, idxs in groups.items():
+            for c0 in range(0, len(idxs), self.VITB_B):
+                chunk = idxs[c0:c0 + self.VITB_B]
+                B = 8 if len(chunk) <= 8 else self.VITB_B
+                batch = np.full((B, Lb), 28, np.int8)
+                blens = np.ones(B, np.int32)
+                bthr = np.full(B, 1 << 30, np.int32)
+                for r, i in enumerate(chunk):
+                    batch[r, :lens[i]] = np.asarray(seqs[i], np.int8)
+                    blens[r] = lens[i]
+                    bthr[r] = thr[i]
+                mb += batch.nbytes / 1e6
+                out = self._vitb.captures(self._put(batch),
+                                          self._put(blens), bthr)
+                plan.append((chunk, out))
+        caps = {}
+        if not plan:
+            return caps
+        fetched = jax.device_get([p[1] for p in plan])
+        for (chunk, _), (karr, ovfrow) in zip(plan, fetched):
+            for r, i in enumerate(chunk):
+                rows = np.nonzero(karr[:lens[i], r])[0]
+                if ovfrow[r] > 0:
+                    rows = rows[rows + 1 < ovfrow[r]]
+                caps[i] = (rows + 1, karr[rows, r])
+        _stat("vitcap", len(plan), mb, _time.perf_counter() - t0)
+        return caps
+
     # -- ViterbiFilter (F2): bias survivors --------------------------
     def vit_scores(self, seqs, lens) -> np.ndarray:
         """Bit-identical to ops.reference.filters.viterbi_filter's
@@ -713,6 +787,43 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
                                                       np.int64)) \
         if vit_lens else np.empty(0, F32)
 
+    # ViterbiFilter_BATH window capture for the F2 survivors among
+    # the scored lanes: batched device crossing-event scan; the host
+    # replays events (skip_until + O(window) diagonal extensions)
+    from . import constants as C
+    from . import stats
+    vcap_seqs: list = []
+    vcap_lens: list = []
+    vcap_flt: list = []
+    vcap_keys: list = []                 # (entry k, orf idx)
+    for k, (e, p) in enumerate(zip(chunk, plans)):
+        if p is None or p.vit_idx is None or not len(p.vit_idx) \
+                or p.filtersc is None:
+            continue
+        lo, hi = vit_cuts[k]
+        vsc = vsc_all[lo:hi]
+        fltv = p.filtersc[p.vit_idx]
+        seqv = (vsc - fltv) / C.CONST_LOG2
+        Pv = stats.gumbel_surv(seqv, om.evparam[C.EV_VMU],
+                               om.evparam[C.EV_VLAMBDA])
+        for r in np.nonzero(~(Pv > pli.F2))[0]:
+            i = int(p.vit_idx[r])
+            o = e.orfs[i]
+            vcap_seqs.append(o.dsq)
+            vcap_lens.append(o.n)
+            vcap_flt.append(float(fltv[r]))
+            vcap_keys.append((k, i))
+    vcaps_all = cascade.vit_captures(
+        vcap_seqs, np.asarray(vcap_lens, np.int64),
+        np.asarray(vcap_flt), pli.F2) if vcap_lens else {}
+    vcaps_by_entry: list[dict | None] = [None] * len(chunk)
+    for g, (k, i) in enumerate(vcap_keys):
+        if g in vcaps_all:
+            d = vcaps_by_entry[k]
+            if d is None:
+                d = vcaps_by_entry[k] = {}
+            d[i] = vcaps_all[g]
+
     # SSV_BATH window capture for bias survivors already under F2
     # (they skip Viterbi): batched device capture events; the host
     # keeps only the O(window) diagonal walks
@@ -753,7 +864,7 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
         e.cands, e.P_orf, e.fwdsc_arr, e.oxf_holder = pipeline_gates(
             pli, om, data, bg, e.window, e.orfs, hit_windows,
             e.seqid, e.complementarity, plan=p, vitsc=vitsc,
-            ssvcaps=ssvcaps)
+            ssvcaps=ssvcaps, vitcaps=vcaps_by_entry[k])
         e.win_end = len(hit_windows)
 
     # Phase 2: device Forward over every Vit survivor of the chunk,

@@ -298,6 +298,162 @@ class VitExactMB:
         return np.where(np.asarray(ovf), np.float32(np.inf), sc)
 
 
+@partial(jax.jit, static_argnames=("Mt", "M", "base", "emove",
+                                   "eloop"))
+def _vit_bath_mb_impl(dsq, lens, thresh, rwvT, tBM, tMM, tIM, tDM,
+                      tMD, tDD, tMI, tII, move_w, Mt, M, base, emove,
+                      eloop):
+    """Batched p7_ViterbiFilter_BATH capture scan (ref:
+    impl_sse/vitfilter.c :286).  Same int16 DP as _vit_mb_impl; per
+    row additionally emits k_start — the first model position in the
+    reference's striped scan order whose M cell equals xE — whenever
+    the lane's xE crosses its sc_thresh.  The skip_until suppression
+    and the O(window) forward diagonal extension are host replay work
+    on static tables (ops.reference.filters.vit_windows_from_
+    captures): the DP itself is never reset by a capture, so the
+    event stream is computable without host feedback.
+
+    Returns (karr [Lpad, B] i16 — k_start per crossing row, 0
+    otherwise; ovfrow [B] i32 — first row (1-based) whose xE
+    saturates int16, 0 if none.  The reference returns eslERANGE at
+    that row BEFORE its capture check, so the host replay keeps
+    exactly the events at rows < ovfrow)."""
+    B, L = dsq.shape
+    dsq = dsq.astype(jnp.int32)
+    BL = _MSV_BL
+    Kp = rwvT.shape[1]
+    NEG = -32768
+    Lpad = ((L + BL - 1) // BL) * BL
+    if Lpad != L:
+        dsq = jnp.pad(dsq, ((0, 0), (0, Lpad - L)),
+                      constant_values=Kp - 1)
+    cb = dsq.T.reshape(Lpad // BL, BL * B)
+
+    def sat(x):
+        return jnp.clip(x, -32768, 32767)
+
+    def shift(x):
+        return jnp.pad(x[:-1], ((1, 0), (0, 0)), constant_values=NEG)
+
+    nloop = jloop = cloop = 0
+    nmove = jmove = move_w
+
+    cvec = lambda v: v[:, None]
+    tBMc, tMMc, tIMc, tDMc = map(cvec, (tBM, tMM, tIM, tDM))
+    tMIc, tIIc = cvec(tMI), cvec(tII)
+    tMD_s = cvec(jnp.pad(tMD[:-1], (1, 0), constant_values=NEG))
+    add = jnp.broadcast_to(
+        cvec(jnp.pad(tDD[:-1], (1, 0), constant_values=NEG)),
+        (Mt, B))
+
+    def ddscan(part):
+        def combine(x, y):
+            a1, b1 = x
+            a2, b2 = y
+            return sat(a1 + a2), jnp.maximum(sat(b1 + a2), b2)
+
+        _, dd = jax.lax.associative_scan(combine, (add, part), axis=0)
+        return dd
+
+    # striped traversal order of the reference's k_start loop
+    # (q-major over Qw stripes of 8 int16 lanes): order(k) =
+    # ((k-1) % Qw)*8 + (k-1)//Qw; first match in this order wins
+    Qw = max(2, (M + 7) // 8)
+    BIGORD = 8 * Qw + 1
+    korder = np.full(Mt, BIGORD, np.int32)
+    for k in range(1, M + 1):
+        korder[k - 1] = ((k - 1) % Qw) * 8 + (k - 1) // Qw
+    korder = jnp.asarray(korder)[:, None]            # [Mt, 1]
+    kidx = jnp.asarray(np.arange(1, Mt + 1, dtype=np.int32))[:, None]
+    live = jnp.asarray(np.arange(Mt) < M)[:, None]
+
+    oneT = rwvT.astype(F32)
+
+    def block(carry, cblk):
+        dm, di, dd, xN, xJ, xC, xB, ovfrow, base_i = carry
+        oh = (cblk[None, :] == jnp.arange(Kp)[:, None]).astype(F32)
+        rE = jax.lax.dot_general(
+            oneT, oh, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=F32)
+        krows = []
+        for j in range(BL):
+            i = base_i + j
+            off = j * B
+            row = jax.lax.slice(rE, (0, off), (Mt, off + B)) \
+                .astype(I32)
+            mp, ip, dp = shift(dm), shift(di), shift(dd)
+            sv = sat(xB[None, :] + tBMc)
+            sv = jnp.maximum(sv, sat(mp + tMMc))
+            sv = jnp.maximum(sv, sat(ip + tIMc))
+            sv = jnp.maximum(sv, sat(dp + tDMc))
+            sv = sat(sv + row)
+            xE = sv.max(axis=0)
+            ovf2 = xE >= 32767
+            new_i = jnp.maximum(sat(dm + tMIc), sat(di + tIIc))
+            part = sat(shift(sv) + tMD_s)
+            new_d = ddscan(part)
+            xN2 = xN + nloop
+            xC2 = jnp.maximum(xC + cloop, xE + emove)
+            xJ2 = jnp.maximum(xJ + jloop, xE + eloop)
+            xB2 = sat(jnp.maximum(xJ2 + jmove, xN2 + nmove))
+            active = (i < lens)
+            # capture event: first M cell == xE in striped order
+            match = live & (sv == xE[None, :])
+            mord = jnp.min(jnp.where(match, korder, BIGORD), axis=0)
+            ksel = jnp.max(
+                jnp.where(match & (korder == mord[None, :]), kidx, 0),
+                axis=0)
+            crossed = active & (xE >= thresh) & ~ovf2
+            krows.append(jnp.where(crossed, ksel, 0)
+                         .astype(jnp.int16))
+            am = active[None, :]
+            dm = jnp.where(am, sv, dm)
+            di = jnp.where(am, new_i, di)
+            dd = jnp.where(am, new_d, dd)
+            xN = jnp.where(active, xN2, xN)
+            xJ = jnp.where(active, xJ2, xJ)
+            xC = jnp.where(active, xC2, xC)
+            xB = jnp.where(active, xB2, xB)
+            ovfrow = jnp.where(active & ovf2 & (ovfrow == 0),
+                               i + 1, ovfrow)
+        return (dm, di, dd, xN, xJ, xC, xB, ovfrow, base_i + BL), \
+            jnp.stack(krows)
+
+    neg = jnp.full((Mt, B), NEG, I32)
+    carry0 = (neg, neg, neg,
+              jnp.full(B, base, I32), jnp.full(B, NEG, I32),
+              jnp.full(B, NEG, I32), base + nmove,
+              jnp.zeros(B, I32), jnp.int32(0))
+    (_, _, _, _, _, _, _, ovfrow, _), karr = jax.lax.scan(
+        block, carry0, cb)
+    return karr.reshape(Lpad, B), ovfrow
+
+
+class VitBathMB:
+    """Batched device capture events for p7_ViterbiFilter_BATH: the
+    crossing-row scan runs on device over F2 survivors; the host
+    replays events in order (skip_until suppression + O(window)
+    diagonal extensions; ref: impl_sse/vitfilter.c :286)."""
+
+    def __init__(self, om, vit: "VitExactMB"):
+        self.om = om
+        self.v = vit
+
+    def captures(self, dsq_batch, lens, thresh):
+        """[B, Lmax] aminos + [B] lens + [B] int sc_thresh ->
+        (karr [Lpad, B] i16, ovfrow [B] i32) device arrays; events
+        at rows >= ovfrow (when ovfrow > 0) must be discarded."""
+        v = self.v
+        move_w = jnp.asarray(v.move_for(lens))
+        return _vit_bath_mb_impl(
+            jnp.asarray(dsq_batch),
+            jnp.asarray(lens, dtype=jnp.int32),
+            jnp.asarray(thresh, dtype=jnp.int32), v.rwvT, v.tBM,
+            v.tMM, v.tIM, v.tDM, v.tMD, v.tDD, v.tMI, v.tII, move_w,
+            v.Mt, self.om.M, v.base, v.emove, v.eloop)
+
+
 STREAM_SLOTS = 64   # max ORFs per packed stream (T // minlen bound)
 
 

@@ -77,7 +77,7 @@ def _fs3v2_kernel(c2_ref, c3_ref, c4_ref, lens_ref, pmove_ref,
     lb = pl.program_id(1)
 
     tBM = tBM_ref[:, 0:1]                     # [Mt, 1]
-    tMMs = tBM_ref[:, 1:2]
+    # col 1 (tMM_src) is consumed via the W3 diagonal fold
     tIMs = tBM_ref[:, 2:3]
     tMIs = tBM_ref[:, 3:4]
     tIIs = tBM_ref[:, 4:5]
@@ -175,7 +175,10 @@ def _fs3v2_kernel(c2_ref, c3_ref, c4_ref, lens_ref, pmove_ref,
         # ring writes; ENT folds the next read's diagonal transitions
         # and the D contribution at write time (one load + one roll on
         # the read side instead of three loads + three shifts)
-        ent[e0][:, :] = msv * tMMs + new_i * tIMs + new_d
+        # the M->M diagonal rides inside new_d (folded into W3's
+        # structurally-zero diagonal, see fs3_params_v2): one fma
+        # instead of dot + two big VPU ops per position
+        ent[e0][:, :] = new_i * tIMs + new_d
         mr[w4][:, :] = msv
         ir[w4][:, :] = new_i
         ivx[s2][:, :] = svu
@@ -244,8 +247,14 @@ def fs3_params_v2(om_fs):
     tv[:, 4] = np.asarray(p.tII)
     U = np.zeros((8, Mt), np.float32)
     U[0] = np.asarray(p.u)
+    # fold the M->M diagonal into the closure operator: UT's diagonal
+    # is structurally zero (D moves strictly right), so the ENT write
+    # becomes ONE MXU dot + one fma instead of dot + 2 VPU ops/pos.
+    # Cost: the dominant M->M path now rides the bf16-cast msv
+    # (measured drift at L=8184 stays far inside the ln(8) gate band)
+    W3 = np.asarray(p.UT, np.float32) + np.diag(tv[:, 1])
     return (p.T2.astype(BF16), p.T3.astype(BF16), p.T4.astype(BF16),
-            jnp.asarray(tv), jnp.asarray(np.asarray(p.UT)).astype(BF16),
+            jnp.asarray(tv), jnp.asarray(W3).astype(BF16),
             jnp.asarray(U), Mt, p.M)
 
 

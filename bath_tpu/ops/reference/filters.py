@@ -278,6 +278,76 @@ def ssv_windows_from_captures(dsq, om, data, caps, windows,
 # ---------------------------------------------------------------------
 # Viterbi filter
 # ---------------------------------------------------------------------
+def vit_thresh_bath(om, filtersc: float, P: float) -> tuple[int, int]:
+    """(sc_thresh, sc_ext_thresh) of p7_ViterbiFilter_BATH (ref:
+    vitfilter.c :286) — the int16-space capture threshold (Viterbi
+    Gumbel) and the SSV-space extension start (MSV Gumbel); -2^30
+    for P=1 (--max: capture everything).  sc_ext_thresh depends on
+    om.tjb_b, so om must be reconfigured to the ORF length."""
+    invP = float(gumbel_invsurv(P, om.evparam[C.EV_VMU],
+                                om.evparam[C.EV_VLAMBDA]))
+    val = (filtersc + C.CONST_LOG2 * invP + 3.0) * om.scale_w \
+        - float(om.xw[C.X_E, C.MOVE]) - float(om.xw[C.X_C, C.MOVE]) \
+        + float(om.base_w)
+    sc_thresh = int(math.ceil(val)) if math.isfinite(val) \
+        else -(1 << 30)
+    invP = float(gumbel_invsurv(P, om.evparam[C.EV_MMU],
+                                om.evparam[C.EV_MLAMBDA]))
+    val = (filtersc + C.CONST_LOG2 * invP + 3.0) * om.scale_b \
+        + om.base_b + om.tec_b + om.tjb_b
+    sc_ext_thresh = int(math.ceil(val)) if math.isfinite(val) \
+        else -(1 << 30)
+    return sc_thresh, sc_ext_thresh
+
+
+def _vit_ext_walk(dsq, om, data, i, k_start, sc_ext_thresh, L):
+    """Forward diagonal extension of one ViterbiFilter_BATH capture
+    event in SSV score space from (i, k_start): extend M->M until the
+    score stops improving for 5 steps (ref: vitfilter.c :286 capture
+    tail).  Shared by the scalar scan above and the batched device
+    event kernel (ops.jaxk.filters_mb._vit_bath_mb_impl).  Returns
+    (max_k_end, max_i_end)."""
+    M, Kp = om.M, om.Kp
+    max_k_end, max_i_end = k_start, i
+    sc_ext = sc_ext_thresh
+    max_sc_ext, pos_since_max = sc_ext, 0
+    kk, nn = k_start + 1, i + 1
+    while kk <= M and nn <= L:
+        sc_ext += om.bias_b - int(
+            data.ssv_scores[kk * Kp + dsq[nn - 1]])
+        if sc_ext >= max_sc_ext:
+            max_sc_ext, max_k_end, max_i_end = sc_ext, kk, nn
+            pos_since_max = 0
+        else:
+            pos_since_max += 1
+            if pos_since_max == 5:
+                break
+        kk += 1
+        nn += 1
+    return max_k_end, max_i_end
+
+
+def vit_windows_from_captures(dsq, om, data, rows, ks, windows,
+                              sc_ext_thresh) -> None:
+    """Replay device ViterbiFilter_BATH capture events into Windows:
+    <rows>/<ks> are the ascending crossing rows (1-based) and their
+    striped-order k_start from _vit_bath_mb_impl.  Events at
+    i <= skip_until are suppressed exactly as the reference's scan
+    does; each survivor pays one O(window) diagonal extension."""
+    L = len(dsq)
+    skip_until = 0
+    for i, k_start in zip(rows, ks):
+        i, k_start = int(i), int(k_start)
+        if i <= skip_until:
+            continue
+        max_k_end, max_i_end = _vit_ext_walk(
+            dsq, om, data, i, k_start, sc_ext_thresh, L)
+        windows.append(Window(id=0, n=i, k=max_k_end,
+                              length=max_k_end - k_start + 1,
+                              score=0.0,
+                              complementarity=C.NOCOMPLEMENT,
+                              target_len=L))
+        skip_until = max_i_end
 def viterbi_filter(dsq: np.ndarray, om: OProfile, data: ScoreData | None = None,
                    filtersc: float = 0.0, P: float = 0.0,
                    windows: list[Window] | None = None) -> float:
@@ -300,20 +370,7 @@ def viterbi_filter(dsq: np.ndarray, om: OProfile, data: ScoreData | None = None,
 
     capture = windows is not None
     if capture:
-        invP = float(gumbel_invsurv(P, om.evparam[C.EV_VMU],
-                                    om.evparam[C.EV_VLAMBDA]))
-        val = (filtersc + C.CONST_LOG2 * invP + 3.0) * om.scale_w \
-            - float(xw[C.X_E, C.MOVE]) - float(xw[C.X_C, C.MOVE]) \
-            + float(om.base_w)
-        # P=1 (--max) makes the threshold -inf: capture everything
-        sc_thresh = int(math.ceil(val)) if math.isfinite(val) \
-            else -(1 << 30)
-        invP = float(gumbel_invsurv(P, om.evparam[C.EV_MMU],
-                                    om.evparam[C.EV_MLAMBDA]))
-        val = (filtersc + C.CONST_LOG2 * invP + 3.0) * om.scale_b \
-            + om.base_b + om.tec_b + om.tjb_b
-        sc_ext_thresh = int(math.ceil(val)) if math.isfinite(val) \
-            else -(1 << 30)
+        sc_thresh, sc_ext_thresh = vit_thresh_bath(om, filtersc, P)
         from ...native import vit_filter_bath_native
         res = vit_filter_bath_native(dsq, om, data, sc_thresh,
                                      sc_ext_thresh)
@@ -388,21 +445,8 @@ def viterbi_filter(dsq: np.ndarray, om: OProfile, data: ScoreData | None = None,
                         break
                 if k_start:
                     break
-            max_k_end, max_i_end = k_start, i
-            sc_ext = sc_ext_thresh
-            max_sc_ext, pos_since_max = sc_ext, 0
-            kk, nn = k_start + 1, i + 1
-            while kk <= M and nn <= L:
-                sc_ext += om.bias_b - int(data.ssv_scores[kk * Kp + dsq[nn - 1]])
-                if sc_ext >= max_sc_ext:
-                    max_sc_ext, max_k_end, max_i_end = sc_ext, kk, nn
-                    pos_since_max = 0
-                else:
-                    pos_since_max += 1
-                    if pos_since_max == 5:
-                        break
-                kk += 1
-                nn += 1
+            max_k_end, max_i_end = _vit_ext_walk(
+                dsq, om, data, i, k_start, sc_ext_thresh, L)
             windows.append(Window(id=0, n=i, k=max_k_end,
                                   length=max_k_end - k_start + 1,
                                   score=0.0,

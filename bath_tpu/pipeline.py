@@ -358,7 +358,7 @@ def pipeline_gates(pli: Pipeline, om: OProfile, data: ScoreData,
                    hit_windows: list[Window], seqidx: int,
                    complementarity: int, usc_pre=None,
                    plan: GatePlan | None = None, vitsc=None,
-                   ssvcaps=None):
+                   ssvcaps=None, vitcaps=None):
     """Phase 1 of the pipeline: MSV -> bias -> Viterbi gates plus
     window capture and local-compo rescue.  Returns (candidates for
     the Forward stage, P_orf, fwdsc_arr, oxf_holder) — the last three
@@ -490,8 +490,21 @@ def pipeline_gates(pli: Pipeline, om: OProfile, data: ScoreData,
                     om.evparam[C.EV_VLAMBDA]))
                 if Pn > pli.F2:
                     continue
-            vfsc = viterbi_filter(orfsq.dsq, om, data, filtersc, pli.F2,
-                                  hit_windows)
+            if vitcaps is not None and idx in vitcaps \
+                    and nv is not None:
+                # device crossing events: only the O(window)
+                # replay walks run on host; the gate score is the
+                # bit-identical device int16 score
+                from .ops.reference.filters import (
+                    vit_thresh_bath, vit_windows_from_captures)
+                rows, ks = vitcaps[idx]
+                _, sc_ext = vit_thresh_bath(om, filtersc, pli.F2)
+                vit_windows_from_captures(orfsq.dsq, om, data, rows,
+                                          ks, hit_windows, sc_ext)
+                vfsc = float(nv)
+            else:
+                vfsc = viterbi_filter(orfsq.dsq, om, data, filtersc,
+                                      pli.F2, hit_windows)
             seqsc = (vfsc - filtersc) / C.CONST_LOG2
             P = float(stats.gumbel_surv(seqsc, om.evparam[C.EV_VMU],
                                         om.evparam[C.EV_VLAMBDA]))

@@ -76,6 +76,29 @@ def test_gate_band_overdrive_changes_decisions():
     assert got != want
 
 
+def test_vit_capture_device_byte_identical():
+    """--F2 2e-4 forces AMP_N's L=27 ORF through the
+    ViterbiFilter_BATH capture branch (bias-P 2.2e-4 > F2 >= vit-P
+    1.9e-4, both measured in-pipeline): the device crossing-event scan + host replay must leave
+    output bytes identical to the numpy backend, and the vitcap
+    device stage must actually have fired (ref: impl_sse/vitfilter.c
+    :286)."""
+    extra = ["--F2", "2e-4"]
+    want = run_search("numpy", extra)
+    env = dict(os.environ, BATH_JAX_PLATFORM="cpu",
+               BATH_DEVICE_STATS="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+         "--backend", "jax", *extra,
+         f"{TUT}/AMP_N.bhmm", f"{TUT}/target-AMP_N.fa"],
+        capture_output=True, text=True, timeout=900,
+        cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
+    assert got == want
+    assert "device-stats vitcap: calls=" in r.stderr, r.stderr[-800:]
+
+
 def test_fs3_v2_kernel_selection_byte_identical():
     """BATH_FS3_KERNEL=v2 routes the fs3 gate through the Pallas v2
     kernel (interpret mode on cpu); output bytes must equal the numpy

@@ -516,6 +516,98 @@ def test_ssv_bath_capture_device_parity(setup):
         cases[r], om, data, caps, [])
 
 
+def test_vit_bath_capture_device_parity(setup):
+    """Device ViterbiFilter_BATH crossing events + host replay ==
+    the scalar window-capture scan, window-for-window (n, k, length)
+    on hot ORFs and random aminos; skip_until suppression happens in
+    the replay, so the windows (not just the events) must agree
+    (ref: impl_sse/vitfilter.c :286)."""
+    from bath_tpu.gencode import extract_orfs
+    from bath_tpu.ops.jaxk.filters_mb import VitBathMB, VitExactMB
+    from bath_tpu.ops.reference import filters as flt
+    from bath_tpu.scoredata import score_data_create
+    import bath_tpu.native as nat
+
+    hmm, bg, om = setup
+    data = score_data_create(om)
+    vit = VitExactMB(om)
+    vitb = VitBathMB(om, vit)
+    rng = np.random.default_rng(23)
+    seq = "".join(l.strip() for l in open(f"{TUT}/target-AMP_N.fa")
+                  if not l.startswith(">"))
+    mp = {"A": 0, "C": 1, "G": 2, "T": 3}
+    hot = np.array([mp[c] for c in seq], np.int32)
+    gc = GeneticCode.create(1)
+    gc.set_initiator_any()
+    cases = [orf.dsq for orf in extract_orfs(gc, hot, minlen=20)]
+    cases.append(rng.integers(0, 20, 200).astype(np.int32))
+    P = 0.02
+    Lmax = max(len(d) for d in cases)
+    B = len(cases)
+    batch = np.full((B, Lmax), 28, np.int8)
+    lens = np.zeros(B, np.int32)
+    thr = np.zeros(B, np.int32)
+    exts = np.zeros(B, np.int64)
+    nulls = np.zeros(B)
+    for r, d in enumerate(cases):
+        batch[r, :len(d)] = d
+        lens[r] = len(d)
+        om.reconfig_length(len(d))
+        bg.set_length(len(d))
+        nulls[r] = bg.null_one(len(d))
+        thr[r], exts[r] = flt.vit_thresh_bath(om, nulls[r], P)
+    karr, ovfrow = (np.asarray(x) for x in
+                    vitb.captures(batch, lens, thr))
+    # the hot full-length ORF saturates int16 mid-scan: the replay
+    # must keep exactly the events before the overflow row, as the
+    # reference keeps windows appended before its eslERANGE return
+    assert (ovfrow > 0).any()
+    for r, d in enumerate(cases):
+        om.reconfig_length(len(d))
+        w1: list = []
+        orig = nat.vit_filter_bath_native
+        nat.vit_filter_bath_native = lambda *a: None
+        try:
+            sc1 = flt.viterbi_filter(d, om, data, nulls[r], P, w1)
+        finally:
+            nat.vit_filter_bath_native = orig
+        rows = np.nonzero(karr[:len(d), r])[0]
+        if ovfrow[r] > 0:
+            assert sc1 == float("inf")
+            rows = rows[rows + 1 < ovfrow[r]]
+        w2: list = []
+        flt.vit_windows_from_captures(
+            d, om, data, rows + 1, karr[rows, r], w2, int(exts[r]))
+        a = [(w.n, w.k, w.length) for w in w1]
+        b = [(w.n, w.k, w.length) for w in w2]
+        assert a == b, (r, a, b)
+    # P=1: threshold -2^30, every row is an event; replay still
+    # reproduces the scalar scan because skip_until suppresses in
+    # the same order (no slot limit in the dense event array)
+    thr1 = np.full(B, -(1 << 30), np.int32)
+    karr1, ovfrow1 = (np.asarray(x) for x in
+                      vitb.captures(batch, lens, thr1))
+    for r in (int(np.argmax(lens)), len(cases) - 1):
+        d = cases[r]
+        om.reconfig_length(len(d))
+        _, ext1 = flt.vit_thresh_bath(om, nulls[r], 1.0)
+        w1 = []
+        orig = nat.vit_filter_bath_native
+        nat.vit_filter_bath_native = lambda *a: None
+        try:
+            flt.viterbi_filter(d, om, data, nulls[r], 1.0, w1)
+        finally:
+            nat.vit_filter_bath_native = orig
+        rows = np.nonzero(karr1[:len(d), r])[0]
+        if ovfrow1[r] > 0:
+            rows = rows[rows + 1 < ovfrow1[r]]
+        w2 = []
+        flt.vit_windows_from_captures(
+            d, om, data, rows + 1, karr1[rows, r], w2, int(ext1))
+        assert [(w.n, w.k, w.length) for w in w1] \
+            == [(w.n, w.k, w.length) for w in w2], r
+
+
 def test_msv_stream_packed_bitparity(setup):
     """Stream-packed MSV/SSV (dense [T,S] planes, reset-at-start,
     latch-at-end) == the bucketed MSVExactMB scores bit-for-bit over
