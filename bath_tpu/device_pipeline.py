@@ -726,11 +726,26 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
     from .pipeline import (pipeline_fwd_stage, pipeline_gate_plan,
                            pipeline_gates)
 
-    # Phase 1a: device MSV over every ORF of the chunk, then the
+    # Phase 1a: MSV (F1) over every ORF of the chunk, then the
     # vectorized F1 + bias plan per entry.
+    #
+    # Engine choice (BATH_MSV_DEVICE, default auto): the u8 max-plus
+    # MSV/SSV DP is the one cascade stage the host wins — AVX-512
+    # native runs it at 54-79 GC/s on 4 cores, while the TPU VPU
+    # (i32 lanes, no 8-bit packing) tops out ~35-70 GCUPS-effective
+    # and pays tunnel latency; the device's edge is the f32
+    # Forward/fs3/decoding stages (48 vs 0.69 GCUPS host).  Auto
+    # therefore keeps MSV on the host native batch when it is
+    # available and sends everything downstream to the device;
+    # BATH_MSV_DEVICE=1 forces the device MSV (bit-identical either
+    # way, proven by the backend byte-parity tests).
     sizes = [len(e.orfs) if e.orfs is not None else 0 for e in chunk]
     skip = [e.orfs is None or len(e.orfs) == 0 or e.window.n < 15
             for e in chunk]
+    msv_dev = os.environ.get("BATH_MSV_DEVICE", "auto")
+    if msv_dev == "auto":
+        from .native import get_lib
+        msv_dev = "0" if get_lib() is not None else "1"
     # one concatenated int8 residue stream for the whole chunk: the
     # MSV packer gathers rows vectorized instead of a per-ORF loop
     flats: list = []
@@ -753,21 +768,25 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
                 all_offs.append(base)
                 all_lens.append(o.n)
                 base += len(f)
-    if all_lens:
+    if all_lens and msv_dev != "0":
         flat_all = (flats[0] if len(flats) == 1
                     else np.concatenate(flats))
         usc_all = cascade.msv_scores(
             None, np.asarray(all_lens, np.int64), flat=flat_all,
             offs=np.asarray(all_offs, np.int64))
     else:
-        usc_all = np.empty(0, F32)
+        # hybrid cascade: usc_pre=None makes pipeline_gate_plan run
+        # the per-window native OpenMP MSV batch (bit-identical)
+        usc_all = None if msv_dev == "0" else np.empty(0, F32)
     pos = 0
     plans = [None] * len(chunk)
     for k, (e, sz, sk) in enumerate(zip(chunk, sizes, skip)):
         if sk:
             continue
-        plans[k] = pipeline_gate_plan(pli, om, bg, e.window, e.orfs,
-                                      usc_pre=usc_all[pos:pos + sz])
+        plans[k] = pipeline_gate_plan(
+            pli, om, bg, e.window, e.orfs,
+            usc_pre=None if usc_all is None
+            else usc_all[pos:pos + sz])
         pos += sz
 
     # Phase 1b: device ViterbiFilter over every bias survivor of the

@@ -99,6 +99,30 @@ def test_vit_capture_device_byte_identical():
     assert "device-stats vitcap: calls=" in r.stderr, r.stderr[-800:]
 
 
+def test_msv_hybrid_cascade_byte_identical():
+    """The production default (BATH_MSV_DEVICE=auto -> host-native
+    MSV gate + device downstream stages) is byte-identical to the
+    numpy backend, and the device MSV stages really are bypassed.
+    The hybrid split is the measured optimum on this hardware: the
+    u8 max-plus MSV DP runs at 54-79 GC/s on the host's AVX-512 vs
+    ~35-70 GCUPS-effective on the TPU VPU, while the f32 gates go
+    the other way (48 vs 0.69 GCUPS)."""
+    want = run_search("numpy")
+    env = dict(os.environ, BATH_JAX_PLATFORM="cpu",
+               BATH_MSV_DEVICE="0", BATH_DEVICE_STATS="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+         "--backend", "jax",
+         f"{TUT}/AMP_N.bhmm", f"{TUT}/target-AMP_N.fa"],
+        capture_output=True, text=True, timeout=900,
+        cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
+    assert got == want
+    assert "device-stats msv" not in r.stderr
+    assert "device-stats vit: calls=" in r.stderr, r.stderr[-800:]
+
+
 def test_fs3_v2_kernel_selection_byte_identical():
     """BATH_FS3_KERNEL=v2 routes the fs3 gate through the Pallas v2
     kernel (interpret mode on cpu); output bytes must equal the numpy
