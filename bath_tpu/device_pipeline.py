@@ -359,9 +359,11 @@ class DeviceCascade:
         return sc_out
 
     # -- SSV_BATH window capture (bias survivors under F2) -----------
-    # small survivor batches: domdec-style fixed buckets
+    # survivor batches: per-call dispatch latency (~0.1-1s tunneled)
+    # prices this stage, so chunk wide; B rounds down the (8, 128,
+    # 1024) ladder for small batches
     SSVB_LS = (128, 512, 2048)
-    SSVB_B = 128
+    SSVB_B = 1024
 
     def ssv_captures(self, seqs, lens, nulls, F1):
         """Batched device capture events for p7_SSVFilter_BATH.
@@ -397,7 +399,8 @@ class DeviceCascade:
         for Lb, idxs in groups.items():
             for c0 in range(0, len(idxs), self.SSVB_B):
                 chunk = idxs[c0:c0 + self.SSVB_B]
-                B = 8 if len(chunk) <= 8 else self.SSVB_B
+                B = next(b for b in (8, 128, self.SSVB_B)
+                         if len(chunk) <= b)
                 batch = np.full((B, Lb), 28, np.int8)
                 blens = np.ones(B, np.int32)
                 bthr = np.full(B, 1 << 30, np.int32)
@@ -421,7 +424,7 @@ class DeviceCascade:
 
     # -- ViterbiFilter_BATH window capture (F2 survivors) ------------
     VITB_LS = (512, 2048, 16384)
-    VITB_B = 32
+    VITB_B = 128
 
     def vit_captures(self, seqs, lens, filterscs, F2):
         """Batched device capture-event scan for p7_ViterbiFilter_
@@ -468,7 +471,8 @@ class DeviceCascade:
         for Lb, idxs in groups.items():
             for c0 in range(0, len(idxs), self.VITB_B):
                 chunk = idxs[c0:c0 + self.VITB_B]
-                B = 8 if len(chunk) <= 8 else self.VITB_B
+                B = next(b for b in (8, 32, self.VITB_B)
+                         if len(chunk) <= b)
                 batch = np.full((B, Lb), 28, np.int8)
                 blens = np.ones(B, np.int32)
                 bthr = np.full(B, 1 << 30, np.int32)
@@ -743,9 +747,20 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
     skip = [e.orfs is None or len(e.orfs) == 0 or e.window.n < 15
             for e in chunk]
     msv_dev = os.environ.get("BATH_MSV_DEVICE", "auto")
-    if msv_dev == "auto":
+    vit_dev = os.environ.get("BATH_VIT_DEVICE", "auto")
+    if "auto" in (msv_dev, vit_dev):
         from .native import get_lib
-        msv_dev = "0" if get_lib() is not None else "1"
+        have_native = get_lib() is not None
+        if msv_dev == "auto":
+            msv_dev = "0" if have_native else "1"
+        # ViterbiFilter is the same story as MSV (int16 max-plus on
+        # AVX-512 beats the VPU's i32 lanes; measured: device vit at
+        # M=409 dominates the 70s device-blocked wall of a 100MB
+        # standard drive the host finishes in 10s) — host native
+        # when available, device otherwise; BATH_VIT_DEVICE=1
+        # forces the device scores + capture path (tests pin it)
+        if vit_dev == "auto":
+            vit_dev = "0" if have_native else "1"
     # one concatenated int8 residue stream for the whole chunk: the
     # MSV packer gathers rows vectorized instead of a per-ORF loop
     flats: list = []
@@ -791,12 +806,16 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
 
     # Phase 1b: device ViterbiFilter over every bias survivor of the
     # chunk, then the host gates (capture + compo rescue) per entry.
+    # (vit_dev == "0": vitsc=None routes pipeline_gates to the native
+    # OpenMP score batch + native capture — the numpy backend's own
+    # path, byte-identical.)
     vit_seqs: list = []
     vit_lens: list = []
     vit_cuts = []
     for k, (e, p) in enumerate(zip(chunk, plans)):
         lo = len(vit_seqs)
-        if p is not None and p.vit_idx is not None:
+        if vit_dev != "0" and p is not None \
+                and p.vit_idx is not None:
             for i in p.vit_idx:
                 o = e.orfs[int(i)]
                 vit_seqs.append(o.dsq)
@@ -816,8 +835,8 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
     vcap_flt: list = []
     vcap_keys: list = []                 # (entry k, orf idx)
     for k, (e, p) in enumerate(zip(chunk, plans)):
-        if p is None or p.vit_idx is None or not len(p.vit_idx) \
-                or p.filtersc is None:
+        if vit_dev == "0" or p is None or p.vit_idx is None \
+                or not len(p.vit_idx) or p.filtersc is None:
             continue
         lo, hi = vit_cuts[k]
         vsc = vsc_all[lo:hi]
@@ -852,16 +871,21 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
     ssv_cuts = []
     for k, (e, p) in enumerate(zip(chunk, plans)):
         lo = len(ssv_seqs)
-        if p is not None and p.ssv_idx is not None:
+        if msv_dev != "0" and p is not None \
+                and p.ssv_idx is not None:
             for i in p.ssv_idx:
                 o = e.orfs[int(i)]
                 ssv_seqs.append(o.dsq)
                 ssv_lens.append(o.n)
                 ssv_nulls.append(float(p.null[int(i)]))
         ssv_cuts.append((lo, len(ssv_seqs)))
+    # (msv_dev == "0": SSV capture stays with its filter family on
+    # the host — ssvcaps=None routes pipeline_gates to the native
+    # scalar capture, the numpy backend's own path)
     caps_all = cascade.ssv_captures(
         ssv_seqs, np.asarray(ssv_lens, np.int64),
-        np.asarray(ssv_nulls), pli.F1) if ssv_lens else {}
+        np.asarray(ssv_nulls), pli.F1) \
+        if ssv_lens and msv_dev != "0" else {}
 
     for k, (e, p, sk) in enumerate(zip(chunk, plans, skip)):
         from .tophits import TopHits
@@ -871,7 +895,7 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
             e.win_start = e.win_end = len(hit_windows)
             continue
         lo, hi = vit_cuts[k]
-        vitsc = vsc_all[lo:hi] if p is not None \
+        vitsc = vsc_all[lo:hi] if vit_dev != "0" and p is not None \
             and p.vit_idx is not None else None
         slo, _shi = ssv_cuts[k]
         ssvcaps = None

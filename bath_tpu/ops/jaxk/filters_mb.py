@@ -282,13 +282,14 @@ class VitExactMB:
         return out
 
     def ints(self, dsq_batch, lens):
-        move_w = jnp.asarray(self.move_for(lens))
+        # host arrays straight into the jitted call: per-array
+        # jnp.asarray costs a synchronous ~110ms device_put each on
+        # tunneled backends (see SSVBathMB.captures)
         return _vit_mb_impl(
-            jnp.asarray(dsq_batch),
-            jnp.asarray(lens, dtype=jnp.int32), self.rwvT, self.tBM,
-            self.tMM, self.tIM, self.tDM, self.tMD, self.tDD,
-            self.tMI, self.tII, move_w, self.Mt, self.base,
-            self.emove, self.eloop)
+            dsq_batch, np.asarray(lens, np.int32), self.rwvT,
+            self.tBM, self.tMM, self.tIM, self.tDM, self.tMD,
+            self.tDD, self.tMI, self.tII, self.move_for(lens),
+            self.Mt, self.base, self.emove, self.eloop)
 
     def scores(self, dsq_batch, lens) -> np.ndarray:
         ints, has, ovf = self.ints(dsq_batch, lens)
@@ -444,14 +445,16 @@ class VitBathMB:
         """[B, Lmax] aminos + [B] lens + [B] int sc_thresh ->
         (karr [Lpad, B] i16, ovfrow [B] i32) device arrays; events
         at rows >= ovfrow (when ovfrow > 0) must be discarded."""
+        # host arrays go straight into the jitted call (see
+        # SSVBathMB.captures: per-array jnp.asarray = one ~110ms
+        # synchronous device_put each on tunneled backends)
         v = self.v
-        move_w = jnp.asarray(v.move_for(lens))
         return _vit_bath_mb_impl(
-            jnp.asarray(dsq_batch),
-            jnp.asarray(lens, dtype=jnp.int32),
-            jnp.asarray(thresh, dtype=jnp.int32), v.rwvT, v.tBM,
-            v.tMM, v.tIM, v.tDM, v.tMD, v.tDD, v.tMI, v.tII, move_w,
-            v.Mt, self.om.M, v.base, v.emove, v.eloop)
+            dsq_batch, np.asarray(lens, np.int32),
+            np.asarray(thresh, np.int32), v.rwvT, v.tBM,
+            v.tMM, v.tIM, v.tDM, v.tMD, v.tDD, v.tMI, v.tII,
+            v.move_for(lens), v.Mt, self.om.M, v.base, v.emove,
+            v.eloop)
 
 
 STREAM_SLOTS = 64   # max ORFs per packed stream (T // minlen bound)
@@ -712,12 +715,14 @@ class SSVBathMB:
 
     def captures(self, dsq_batch, lens, thresh):
         """[B, Lmax] aminos + [B] lens + [B] int thresholds ->
-        (nwin, wi, wk, wsc) device arrays."""
-        tjb = jnp.asarray(self.m.tjb_for(lens))
+        (nwin, wi, wk, wsc) device arrays.  Host arrays go straight
+        into the jitted call: one batched transfer per dispatch —
+        explicit per-array jnp.asarray costs a ~110ms synchronous
+        device_put EACH on tunneled backends (profiled: 10.7s of a
+        20s drive)."""
         return _ssv_bath_mb_impl(
-            jnp.asarray(dsq_batch),
-            jnp.asarray(lens, dtype=jnp.int32), tjb,
-            jnp.asarray(thresh, dtype=jnp.int32),
+            dsq_batch, np.asarray(lens, np.int32),
+            self.m.tjb_for(lens), np.asarray(thresh, np.int32),
             self.m.rbvT, self.m.Mt, self.om.M, self.m.base,
             self.m.tbm, self.m.bias)
 
@@ -761,13 +766,14 @@ class MSVExactMB:
         return out
 
     def ints(self, dsq_batch, lens):
-        """Device part only: returns (out_int, out_inf) jnp arrays."""
-        tjb = jnp.asarray(self.tjb_for(lens))
+        """Device part only: returns (out_int, out_inf) jnp arrays.
+        Host arrays go straight into the jitted call (per-array
+        jnp.asarray = one synchronous ~110ms device_put each on
+        tunneled backends, see SSVBathMB.captures)."""
         return _ssv_msv_mb_impl(
-            jnp.asarray(dsq_batch),
-            jnp.asarray(lens, dtype=jnp.int32), tjb,
-            self.sbvT, self.rbvT, self.Mt, self.base,
-            self.tec, self.tbm, self.bias)
+            dsq_batch, np.asarray(lens, np.int32),
+            self.tjb_for(lens), self.sbvT, self.rbvT, self.Mt,
+            self.base, self.tec, self.tbm, self.bias)
 
     def scores(self, dsq_batch: np.ndarray, lens: np.ndarray
                ) -> np.ndarray:

@@ -21,12 +21,14 @@ try:
 except Exception:
     pass
 
-# pin the DEVICE MSV engine in the jax-backend e2e tests: the
-# production default is the hybrid cascade (host-native MSV, device
-# downstream — see device_pipeline.flush_chunk), which would leave
-# the device MSV/stream kernels unexercised end-to-end; the hybrid
-# path has its own explicit test (test_device_pipeline.py)
+# pin the DEVICE MSV/Vit engines in the jax-backend e2e tests: the
+# production default is the hybrid cascade (host-native u8/int16
+# filters, device f32 stages — see device_pipeline.flush_chunk),
+# which would leave the device MSV/stream/Vit/vitcap kernels
+# unexercised end-to-end; the hybrid path has its own explicit test
+# (test_device_pipeline.py)
 os.environ.setdefault("BATH_MSV_DEVICE", "1")
+os.environ.setdefault("BATH_VIT_DEVICE", "1")
 
 import pytest  # noqa: E402
 

@@ -109,7 +109,8 @@ def test_msv_hybrid_cascade_byte_identical():
     the other way (48 vs 0.69 GCUPS)."""
     want = run_search("numpy")
     env = dict(os.environ, BATH_JAX_PLATFORM="cpu",
-               BATH_MSV_DEVICE="0", BATH_DEVICE_STATS="1")
+               BATH_MSV_DEVICE="0", BATH_VIT_DEVICE="0",
+               BATH_DEVICE_STATS="1")
     r = subprocess.run(
         [sys.executable, "-m", "bath_tpu.cli.bathsearch",
          "--backend", "jax",
@@ -120,7 +121,8 @@ def test_msv_hybrid_cascade_byte_identical():
     got = re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout)
     assert got == want
     assert "device-stats msv" not in r.stderr
-    assert "device-stats vit: calls=" in r.stderr, r.stderr[-800:]
+    assert "device-stats vit" not in r.stderr
+    assert "device-stats fwd: calls=" in r.stderr, r.stderr[-800:]
 
 
 def test_fs3_v2_kernel_selection_byte_identical():
