@@ -67,7 +67,11 @@ def _tpu_alive(timeout_s=120.0):
 
 
 def _drive(name, args, fa, nres_factor=2, hmm=None, backend="numpy",
-           expect_s=1200):
+           expect_s=1200, runs=1):
+    """--runs N (jax): repeat the drive N times and report every
+    wall plus the best — ambient tunnel throughput swings +-35%
+    across minutes (round-3 measured), so a single wall confounds
+    the pipeline with tunnel weather."""
     env = dict(os.environ)
     if backend == "numpy":
         # the numpy backend never touches jax; drop the axon pool env
@@ -78,33 +82,38 @@ def _drive(name, args, fa, nres_factor=2, hmm=None, backend="numpy",
     cmd = [sys.executable, "-m", "bath_tpu.cli.bathsearch",
            "--backend", backend, *args,
            "-o", "/dev/null", hmm or f"{TUT}/AMP_N.bhmm", fa]
-    for attempt in range(3):
-        if backend == "jax":
-            while not _tpu_alive():
-                print(f"# {name}: TPU tunnel unresponsive, waiting",
-                      file=sys.stderr, flush=True)
-                time.sleep(30)
-        t0 = time.perf_counter()
-        try:
-            r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=expect_s, cwd=ROOT, env=env)
-        except subprocess.TimeoutExpired:
-            # stalled tunnel, not slow work: a healthy drive shows
-            # steady CPU; retry on a fresh process/tunnel connection
-            print(f"# {name} ({backend}): timed out at {expect_s}s "
-                  f"(attempt {attempt + 1}), retrying",
-                  file=sys.stderr, flush=True)
-            continue
-        break
-    else:
-        print(json.dumps({"drive": name, "backend": backend,
-                          "error": f"timeout x3 ({expect_s}s)"}),
-              flush=True)
-        return
-    dt = time.perf_counter() - t0
-    assert r.returncode == 0, r.stderr[-2000:]
-    dev_s = sum(float(m) for m in re.findall(
-        r"wall_s=([0-9.]+)", r.stderr))
+    walls, dev_ss = [], []
+    for run_i in range(max(1, runs)):
+        for attempt in range(3):
+            if backend == "jax":
+                while not _tpu_alive():
+                    print(f"# {name}: TPU tunnel unresponsive, "
+                          "waiting", file=sys.stderr, flush=True)
+                    time.sleep(30)
+            t0 = time.perf_counter()
+            try:
+                r = subprocess.run(cmd, capture_output=True,
+                                   text=True, timeout=expect_s,
+                                   cwd=ROOT, env=env)
+            except subprocess.TimeoutExpired:
+                # stalled tunnel, not slow work: a healthy drive
+                # shows steady CPU; retry on a fresh process
+                print(f"# {name} ({backend}): timed out at "
+                      f"{expect_s}s (attempt {attempt + 1}), "
+                      "retrying", file=sys.stderr, flush=True)
+                continue
+            break
+        else:
+            print(json.dumps({"drive": name, "backend": backend,
+                              "error": f"timeout x3 ({expect_s}s)"}),
+                  flush=True)
+            return
+        walls.append(time.perf_counter() - t0)
+        assert r.returncode == 0, r.stderr[-2000:]
+        dev_ss.append(sum(float(m) for m in re.findall(
+            r"wall_s=([0-9.]+)", r.stderr)))
+    best = min(range(len(walls)), key=lambda i: walls[i])
+    dt, dev_s = walls[best], dev_ss[best]
     nres = os.path.getsize(fa) * nres_factor  # ~both strands
     mb = os.path.getsize(fa) / 1e6
     M = next(int(ln.split()[1]) for ln in
@@ -115,6 +124,8 @@ def _drive(name, args, fa, nres_factor=2, hmm=None, backend="numpy",
            "Mc_per_sec": round(nres * M / dt / 1e6, 1)}
     if backend == "jax":
         rec["device_blocked_s"] = round(dev_s, 1)
+    if len(walls) > 1:
+        rec["walls_s"] = [round(w, 2) for w in walls]
     print(json.dumps(rec), flush=True)
 
 
@@ -146,14 +157,18 @@ def main():
         end = txt.index("//\n") + 3
         with open(met1, "w") as f:
             f.write(txt[:end])
+    runs = 1
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
     for b in backends:
-        _drive("standard-random", [], big, backend=b)
-        _drive("fs-random", ["--fs"], big, backend=b)
-        _drive("fs-hit-rich", ["--fs"], mix, backend=b)
+        rr = runs if b == "jax" else 1
+        _drive("standard-random", [], big, backend=b, runs=rr)
+        _drive("fs-random", ["--fs"], big, backend=b, runs=rr)
+        _drive("fs-hit-rich", ["--fs"], mix, backend=b, runs=rr)
         _drive("standard-M409", [], big, backend=b, hmm=met1,
-               expect_s=2400)
+               expect_s=2400, runs=rr)
         _drive("fs-M409", ["--fs"], big, backend=b, hmm=met1,
-               expect_s=3600)
+               expect_s=3600, runs=rr)
     if "numpy" in backends:
         _drive("fs-hit-rich-cpu4", ["--fs", "--cpu", "4"], mix)
         # multi-exon gene drive: the testsuite's tmem-258 splice
