@@ -200,7 +200,7 @@ def dd_closure_operator(tDD: np.ndarray, M: int) -> np.ndarray:
     U = np.zeros((M + 1, M + 1), np.float32)
     for j in range(M + 1):
         with np.errstate(over="ignore"):
-            v = np.exp(np.minimum(cum[M + 1] - cum[j + 1], 0.0)) if False                 else np.exp(np.minimum(cum[j + 1:M + 2] - cum[j + 1], 0.0))
+            v = np.exp(np.minimum(cum[j + 1:M + 2] - cum[j + 1], 0.0))
         U[j, j:] = np.where(np.isfinite(v), v, 0.0)
     _FAST_DD_CACHE[key] = U
     return U

@@ -32,6 +32,29 @@ def test_bathbuild_matches_golden(tmp_path):
                - golden.evparam[C.EV_FTAUFS3]) < 0.7
 
 
+def test_bathbuild_three_seqs_matches_golden(tmp_path):
+    """Single-sequence builder vs the committed tutorial golden:
+    `bathbuild three_seqs.bhmm three_seqs.fa` (tutorial.md practice 4)
+    must reproduce tutorial/three_seqs.bhmm — emissions, transitions
+    and max_length exactly, calibration within simulation precision,
+    for all three single-seq models (ref: seqmodel.c:48
+    p7_SingleBuilder)."""
+    out = tmp_path / "three_seqs.bhmm"
+    rc = bathbuild.main([str(out), f"{TUT}/three_seqs.fa",
+                         "-o", str(tmp_path / "log.txt")])
+    assert rc == 0
+    ours = read_hmms(str(out))
+    golden = read_hmms(f"{TUT}/three_seqs.bhmm")
+    assert [h.name for h in ours] == [h.name for h in golden]
+    for o, g in zip(ours, golden):
+        assert o.M == g.M and o.max_length == g.max_length
+        assert np.abs(o.mat[1:] - g.mat[1:]).max() < 1e-6
+        assert np.abs(o.t[1:] - g.t[1:]).max() < 1e-6
+        assert abs(o.evparam[C.EV_MMU] - g.evparam[C.EV_MMU]) < 0.5
+        assert abs(o.evparam[C.EV_FTAUFS3]
+                   - g.evparam[C.EV_FTAUFS3]) < 0.7
+
+
 def test_bathbuild_multi_msa(tmp_path):
     out = tmp_path / "minifam.bhmm"
     rc = bathbuild.main([str(out), f"{TS}/minifam",

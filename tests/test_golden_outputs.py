@@ -145,15 +145,17 @@ def test_pth2_tbl_cigar(tmp_path):
 
 @pytest.mark.slow
 def test_amp_n_frameline(tmp_path):
+    """Full-file byte parity vs tutorial/AMP_N-frameline.out.  The
+    normalizer is applied to the GOLDEN side only: the committed file
+    predates the reference's removal of the env-from/env-to domain
+    columns, and our frameline hit lines carry two bracket blocks
+    (hmm + ali), which the env-stripping regex would over-strip."""
     ours = run_bathsearch(
         ["--fs", "--frameline", f"{TUT}/AMP_N.bhmm",
          f"{TUT}/target-AMP_N.fa"], tmp_path, "frameline.out")
     a = strip_volatile(ours, True)
-    b = golden("AMP_N-frameline.out")
-    # alignment block must match byte-for-byte
-    amine = a[a.index("Alignment:"):a.index("Internal")]
-    bmine = b[b.index("Alignment:"):b.index("Internal")]
-    assert amine == bmine
+    b = normalize_domains_header(golden("AMP_N-frameline.out"))
+    assert a == b
 
 
 @pytest.mark.slow
@@ -168,6 +170,65 @@ def test_pthr37536_nonsplice(tmp_path):
     want = open(os.path.join(os.path.dirname(__file__), "data",
                              "PTHR37536-nonsplice.golden.out")).read()
     assert strip_volatile(ours, True) == strip_volatile(want, True)
+
+
+def test_met_plain_default_code(tmp_path):
+    """tutorial/MET.out closure.  The committed MET.out is a 6-line
+    truncated header from an older reference version: it records
+    `--ct 4` with plain MET.bhmm (which the current reference rejects
+    at bathsearch.c:759 — codon-table mismatch) and a
+    '# frameshift probability' header line no current source prints.
+    What IS reproducible: (a) the header lines the current format
+    shares with the golden must match byte-for-byte in label text and
+    column width; (b) the full plain-MET.bhmm default-code run,
+    pinned against our verified snapshot (byte-identical across the
+    numpy and jax backends, checked when pinned)."""
+    out = tmp_path / "met_plain.out"
+    env = dict(os.environ, BATH_BACKEND="numpy")
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+         "-o", str(out), f"{TUT}/MET.bhmm", f"{TUT}/target-MET.fa"],
+        capture_output=True, text=True, timeout=1200,
+        cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    text = out.read_text()
+    # (a) shared header lines: same labels, value at column 49
+    def value_col(line, label):
+        val = line[len(label):]
+        return len(label) + (len(val) - len(val.lstrip()))
+    for label in ("# query HMM file:", "# target sequence database:",
+                  "# codon translation table:"):
+        ln_gold = next(l for l in open(f"{TUT}/MET.out")
+                       if l.startswith(label))
+        ln_ours = next(l for l in text.splitlines()
+                       if l.startswith(label))
+        assert value_col(ln_gold, label) == 49 \
+            == value_col(ln_ours, label), (ln_gold, ln_ours)
+    # (b) full-file byte parity vs the pinned snapshot
+    want = open(os.path.join(os.path.dirname(__file__), "data",
+                             "MET-plain.golden.out")).read()
+    assert strip_volatile(text, True) == strip_volatile(want, True)
+
+
+def test_target_gida_smoke(tmp_path):
+    """tutorial/target-gidA.fa fixture smoke (the tutorial never
+    references it in a command): clean full-pipeline run with correct
+    residue accounting, no hits expected for the unrelated
+    three_seqs models."""
+    out = tmp_path / "gida.out"
+    env = dict(os.environ, BATH_BACKEND="numpy")
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+         "-o", str(out), f"{TUT}/three_seqs.bhmm",
+         f"{TUT}/target-gidA.fa"],
+        capture_output=True, text=True, timeout=1200,
+        cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    text = out.read_text()
+    assert text.count("//") == 3 and text.rstrip().endswith("[ok]")
+    nres = sum(len(l.strip()) for l in
+               open(f"{TUT}/target-gidA.fa") if not l.startswith(">"))
+    assert f"({2 * nres} residues searched)" in text
 
 
 def test_amp_n_fs_tbl_cigar(tmp_path):
