@@ -203,6 +203,101 @@ def test_multihost_device_cascade_byte_identical(tmp_path):
     assert norm(tmp_path / "mhj_0.out") == norm(single)
 
 
+def _run_bathsearch(out, extra, env, timeout=900):
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+         "-o", str(out), *extra],
+        capture_output=True, text=True, timeout=timeout,
+        cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def _norm(path):
+    import re
+    return re.sub(r"# (CPU time|Mc/sec):.*", "", open(path).read())
+
+
+def test_mesh_fs_byte_identical(tmp_path):
+    """--fs under --mesh 8: the frameshift cascade (fs3 gate + fused
+    fs domain decoding) sharded over an 8-device mesh must produce
+    output byte-identical to the single-device jax cascade and the
+    numpy backend, on a multi-window target whose embeds include
+    clean, frameshifted, reverse-strand, and window-boundary-spanning
+    hits (the reference's determinism contract covers --fs:
+    /root/reference/testsuite/i2-search-variation.sh)."""
+    import os
+    target = "/root/repo/tests/data/mesh_target_fs.fa"
+    hmm = "/root/reference/tutorial/AMP_N.bhmm"
+    env = dict(os.environ, BATH_JAX_PLATFORM="cpu")
+    outs = {}
+    for name, extra in (("numpy", ["--backend", "numpy"]),
+                        ("jax1", ["--backend", "jax"]),
+                        ("jax8", ["--backend", "jax", "--mesh", "8"])):
+        out = tmp_path / f"{name}.out"
+        _run_bathsearch(out, [*extra, "--fs", "--block_length",
+                              "20000", hmm, target], env)
+        outs[name] = _norm(out)
+    assert "shifts" in outs["numpy"]      # fs hits actually present
+    assert outs["jax8"] == outs["jax1"] == outs["numpy"]
+
+
+def test_mesh_splice_byte_identical(tmp_path):
+    """--splice under --mesh 8 (device gate cascade sharded, splice
+    graph post-pass on host) must be byte-identical to the numpy
+    backend on the tutorial splice fixture (exon hits + SSI
+    subsequence fetches)."""
+    import os
+    target = "/root/reference/tutorial/target-PTHR37536.fa"
+    hmm = "/root/reference/tutorial/PTHR37536.bhmm"
+    env = dict(os.environ, BATH_JAX_PLATFORM="cpu")
+    outs = {}
+    for name, extra in (("numpy", ["--backend", "numpy"]),
+                        ("jax8", ["--backend", "jax", "--mesh", "8"])):
+        out = tmp_path / f"{name}.out"
+        _run_bathsearch(out, [*extra, "--splice", hmm, target], env)
+        outs[name] = _norm(out)
+    assert "exon" in outs["numpy"].lower()
+    assert outs["jax8"] == outs["numpy"]
+
+
+def test_multihost_fs_byte_identical(tmp_path):
+    """--fs with --hosts 2 (jax.distributed SPMD, windows sharded
+    across ranks, fs hits all-gathered) is byte-identical to the
+    single-process numpy run on the fs-hit-bearing multi-window
+    target."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    target = "/root/repo/tests/data/mesh_target_fs.fa"
+    hmm = "/root/reference/tutorial/AMP_N.bhmm"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BATH_BACKEND="numpy")
+    single = tmp_path / "single.out"
+    _run_bathsearch(single, ["--fs", "--block_length", "20000",
+                             hmm, target], env)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for i in range(2):
+        out = tmp_path / f"mhfs_{i}.out"
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+             "--fs", "--block_length", "20000",
+             "--hosts", "2", "--host-id", str(i),
+             "--coordinator", f"localhost:{port}",
+             "-o", str(out), hmm, target],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd="/root/repo", env=env))
+    for p in procs:
+        _, err = p.communicate(timeout=900)
+        assert p.returncode == 0, err[-2000:].decode()
+    assert "shifts" in _norm(single)
+    assert _norm(tmp_path / "mhfs_0.out") == _norm(single)
+
+
 def test_multihost_byte_identical(tmp_path):
     """bathsearch --hosts N (jax.distributed SPMD over N processes,
     windows sharded tid %% N, hits/stats all-gathered and merged in
