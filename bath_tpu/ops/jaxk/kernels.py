@@ -154,6 +154,23 @@ def _onehot_rows(idx, table):
     return jnp.dot(oh, table, preferred_element_type=jnp.float32)
 
 
+def _gdot(W, x, ng: int):
+    """Closure-operator product, optionally grouped for lane-packed
+    multi-model batches (ops/jaxk/multimodel.py): ng == 1 applies the
+    dense [Mt, Mt] operator; ng > 1 treats the lane axis as ng
+    per-model blocks of Mt/ng lanes and applies W [ng, Mg, Mg] as a
+    batched matmul — block-diagonal semantics at linear (not
+    quadratic) cost in the packed lane count."""
+    if ng == 1:
+        return jnp.dot(W, x, preferred_element_type=F32)
+    GM, B = x.shape
+    Mg = GM // ng
+    xr = x.reshape(ng, Mg, B)
+    out = jax.lax.dot_general(W, xr, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=F32)
+    return out.reshape(GM, B)
+
+
 # ---------------------------------------------------------------------
 # Batched Forward score (the F3 gate; ref: fwdback.c forward_engine)
 # ---------------------------------------------------------------------
@@ -356,9 +373,9 @@ def fwd_mb_params(om: OProfile, sub_multiple: int = 8) -> FwdMBParams:
 _FWD_BL = 12
 
 
-@partial(jax.jit, static_argnames=("Mt", "nj"))
+@partial(jax.jit, static_argnames=("Mt", "nj", "ng"))
 def _fwd_mb_impl(dsq, lens, rfvT, tBM, tMM, tIM, tMI, tII, W3, u,
-                 nj, Mt):
+                 nj, Mt, ng=1):
     """Forward scores with per-item length models, [model, batch].
     Rows are stored unscaled; a single pending scalar [B] (last
     step's 1/s) is folded in on read (ref rescaling discipline:
@@ -397,7 +414,7 @@ def _fwd_mb_impl(dsq, lens, rfvT, tBM, tMM, tIM, tMI, tII, W3, u,
             sv = (xB[None, :] * tBMc
                   + (mp * tMMc + ip * tIMc + d3) * pend[None, :]) * E
             new_i = (m * tMIc + i_row * tIIc) * pend[None, :]
-            new_d3 = jnp.dot(W3, sv, preferred_element_type=F32)
+            new_d3 = _gdot(W3, sv, ng)
             xE = jnp.dot(uc, sv, preferred_element_type=F32)[0]
             xN2 = xN * ploop
             xC2 = xC * ploop + xE * emove
@@ -620,9 +637,10 @@ _FS3_BL = 12
 _ABLATE = "full"
 
 
-@partial(jax.jit, static_argnames=("Mt", "nj", "emit"))
+@partial(jax.jit, static_argnames=("Mt", "nj", "emit", "ng"))
 def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
-                    tMI, tII, nj, Mt, UT=None, u=None, emit=False):
+                    tMI, tII, nj, Mt, UT=None, u=None, emit=False,
+                    ng=1, goff=None):
     """Frameshift 3-codon Forward parser, batched.
 
     TPU structure (all DP state in [model, batch] layout — model
@@ -679,6 +697,13 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
     c2 = jnp.where(dg2, 16, xd * 4 + xm1)
     c3 = jnp.where(dg3, 64, xd * 16 + xm1 * 4 + xm2)
     c4 = jnp.where(dg4, 256, xd * 64 + xm1 * 16 + xm2 * 4 + xm3)
+    if goff is not None:
+        # lane-packed multi-model batch: each column's codon indices
+        # land in its own model's table block (multimodel.py)
+        g = goff.astype(jnp.int32)[:, None]
+        c2 = c2 + g * 17
+        c3 = c3 + g * 65
+        c4 = c4 + g * 257
     # block rows: column index = j*B + b
     c2b = c2.T.reshape(Lpad // BL, BL * B)
     c3b = c3.T.reshape(Lpad // BL, BL * B)
@@ -762,7 +787,7 @@ def _fs3_score_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
             else:
                 # W = closure^T with tMD, the k-1 shift, and the
                 # next slot's D->M read multiplier pre-folded
-                new_d = jnp.dot(UT, msv, preferred_element_type=F32)
+                new_d = _gdot(UT, msv, ng)
                 # xE = msv.sum + (unfolded new_d).sum as one weighted
                 # reduction, on the MXU (VPU is the bottleneck)
                 xE = jnp.dot(uc[:, 0][None, :], msv,
@@ -948,9 +973,9 @@ _DD_BL = 8
 _DD_UNDERFLOW_LOG = -85.0
 
 
-@partial(jax.jit, static_argnames=("Mt", "nj"))
+@partial(jax.jit, static_argnames=("Mt", "nj", "ng"))
 def _domdec_mb_impl(dsq, lens, rfvT, tBM, tMM, tIM, tMI, tII, W3, u,
-                    tIM_n, tMM_n, tDM_n, vMD, UB, mask, nj, Mt):
+                    tIM_n, tMM_n, tDM_n, vMD, UB, mask, nj, Mt, ng=1):
     """Returns (btot, etot, mocc, ok): [B, Lpad+1] x3 posteriors in
     the p7_DomainDecoding convention and a per-item validity flag
     (False -> caller must use the host kernels)."""
@@ -994,7 +1019,7 @@ def _domdec_mb_impl(dsq, lens, rfvT, tBM, tMM, tIM, tMI, tII, W3, u,
             ip = _shift_down(i_row)
             sv = (xB[None, :] * tBMc + (mp * tMMc + ip * tIMc + d3)) * E
             new_i = m * tMIc + i_row * tIIc
-            new_d3 = jnp.dot(W3, sv, preferred_element_type=F32)
+            new_d3 = _gdot(W3, sv, ng)
             xE = jnp.dot(uc, sv, preferred_element_type=F32)[0]
             xN2 = xN * ploop
             xC2 = xC * ploop + xE * emove
@@ -1080,7 +1105,7 @@ def _domdec_mb_impl(dsq, lens, rfvT, tBM, tMM, tIM, tMI, tII, W3, u,
             xNn = xBn * pmove + xNb * ploop
             xEn = xCn * emove + xJn * eloop
             nd_pre = (ms1 * tDMnc + xEn[None, :]) * maskc
-            new_d = jnp.dot(UB, nd_pre, preferred_element_type=F32)
+            new_d = _gdot(UB, nd_pre, ng)
             new_m = (nm + xEn[None, :]) * maskc \
                 + jnp.pad((new_d * vMDc)[1:], ((0, 1), (0, 0)))
             # sparse rescale: guard overflow AND suffix underflow
@@ -1100,8 +1125,8 @@ def _domdec_mb_impl(dsq, lens, rfvT, tBM, tMM, tIM, tMI, tII, W3, u,
     # mc = dc = xE then suffix DD closure + M->D read
     xC_L = pmove.astype(F32)
     xE_L = xC_L * emove
-    d0 = jnp.dot(UB, jnp.broadcast_to(xE_L[None, :], (Mt, B)) * maskc,
-                 preferred_element_type=F32)
+    d0 = _gdot(UB, jnp.broadcast_to(xE_L[None, :], (Mt, B)) * maskc,
+               ng)
     m0 = jnp.broadcast_to(xE_L[None, :], (Mt, B)) * maskc \
         + jnp.pad((d0 * vMDc)[1:], ((0, 1), (0, 0)))
     bcarry0 = (m0, jnp.zeros((Mt, B), F32), d0, zb, zb, xC_L, xE_L,
@@ -1195,10 +1220,10 @@ def fs3_domdec_params(om_fs, sub_multiple: int = 8) -> FS3DomDecParams:
         UB=jnp.asarray(UB), mask=jnp.asarray(mask))
 
 
-@partial(jax.jit, static_argnames=("Mt", "nj"))
+@partial(jax.jit, static_argnames=("Mt", "nj", "ng"))
 def _fs3_domdec_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
                      tMI, tII, UT, u, tIM_n, tMM_n, tDM_n, vMD, UB,
-                     mask, dec_loop, nj, Mt):
+                     mask, dec_loop, nj, Mt, ng=1, goff=None):
     """Returns (btot, etot, mocc, ok): [B, Lpad+1] posteriors in the
     p7_DomainDecoding_Frameshift convention + per-item validity.
 
@@ -1223,7 +1248,7 @@ def _fs3_domdec_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
     # ---- forward pass: the gate scan with specials emission -------
     logZ, frows, lsf_fin = _fs3_score_impl(
         dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs, tMI, tII,
-        nj, Mt, UT, u, emit=True)
+        nj, Mt, UT, u, emit=True, ng=ng, goff=goff)
     # [Lpad+1, B] per channel, row index = host row (0..Lpad)
     row0 = (pmove.astype(F32), jnp.ones(B, F32), jnp.zeros(B, F32),
             jnp.zeros(B, F32), jnp.zeros(B, F32), jnp.zeros(B, F32))
@@ -1242,6 +1267,11 @@ def _fs3_domdec_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
     c2 = jnp.where(dg2, 16, xd * 4 + xm1).T              # [Lpad, B]
     c3 = jnp.where(dg3, 64, xd * 16 + xm1 * 4 + xm2).T
     c4 = jnp.where(dg4, 256, xd * 64 + xm1 * 16 + xm2 * 4 + xm3).T
+    if goff is not None:
+        g = goff.astype(jnp.int32)[None, :]
+        c2 = c2 + g * 17
+        c3 = c3 + g * 65
+        c4 = c4 + g * 257
     ar = jnp.arange(Lpad, dtype=jnp.int32)
     # backward step q (0-based) computes row i = lens - q; the codon
     # of length c contributing to ivxb(i) ends at j = i + c, i.e.
@@ -1306,7 +1336,7 @@ def _fs3_domdec_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tDM, tMDs,
             new_i = tIMnc * iv1 + tIIc * bI3
             nm = tMMnc * iv1 + tMIc * bI3
             pre_d = (tDMnc * iv1 + xEn[None, :]) * maskc
-            new_d = jnp.dot(UB, pre_d, preferred_element_type=F32)
+            new_d = _gdot(UB, pre_d, ng)
             new_m = (nm + xEn[None, :]) * maskc \
                 + jnp.pad((new_d * vMDc)[1:], ((0, 1), (0, 0)))
             # q = lens + 1 is the host parser's i = 0
