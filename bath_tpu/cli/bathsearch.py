@@ -396,8 +396,55 @@ def run(argv=None) -> int:
 
     output_header(ofp, args)
 
+    # Multi-query device drive (Pfam-scale): one pass over the target,
+    # device gate batches packed across models (bath_tpu/multiquery.py).
+    # Byte-identical to the serial per-query loop; engaged for the jax
+    # backend when several HMMs share one query file and no mode that
+    # needs the per-query stream (splice post-pass, forked workers,
+    # multi-host sharding) is active.  BATH_MULTIQUERY=0 forces the
+    # serial loop.
+    if (args.backend == "jax" and nprocs <= 1 and not args.splice
+            and max(0, int(args.cpu or 0)) <= 1
+            and os.environ.get("BATH_MULTIQUERY", "1") != "0"):
+        hmms = []
+        for hmm in load_queries(args.queryfile, args):
+            if args.fs or args.fsonly:
+                if not (hmm.fsprob and hmm.ct):
+                    raise SystemExit(
+                        f"HMM file {args.queryfile} not formatted for "
+                        "frameshift search; run bathconvert first.")
+            else:
+                hmm.fs = False
+                hmm.fsprob = 0.0
+            if hmm.ct and hmm.ct != args.ct:
+                raise SystemExit(
+                    f"--ct {args.ct} does not match HMM codon table "
+                    f"{hmm.ct}")
+            if hmm.max_length == -1:
+                hmm.set_max_length()
+            hmms.append(hmm)
+        if len(hmms) > 1:
+            from ..multiquery import run_multiquery
+            run_multiquery(args, hmms, gcode, require_init, ofp,
+                           tblfp, fstblfp)
+            from ..tophits import tabular_tail
+            cmdline = "bathsearch " + " ".join(
+                argv if argv is not None else sys.argv[1:])
+            for fp in (tblfp, fstblfp, extblfp):
+                if fp:
+                    fp.write(tabular_tail("bathsearch", args.queryfile,
+                                          args.dbfile, cmdline))
+                    fp.close()
+            ofp.write("[ok]\n")
+            if ofp is not sys.stdout:
+                ofp.close()
+            return 0
+        queries_iter = iter(hmms)
+    else:
+        queries_iter = load_queries(args.queryfile, args)
+
     nquery = 0
-    for hmm in load_queries(args.queryfile, args):
+    for hmm in queries_iter:
         nquery += 1
         t0 = time.time()
         if args.fs or args.fsonly:

@@ -1,0 +1,581 @@
+"""Multi-query (Pfam-scale) drive: one pass over the target, device
+gate batches packed ACROSS models.
+
+The reference re-enters its serial per-query loop for every HMM in
+the query file (ref: /root/reference/src/bathsearch.c:737-988),
+re-reading and re-translating the whole target each time and running
+each model's filter cascade in isolation.  At a few hundred models
+per query file that leaves every model with a handful of gate
+survivors per target chunk — far too few to amortize device calls on
+their own.  The TPU-native restructure:
+
+* the target window stream, digitization, and ORF extraction run
+  ONCE and are shared by every query (ORF lists are query-independent:
+  they depend only on the genetic code and minlen);
+* the host filter family (MSV/bias/Viterbi — the reference's 8/16-bit
+  SIMD tier, here the native AVX-512 batch) runs per query over the
+  shared ORFs, exactly as the numpy backend does;
+* every f32 device stage (Forward F3/F4 gate, fused domain decoding,
+  fs3-Forward gate, fused fs domain decoding) batches its survivors
+  across ALL queries with the model id as a batch coordinate — the
+  lane-packed multi-model kernels of ops/jaxk/multimodel.py;
+* output is buffered per query and written in query order, so bytes
+  match the serial per-query loop (asserted by
+  tests/test_multiquery.py against the numpy backend).
+
+Window-boundary note: the serial loop reads windows with per-query
+overlap (om->max_length*3, bathsearch.c:1099); the shared stream uses
+the maximum over the query set.  A larger overlap only widens window
+context; duplicate hits from overlap regions are removed by the same
+RemoveDuplicates discipline either way (SURVEY.md section 5
+long-context), and the byte-parity tests pin equality on mixed-M
+query sets.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import time
+
+import numpy as np
+
+from . import constants as C
+from . import stats
+from .bg import Background
+from .gencode import extract_orfs
+from .oprofile import oprofile_convert
+from .pipeline import (DEVICE_GATE_BAND, Pipeline, pipeline_fwd_stage,
+                       pipeline_gate_plan, pipeline_gates,
+                       statistics_text)
+from .profile import profile_config, profile_config_fs
+from .scoredata import score_data_create
+from .sequence import read_windows
+from .tophits import IS_INCLUDED, IS_REPORTED, TopHits
+
+F32 = np.float32
+
+# packed-call geometry: (per-model lane block Mg, models per call G)
+# per size class, plus the column ladders.  One compiled executable
+# per (kernel, class, B) — keep the set tiny (compiles are
+# minutes-slow on tunneled backends, amortized via the persistent
+# cache).
+_CLASSES = ((256, 8), (512, 4))          # (Mg, G) — fwd/domdec
+_CLASSES_FS = ((256, 4), (512, 2))       # fs3 carries 15 rings: fewer lanes
+_FWD_L = 512
+_FWD_B = (128, 1024)
+_DD_L = 512
+_DD_B = (128, 512)
+_FS3_L = 4096
+_FS3_B = (32, 256)
+_FS3DD_L = 4096
+_FS3DD_B = (8, 64)
+
+
+class QState:
+    """Per-query pipeline state for the multi-query drive."""
+
+    def __init__(self, hmm, args, gcode, qi):
+        self.hmm = hmm
+        self.qi = qi
+        self.bg = Background()
+        self.gm = profile_config(hmm, self.bg, L=100, mode=C.P7_LOCAL)
+        self.om = oprofile_convert(self.gm)
+        self.gm_fs5 = profile_config_fs(hmm, self.bg, gcode, 5, 100,
+                                        C.P7_LOCAL)
+        self.gm_fs3 = profile_config_fs(hmm, self.bg, gcode, 3, 100,
+                                        C.P7_LOCAL)
+        self.om_fs3 = self.om_fs5 = None
+        if args.fs or args.fsonly:
+            from .ops.reference.fwdback_fs import fs_oprofile_convert
+            self.om_fs3 = fs_oprofile_convert(self.gm_fs3)
+            self.om_fs5 = fs_oprofile_convert(self.gm_fs5)
+        self.data = score_data_create(self.om)
+        from .cli.bathsearch import make_pipeline
+        self.pli = make_pipeline(args)
+        self.pli.nmodels = 1
+        self.pli.nnodes = hmm.M
+        self.pli.W = self.om.max_length
+        if self.pli.do_biasfilter:
+            self.bg.set_filter(self.om.M, self.om.compo)
+        self.th = TopHits()
+        self.hit_windows: list = []
+        # device-side component dicts, built lazily (multimodel.py)
+        self.comps: dict = {}
+        # packed domain-decoding caches, reset per flush
+        self.dd_cache: dict = {}
+        self.fsdd_cache: dict = {}
+
+    def size_class(self, classes):
+        for ci, (Mg, _G) in enumerate(classes):
+            if self.hmm.M <= Mg - 1:
+                return ci
+        return None
+
+
+class PackedGates:
+    """Fixed multi-model packs + batched device calls.
+
+    Queries are assigned to packs per size class in arrival order;
+    pack parameters are packed once and stay device-resident, so a
+    flush costs only its batch transfers + one fetch per stage."""
+
+    def __init__(self, queries: list[QState]):
+        self.queries = queries
+        from .device_pipeline import _enable_compile_cache
+        _enable_compile_cache()
+        # pack membership per (kind-class-geometry)
+        self._slots: dict = {}      # (family, qi) -> (class, pack, slot)
+        self._packs: dict = {}      # (kind, class, pack) -> pack obj
+        self._assign("std", _CLASSES,
+                     lambda q: q.size_class(_CLASSES))
+        self._assign("fs", _CLASSES_FS,
+                     lambda q: q.size_class(_CLASSES_FS)
+                     if q.om_fs3 is not None else None)
+
+    def _assign(self, family, classes, class_of):
+        counts = [0] * len(classes)
+        for q in self.queries:
+            ci = class_of(q)
+            if ci is None:
+                continue
+            G = classes[ci][1]
+            pos = counts[ci]
+            counts[ci] += 1
+            self._slots[(family, q.qi)] = (ci, pos // G, pos % G)
+
+    def _pack_members(self, family, classes, ci, pk):
+        G = classes[ci][1]
+        out = [None] * G
+        for q in self.queries:
+            s = self._slots.get((family, q.qi))
+            if s and s[0] == ci and s[1] == pk:
+                out[s[2]] = q
+        return out
+
+    def _get_pack(self, kind, family, classes, ci, pk, build, comp):
+        key = (kind, ci, pk)
+        p = self._packs.get(key)
+        if p is None:
+            members = self._pack_members(family, classes, ci, pk)
+            comps = []
+            for q in members:
+                if q is None:
+                    break
+                if kind not in q.comps:
+                    q.comps[kind] = comp(q)
+                comps.append(q.comps[kind])
+            Mg, G = classes[ci]
+            p = build(comps, G, Mg)
+            self._packs[key] = p
+        return p
+
+    # ---- generic packed-batch runner ------------------------------
+    def _run(self, items, family, classes, kind, build, comp, call,
+             Lb, Bladder, pad_value, out_rows):
+        """items: [(qs, dsq np int8, length)] -> aligned result list
+        (None = caller must use its host/single-model fallback)."""
+        import jax
+        n = len(items)
+        out = [None] * n
+        groups: dict = {}
+        for i, (qs, dsq, ln) in enumerate(items):
+            s = self._slots.get((family, qs.qi))
+            if s is None or ln > Lb:
+                continue
+            groups.setdefault((s[0], s[1]), []).append(i)
+        if not groups:
+            return out
+        plan = []
+        for (ci, pk), idxs in groups.items():
+            pack = self._get_pack(kind, family, classes, ci, pk,
+                                  build, comp)
+            Bmax = Bladder[-1]
+            for c0 in range(0, len(idxs), Bmax):
+                chunk = idxs[c0:c0 + Bmax]
+                B = next(b for b in Bladder if len(chunk) <= b)
+                batch = np.full((B, Lb), pad_value, np.int8)
+                lens = np.ones(B, np.int32)
+                slot = np.zeros(B, np.int32)
+                for r, i in enumerate(chunk):
+                    qs, dsq, ln = items[i]
+                    batch[r, :ln] = np.asarray(dsq[:ln], np.int8)
+                    lens[r] = ln
+                    slot[r] = self._slots[(family, qs.qi)][2]
+                plan.append((chunk, call(pack, batch, lens, slot)))
+        fetched = jax.device_get([p[1] for p in plan])
+        for (chunk, _), res in zip(plan, fetched):
+            for r, i in enumerate(chunk):
+                if out_rows == 1:
+                    out[i] = float(res[r])
+                else:
+                    out[i] = tuple(a[r] for a in res)
+        return out
+
+    def fwd_scores(self, items):
+        from .ops.jaxk import multimodel as mm
+        return self._run(
+            items, "std", _CLASSES, "fwd", mm.build_fwd_pack,
+            lambda q: mm.fwd_components(q.om),
+            lambda p, b, l, s: mm.fwd_pack_scores(p, b, l, s, nj=1.0),
+            _FWD_L, _FWD_B, 28, 1)
+
+    def domdec(self, items):
+        from .ops.jaxk import multimodel as mm
+        return self._run(
+            items, "std", _CLASSES, "domdec", mm.build_domdec_pack,
+            lambda q: mm.domdec_components(q.om),
+            lambda p, b, l, s: mm.domdec_pack_batch(p, b, l, s,
+                                                   nj=1.0),
+            _DD_L, _DD_B, 28, 4)
+
+    def fs3_scores(self, items):
+        from .ops.jaxk import multimodel as mm
+        return self._run(
+            items, "fs", _CLASSES_FS, "fs3", mm.build_fs3_pack,
+            lambda q: mm.fs3_components(q.om_fs3),
+            lambda p, b, l, s: mm.fs3_pack_scores(p, b, l, s, nj=1.0),
+            _FS3_L, _FS3_B, 17, 1)
+
+    def fs3_domdec(self, items, dec_loop):
+        from .ops.jaxk import multimodel as mm
+        return self._run(
+            items, "fs", _CLASSES_FS, "fs3dd",
+            mm.build_fs3_domdec_pack,
+            lambda q: mm.fs3_domdec_components(q.om_fs3),
+            lambda p, b, l, s: mm.fs3_domdec_pack_batch(
+                p, b, l, s, np.full(len(l), dec_loop, np.float32),
+                nj=1.0),
+            _FS3DD_L, _FS3DD_B, 17, 4)
+
+
+class MQEntry:
+    __slots__ = ("window", "seqid", "complementarity", "orfs", "tid")
+
+    def __init__(self, window, seqid, complementarity, orfs, tid):
+        self.window = window
+        self.seqid = seqid
+        self.complementarity = complementarity
+        self.orfs = orfs
+        self.tid = tid
+
+
+def _dd_server(cache):
+    """domdec_fn facade: serve device posteriors precomputed for the
+    predicted survivor set; unknown items report ok=False (host
+    Backward fallback — correctness never depends on the cache)."""
+    def fn(orfseqs, dec_loop=None):
+        btot, etot, mocc, ok = [], [], [], []
+        for sq in orfseqs:
+            v = cache.get(id(sq))
+            if v is None:
+                btot.append(None)
+                etot.append(None)
+                mocc.append(None)
+                ok.append(False)
+            else:
+                btot.append(v[0])
+                etot.append(v[1])
+                mocc.append(v[2])
+                ok.append(bool(v[3]))
+        return btot, etot, mocc, ok
+    return fn
+
+
+def flush_multi(chunk: list[MQEntry], queries: list[QState],
+                pg: PackedGates, gcode, fs_mode: bool) -> None:
+    """One chunk through the multi-query staged cascade.  Entries are
+    processed in stream order within each query at every phase, so
+    each query's hit ordering (and output bytes) match its serial
+    per-query run."""
+    from .pipeline_fs import fs_gate_and_define, fs_prepare
+
+    nq = len(queries)
+    ne = len(chunk)
+    skip = [e.orfs is None or len(e.orfs) == 0 or e.window.n < 15
+            for e in chunk]
+
+    # Phase A: host gates (native MSV/bias/Vit + captures) per (q, e)
+    gates: dict = {}
+    hits_qe = [[TopHits() for _ in range(ne)] for _ in range(nq)]
+    wspan = [[None] * ne for _ in range(nq)]
+    for qi, qs in enumerate(queries):
+        for k, e in enumerate(chunk):
+            if skip[k]:
+                gates[(qi, k)] = ([], [], [], [])
+                wspan[qi][k] = (len(qs.hit_windows),
+                                len(qs.hit_windows))
+                continue
+            plan = pipeline_gate_plan(qs.pli, qs.om, qs.bg, e.window,
+                                      e.orfs)
+            lo = len(qs.hit_windows)
+            res = pipeline_gates(qs.pli, qs.om, qs.data, qs.bg,
+                                 e.window, e.orfs, qs.hit_windows,
+                                 e.seqid, e.complementarity, plan=plan)
+            gates[(qi, k)] = res
+            wspan[qi][k] = (lo, len(qs.hit_windows))
+
+    # Phase B: packed Forward gate over every candidate of every query
+    items = []
+    spans: dict = {}
+    for qi, qs in enumerate(queries):
+        for k in range(ne):
+            cands = gates[(qi, k)][0]
+            lo = len(items)
+            items.extend((qs, c.orfsq.dsq, c.orfsq.n) for c in cands)
+            spans[(qi, k)] = (lo, len(items))
+    fwd_all = pg.fwd_scores(items) if items else []
+
+    # Phase C (std): predicted F3 survivors -> packed domain decoding
+    if not fs_mode:
+        dd_items = []
+        dd_keys = []
+        for qi, qs in enumerate(queries):
+            qs.dd_cache = {}
+            tau = qs.om.evparam[C.EV_FTAU]
+            lam = qs.om.evparam[C.EV_FLAMBDA]
+            thr = qs.pli.F3 * DEVICE_GATE_BAND
+            for k in range(ne):
+                lo, hi = spans[(qi, k)]
+                cands = gates[(qi, k)][0]
+                for ci, cand in enumerate(cands):
+                    sc = fwd_all[lo + ci]
+                    if sc is None:
+                        continue
+                    P = float(stats.exp_surv(
+                        (sc - cand.filtersc) / C.CONST_LOG2, tau, lam))
+                    if not (P > thr):
+                        dd_items.append((qs, cand.orfsq.dsq,
+                                         cand.orfsq.n))
+                        dd_keys.append((qs, id(cand.orfsq)))
+        for (qs, key), post in zip(dd_keys,
+                                   pg.domdec(dd_items)
+                                   if dd_items else []):
+            if post is not None:
+                qs.dd_cache[key] = post
+
+    # Phase D: host F3/F4 stage + domain definition per (q, e)
+    for qi, qs in enumerate(queries):
+        dd_fn = _dd_server(qs.dd_cache) if not fs_mode else None
+        for k, e in enumerate(chunk):
+            if skip[k]:
+                continue
+            cands, P_orf, fwdsc_arr, oxf_holder = gates[(qi, k)]
+            lo, hi = spans[(qi, k)]
+            fwd_dev = np.array(
+                [np.nan if v is None else v
+                 for v in fwd_all[lo:hi]], F32) \
+                if hi > lo else np.empty(0, F32)
+            pipeline_fwd_stage(qs.pli, qs.om, qs.gm, qs.gm_fs5, qs.bg,
+                               hits_qe[qi][k], e.seqid, e.window,
+                               qs.hit_windows, e.complementarity,
+                               cands, P_orf, fwdsc_arr, oxf_holder,
+                               fwd_dev=fwd_dev, domdec_fn=dd_fn)
+
+    # Phase E (fs): window prep per (q, e), then the packed fs3 gate
+    if fs_mode:
+        fs_cands: dict = {}
+        fs_widx: dict = {}
+        fs_items = []
+        fs_spans: dict = {}
+        for qi, qs in enumerate(queries):
+            for k, e in enumerate(chunk):
+                if skip[k]:
+                    fs_cands[(qi, k)] = []
+                    fs_spans[(qi, k)] = (len(fs_items), len(fs_items))
+                    continue
+                _, P_orf, fwdsc_arr, _ = gates[(qi, k)]
+                widx: dict = {}
+                lo0, _hi0 = wspan[qi][k]
+                cs = fs_prepare(qs.pli, qs.om, qs.data, qs.bg, e.orfs,
+                                e.window, gcode, P_orf, fwdsc_arr,
+                                qs.hit_windows[lo0:],
+                                e.complementarity, widx=widx)
+                fs_cands[(qi, k)] = cs
+                fs_widx[(qi, k)] = widx
+                lo = len(fs_items)
+                fs_items.extend((qs, c.tmpseq.dsq, c.wlen)
+                                for c in cs)
+                fs_spans[(qi, k)] = (lo, len(fs_items))
+        fs3_all = pg.fs3_scores(fs_items) if fs_items else []
+
+        # Phase F: predicted fs survivors -> packed fs domain decoding
+        fsdd_items = []
+        fsdd_keys = []
+        for qi, qs in enumerate(queries):
+            qs.fsdd_cache = {}
+            tau = qs.om_fs3.evparam[C.EV_FTAUFS3]
+            lam = qs.om_fs3.evparam[C.EV_FLAMBDA]
+            thr = qs.pli.F3 * DEVICE_GATE_BAND
+            for k in range(ne):
+                lo, hi = fs_spans[(qi, k)]
+                for ci, cand in enumerate(fs_cands[(qi, k)]):
+                    sc = fs3_all[lo + ci]
+                    if sc is None:
+                        continue
+                    P = float(stats.exp_surv(
+                        (sc - cand.filtersc) / C.CONST_LOG2, tau, lam))
+                    if not (P > thr):
+                        fsdd_items.append((qs, cand.tmpseq.dsq,
+                                           cand.wlen))
+                        fsdd_keys.append((qs, id(cand.tmpseq)))
+        for (qs, key), post in zip(
+                fsdd_keys,
+                pg.fs3_domdec(fsdd_items, 100.0 / 103.0)
+                if fsdd_items else []):
+            if post is not None:
+                qs.fsdd_cache[key] = post
+
+        # Phase G: arbitration + fs domain definition per (q, e)
+        for qi, qs in enumerate(queries):
+            fsdd_fn = _dd_server(qs.fsdd_cache)
+            for k, e in enumerate(chunk):
+                if skip[k]:
+                    continue
+                _, P_orf, _fw, oxf_holder = gates[(qi, k)]
+                lo, hi = fs_spans[(qi, k)]
+                fs3_dev = np.array(
+                    [np.nan if v is None else v
+                     for v in fs3_all[lo:hi]], F32) \
+                    if hi > lo else np.empty(0, F32)
+
+                def _fsdd(seqs, dec_loop, _fn=fsdd_fn):
+                    return _fn(seqs)
+                fs_gate_and_define(
+                    qs.pli, qs.om, qs.gm, qs.om_fs3, qs.om_fs5,
+                    qs.gm_fs5, qs.bg, hits_qe[qi][k], e.seqid,
+                    e.orfs, e.window, gcode, P_orf, oxf_holder,
+                    e.complementarity, fs_cands[(qi, k)],
+                    fs3_dev=fs3_dev, fs_domdec_fn=_fsdd,
+                    widx=fs_widx[(qi, k)])
+
+    # hits flow into each query's global list in entry (stream) order
+    for qi, qs in enumerate(queries):
+        for k in range(ne):
+            qs.th.unsrt.extend(hits_qe[qi][k].unsrt)
+    chunk.clear()
+
+
+def run_multiquery(args, hmms, gcode, require_init, ofp, tblfp,
+                   fstblfp) -> None:
+    """The multi-query driver: shared window stream + packed device
+    gates; per-query output buffered and written in query order."""
+    t_start = time.time()
+    queries = [QState(h, args, gcode, qi)
+               for qi, h in enumerate(hmms)]
+    pg = PackedGates(queries)
+    fs_mode = bool(args.fs or args.fsonly)
+
+    context = max(q.om.max_length for q in queries) * 3
+    id_lengths: dict = {}
+    nres = 0
+    nseqs = 0
+    seqidx = 0
+    db_started = args.restrictdb_stkey is None
+    db_seqs_done = 0
+    strands = queries[0].pli.strands
+    block_length = queries[0].pli.block_length
+
+    CHUNK_ORFS = int(os.environ.get("BATH_CHUNK_ORFS", 1 << 20))
+    chunk: list = []
+    pending = 0
+    tid = 0
+
+    def _flush():
+        flush_multi(chunk, queries, pg, gcode, fs_mode)
+
+    for window, is_last in read_windows(args.dbfile, context=context,
+                                        block_length=block_length):
+        if not db_started:
+            if window.name == args.restrictdb_stkey:
+                db_started = True
+            else:
+                continue
+        if args.restrictdb_n > 0 and db_seqs_done >= args.restrictdb_n:
+            break
+        if is_last:
+            db_seqs_done += 1
+        if window.n < 15:
+            if is_last:
+                id_lengths[window.idx] = window.start + window.n - 1
+                nseqs += 1
+                seqidx += 1
+            continue
+        window.L = window.n
+        seqid_for_hits = nseqs
+        if strands != C.STRAND_BOTTOMONLY:
+            nres += window.W
+            orfs = extract_orfs(gcode, window.dsq, minlen=args.minlen,
+                                require_initiator=require_init)
+            chunk.append(MQEntry(window, seqid_for_hits,
+                                 C.NOCOMPLEMENT, orfs, tid))
+            pending += len(orfs)
+        if strands != C.STRAND_TOPONLY:
+            nres += window.W
+            rc = window.reverse_complement()
+            orfs = extract_orfs(gcode, rc.dsq, minlen=args.minlen,
+                                is_revcomp=True,
+                                require_initiator=require_init)
+            chunk.append(MQEntry(rc, seqid_for_hits, C.COMPLEMENT,
+                                 orfs, tid))
+            pending += len(orfs)
+        tid += 1
+        if is_last:
+            id_lengths[window.idx] = window.start + window.n - 1
+            nseqs += 1
+            seqidx += 1
+        if pending >= CHUNK_ORFS:
+            _flush()
+            pending = 0
+    if chunk:
+        _flush()
+
+    # per-query E-values / merge / output, in query order
+    # (ref: bathsearch.c:869-921 + output block :960-968)
+    for nquery, qs in enumerate(queries, 1):
+        pli, th, om, hmm = qs.pli, qs.th, qs.om, qs.hmm
+        pli.nres = nres
+        pli.nseqs = nseqs
+        if args.Z is not None:
+            res_cnt = int(1000000 * args.Z)
+            if pli.strands == C.STRAND_BOTH:
+                res_cnt *= 2
+        else:
+            res_cnt = pli.nres
+        th.compute_evalues_bath(res_cnt, om.max_length * 3)
+        th.sort_by_seqidx_and_alipos()
+        for h in th.unsrt:
+            if h.seqidx in id_lengths:
+                h.target_len = id_lengths[h.seqidx]
+                if h.dcl and h.dcl[0].ad is not None:
+                    h.dcl[0].ad.L = id_lengths[h.seqidx]
+        th.remove_duplicates(pli.use_bit_cutoffs)
+        th.sort_by_sortkey()
+        pli.Z = 1.0
+        th.threshold(pli)
+
+        pli.n_output = pli.pos_output = 0
+        for h in th.hit:
+            if h.flags & (IS_REPORTED | IS_INCLUDED):
+                pli.n_output += 1
+                for d in h.dcl:
+                    pli.pos_output += 1 + abs(d.jali - d.iali)
+
+        textw = 0 if args.notextw else args.textw
+        ofp.write("Query:       %s  [M=%d]\n" % (hmm.name, hmm.M))
+        if hmm.acc:
+            ofp.write("Accession:   %s\n" % hmm.acc)
+        if hmm.desc:
+            ofp.write("Description: %s\n" % hmm.desc)
+        ofp.write(th.targets_text(pli, textw))
+        ofp.write("\n\n")
+        ofp.write(th.domains_text(pli, textw))
+        ofp.write("\n\n")
+        if tblfp:
+            tblfp.write(th.tabular_targets_text(
+                hmm.name, hmm.acc, pli, nquery == 1))
+        if fstblfp:
+            fstblfp.write(th.tabular_frameshifts_text(
+                hmm.name, hmm.acc, pli, nquery == 1))
+        ofp.write(statistics_text(pli, time.time() - t_start))
+        ofp.write("//\n")

@@ -830,10 +830,16 @@ class FSWindowCand:
 
 
 def fs_prepare(pli, om, data, bg, orfs, dnasq, gcode, P_orf, fwdsc_arr,
-               hit_windows, complementarity) -> list[FSWindowCand]:
+               hit_windows, complementarity,
+               widx=None) -> list[FSWindowCand]:
     """Phase 1 of the frameshift branch: DNA window building plus the
     per-window statistics and bias filtering that precede the
-    fs3-Forward gate (ref: p7_pli_Frameshift :1338-1463)."""
+    fs3-Forward gate (ref: p7_pli_Frameshift :1338-1463).
+
+    <widx>: optional dict filled with {orf index -> window idx} — the
+    per-query side table the multi-query drive uses instead of the
+    Orf.idx attribute (ORF lists are shared across queries there, so
+    attribute writes from one query would leak into another)."""
     windows = build_dna_windows(pli, orfs, dnasq, om, data, P_orf,
                                 hit_windows, complementarity)
     cands = []
@@ -864,6 +870,8 @@ def fs_prepare(pli, om, data, bg, orfs, dnasq, gcode, P_orf, fwdsc_arr,
                 orf_end = dnasq.start + orfsq.end - 1
             if orf_start >= window_start and orf_end <= window_end:
                 orfsq.idx = w_idx
+                if widx is not None:
+                    widx[f] = w_idx
                 P_min = min(P_min, P_orf[f])
                 tot_orfsc = float(flogsum(np.float32(tot_orfsc),
                                           np.float32(fwdsc_arr[f])))
@@ -920,7 +928,7 @@ def pli_frameshift(pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
 def fs_gate_and_define(pli, om, gm, om_fs3, om_fs5, gm_fs5, bg, hitlist,
                        seqidx, orfs, dnasq, gcode, P_orf, oxf_holder,
                        complementarity, cands, fs3_dev=None,
-                       fs_domdec_fn=None):
+                       fs_domdec_fn=None, widx=None):
     """Phase 2 of the frameshift branch: fs3-Forward gate,
     arbitration, domain definition and hit assembly per prepared DNA
     window (ref: p7_pli_Frameshift :1450-1511).  <fs3_dev>: optional
@@ -1069,7 +1077,8 @@ def fs_gate_and_define(pli, om, gm, om_fs3, om_fs5, gm_fs5, bg, hitlist,
                 if P_orf[f] > pli.F3 or oxf_holder[f] is None:
                     continue
                 orfsq = orfs[f]
-                if orfsq.idx != w_idx:
+                w_of = orfsq.idx if widx is None else widx.get(f, -1)
+                if w_of != w_idx:
                     continue
                 pli.pos_past_fwd += orfsq.n * 3
                 om.reconfig_length(orfsq.n)

@@ -1,0 +1,80 @@
+"""Multi-query drive byte parity: the shared-stream, cross-model
+packed device cascade (bath_tpu/multiquery.py) must produce output
+byte-identical to the serial per-query numpy loop — the multi-model
+analogue of the backend byte-parity contract."""
+
+import os
+import re
+import subprocess
+import sys
+
+TUT = "/root/reference/tutorial"
+
+
+def _run(out, extra, env_extra=None, tbl=None):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BATH_JAX_PLATFORM="cpu")
+    env.update(env_extra or {})
+    cmd = [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+           "-o", str(out)]
+    if tbl:
+        cmd += ["--tblout", str(tbl)]
+    r = subprocess.run(cmd + extra, capture_output=True, text=True,
+                       timeout=1800, cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def _norm(path):
+    return re.sub(r"# (CPU time|Mc/sec):.*", "", open(path).read())
+
+
+def test_multiquery_met_byte_identical(tmp_path):
+    """2-query MET drive: jax multi-query == numpy serial, including
+    the tabular output (modulo the cmdline/date tail)."""
+    a, b = tmp_path / "np.out", tmp_path / "jx.out"
+    ta, tb = tmp_path / "np.tbl", tmp_path / "jx.tbl"
+    args = [f"{TUT}/MET.bhmm", f"{TUT}/target-MET.fa"]
+    _run(a, ["--backend", "numpy"] + args, tbl=ta)
+    _run(b, ["--backend", "jax"] + args, tbl=tb)
+    assert _norm(a) == _norm(b)
+    strip = lambda p: [l for l in open(p) if not l.startswith(
+        ("# Option settings:", "# Date:", "# Current dir:"))]
+    assert strip(ta) == strip(tb)
+
+
+def test_multiquery_fs_byte_identical(tmp_path):
+    """Multi-query --fs on the fs-hit fixture (clean + frameshifted +
+    reverse-strand + boundary-spanning embeds): jax multi-query ==
+    numpy serial."""
+    q = tmp_path / "two.bhmm"
+    q.write_text(open(f"{TUT}/AMP_N.bhmm").read()
+                 + open(f"{TUT}/PTH2.bhmm").read())
+    target = "/root/repo/tests/data/mesh_target_fs.fa"
+    a, b = tmp_path / "np.out", tmp_path / "jx.out"
+    args = ["--fs", "--block_length", "20000", str(q), target]
+    _run(a, ["--backend", "numpy"] + args)
+    _run(b, ["--backend", "jax"] + args)
+    assert "shifts" in _norm(a)
+    assert _norm(a) == _norm(b)
+
+
+def test_multiquery_twelve_models_byte_identical(tmp_path):
+    """12-query drive (tRNA-proteins.bhmm, mixed M 56..459) vs the
+    PTH2 target: exercises multiple size-class packs and queries with
+    and without hits."""
+    a, b = tmp_path / "np.out", tmp_path / "jx.out"
+    args = [f"{TUT}/tRNA-proteins.bhmm", f"{TUT}/target-PTH2.fa"]
+    _run(a, ["--backend", "numpy"] + args)
+    _run(b, ["--backend", "jax"] + args)
+    assert "PTH2" in _norm(a)
+    assert _norm(a) == _norm(b)
+
+
+def test_multiquery_disable_env(tmp_path):
+    """BATH_MULTIQUERY=0 forces the serial per-query loop; bytes are
+    identical either way (the contract both paths share)."""
+    a, b = tmp_path / "mq.out", tmp_path / "ser.out"
+    args = ["--backend", "jax", f"{TUT}/MET.bhmm",
+            f"{TUT}/target-MET.fa"]
+    _run(a, args)
+    _run(b, args, env_extra={"BATH_MULTIQUERY": "0"})
+    assert _norm(a) == _norm(b)
