@@ -521,8 +521,14 @@ def run(argv=None) -> int:
             (id_lengths, nseqs, nres) stay on the main process."""
             nonlocal seqidx, db_started, db_seqs_done
             tid = 0
+            # BATH_WINDOW_CONTEXT pins the window overlap (nt) — used
+            # to prove byte-identity between the serial per-query loop
+            # and the multi-query shared stream, whose overlap is the
+            # max over the query set (multiquery.py)
+            ctx = int(os.environ.get("BATH_WINDOW_CONTEXT", 0)) \
+                or om.max_length * 3
             for window, is_last in read_windows(
-                    args.dbfile, context=om.max_length * 3,
+                    args.dbfile, context=ctx,
                     block_length=pli.block_length):
                 # --restrictdb: search a database slice (ref: :143-145)
                 if not db_started:
@@ -607,28 +613,53 @@ def run(argv=None) -> int:
             finally:
                 _WCTX = None
         elif cascade is not None:
-            # chunked device cascade: accumulate (window, strand)
-            # entries, then run MSV -> gates -> Forward -> fs3 with
-            # one set of batched device calls per phase (phase order
-            # preserves stream order, so output bytes match the
-            # serial per-window path)
-            from ..device_pipeline import ChunkEntry, flush_chunk
-            # sized to fill ~16 full device batches per flush: calls,
-            # not bytes, are the scarce resource on tunneled backends
-            # (see device_pipeline.BUCKET_B)
+            # adaptive chunked device cascade: host gates stream per
+            # chunk; downstream (Forward/fs3 gates + domain
+            # definition) accumulates staged entries ACROSS chunks
+            # and engages the device only when the pending DP volume
+            # amortizes dispatch — otherwise the bit-exact host path
+            # finishes the work (identical bytes either way by the
+            # DEVICE_GATE_BAND contract).  A high-information model
+            # that rejects nearly everything at the host filters
+            # (the r3 M=409 regression) therefore never pays device
+            # init or per-flush tunnel latency.
+            from ..device_pipeline import (ChunkEntry, flush_downstream,
+                                           flush_gates,
+                                           staged_fwd_cells)
             CHUNK_ORFS = int(os.environ.get("BATH_CHUNK_ORFS", 65536))
+            # ~0.3s of host f32 work; device dispatch only pays for
+            # itself above this
+            DEV_MIN = float(os.environ.get("BATH_DEVICE_MIN_CELLS",
+                                           2e8))
+            # fs mode: the fs3 windows (built downstream) dwarf the
+            # fwd volume; engage the device once enough candidates
+            # are staged that windows will batch well
+            FS_CANDS = int(os.environ.get("BATH_FS_CAND_FLUSH", 512))
             chunk: list = []
+            staged: list = []
             pending_orfs = 0
 
-            def _flush():
-                done = flush_chunk(chunk, cascade, pli, om, gm,
-                                   om_fs3, om_fs5, gm_fs5, data, bg,
-                                   th, gcode, hit_windows)
+            def _down_flush(use_device):
+                flush_downstream(staged, cascade, pli, om, gm,
+                                 om_fs3, om_fs5, gm_fs5, data, bg,
+                                 th, gcode, hit_windows,
+                                 use_device=use_device)
                 if results is not None:
-                    for e in done:
+                    for e in staged:
                         results.append(
                             (e.tid, list(e.hits.unsrt),
                              hit_windows[e.win_start:e.win_end]))
+                staged.clear()
+
+            def _maybe_down(final=False):
+                cells = staged_fwd_cells(staged, om.M)
+                ncand = sum(len(e.cands or ()) for e in staged)
+                engage = (cells >= DEV_MIN
+                          or (pli.fs_pipe and ncand >= FS_CANDS))
+                if final:
+                    _down_flush(engage)
+                elif engage:
+                    _down_flush(True)
 
             for _tid, window, seqid_for_hits in shard(window_specs()):
                 if pli.strands != C.STRAND_BOTTOMONLY:
@@ -637,7 +668,8 @@ def run(argv=None) -> int:
                                         require_initiator=require_init)
                     chunk.append(ChunkEntry(window, seqid_for_hits,
                                             C.NOCOMPLEMENT, orfs,
-                                            tid=_tid))
+                                            tid=_tid,
+                                            nres_at=pli.nres))
                     pending_orfs += len(orfs)
                 if pli.strands != C.STRAND_TOPONLY:
                     rc = window.reverse_complement()
@@ -647,13 +679,18 @@ def run(argv=None) -> int:
                                         require_initiator=require_init)
                     chunk.append(ChunkEntry(rc, seqid_for_hits,
                                             C.COMPLEMENT, orfs,
-                                            tid=_tid))
+                                            tid=_tid,
+                                            nres_at=pli.nres))
                     pending_orfs += len(orfs)
                 if pending_orfs >= CHUNK_ORFS:
-                    _flush()
+                    staged.extend(flush_gates(chunk, cascade, pli, om,
+                                              data, bg, hit_windows))
                     pending_orfs = 0
+                    _maybe_down()
             if chunk:
-                _flush()
+                staged.extend(flush_gates(chunk, cascade, pli, om,
+                                          data, bg, hit_windows))
+            _maybe_down(final=True)
         else:
             for _tid, window, seqid_for_hits in shard(window_specs()):
                 th_w = th if results is None else TopHits()

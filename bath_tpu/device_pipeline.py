@@ -218,16 +218,33 @@ class DeviceCascade:
 
     def __init__(self, om, om_fs3=None, mesh_sharding=None):
         _enable_compile_cache()
-        from .ops.jaxk.filters_mb import MSVExactMB, VitExactMB
         self.om = om
-        self.msv = MSVExactMB(om)
-        self.vit = VitExactMB(om)
         self.mesh_sharding = mesh_sharding
+        self._msv = None
+        self._vit = None
         self._fwd_params = None
         self._fs3_params = None
         self._domdec_params = None
         self._fs3_domdec_params = None
         self._om_fs3 = om_fs3
+
+    # device parameter construction is lazy: creating a jnp array
+    # initializes the jax backend (a tunneled TPU init can cost
+    # seconds-to-minutes), and the adaptive cascade may finish a
+    # low-survivor drive without ever touching the device
+    @property
+    def msv(self):
+        if self._msv is None:
+            from .ops.jaxk.filters_mb import MSVExactMB
+            self._msv = MSVExactMB(self.om)
+        return self._msv
+
+    @property
+    def vit(self):
+        if self._vit is None:
+            from .ops.jaxk.filters_mb import VitExactMB
+            self._vit = VitExactMB(self.om)
+        return self._vit
 
     # -- MSV (F1): every ORF of the chunk ---------------------------
     # stream-call lane ladder: VMEM = 2 [Mt,S] i32 carries + 3
@@ -703,9 +720,10 @@ class ChunkEntry:
     pipeline state between phases."""
     __slots__ = ("window", "seqid", "complementarity", "orfs", "tid",
                  "win_start", "win_end", "cands", "P_orf", "fwdsc_arr",
-                 "oxf_holder", "fs_cands", "hits")
+                 "oxf_holder", "fs_cands", "hits", "nres_at")
 
-    def __init__(self, window, seqid, complementarity, orfs, tid=0):
+    def __init__(self, window, seqid, complementarity, orfs, tid=0,
+                 nres_at=0):
         self.window = window
         self.seqid = seqid
         self.complementarity = complementarity
@@ -719,16 +737,31 @@ class ChunkEntry:
         self.oxf_holder = None
         self.fs_cands = None
         self.hits = None
+        self.nres_at = nres_at
 
 
 def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
                 om, gm, om_fs3, om_fs5, gm_fs5, data, bg, hitlist,
                 gcode, hit_windows) -> None:
-    """Run one chunk through the staged cascade.  Entries are
-    processed in stream order at every phase, so hit/window ordering
-    (and output bytes) match the serial per-window pipeline."""
-    from .pipeline import (pipeline_fwd_stage, pipeline_gate_plan,
-                           pipeline_gates)
+    """Run one chunk through the staged cascade (gates + downstream).
+    Entries are processed in stream order at every phase, so
+    hit/window ordering (and output bytes) match the serial
+    per-window pipeline."""
+    staged = flush_gates(chunk, cascade, pli, om, data, bg,
+                         hit_windows)
+    flush_downstream(staged, cascade, pli, om, gm, om_fs3, om_fs5,
+                     gm_fs5, data, bg, hitlist, gcode, hit_windows)
+    return staged
+
+
+def flush_gates(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
+                om, data, bg, hit_windows) -> list[ChunkEntry]:
+    """Phase 1 of the chunked cascade: the filter family
+    (MSV/bias/Viterbi + window captures) over every entry — host
+    native in the hybrid default, device otherwise.  Leaves each
+    entry's cands/P_orf/fwdsc_arr/oxf_holder staged for
+    flush_downstream and clears the input list."""
+    from .pipeline import pipeline_gate_plan, pipeline_gates
 
     # Phase 1a: MSV (F1) over every ORF of the chunk, then the
     # vectorized F1 + bias plan per entry.
@@ -910,54 +943,91 @@ def flush_chunk(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
             ssvcaps=ssvcaps, vitcaps=vcaps_by_entry[k])
         e.win_end = len(hit_windows)
 
+    done = list(chunk)
+    chunk.clear()
+    return done
+
+
+def staged_fwd_cells(staged: list[ChunkEntry], M: int) -> int:
+    """Pending Forward-gate DP volume (cells) of staged entries — the
+    adaptive cascade's device-vs-host decision metric."""
+    return sum(c.orfsq.n * M for e in staged for c in e.cands or ())
+
+
+def flush_downstream(staged: list[ChunkEntry], cascade: DeviceCascade,
+                     pli, om, gm, om_fs3, om_fs5, gm_fs5, data, bg,
+                     hitlist, gcode, hit_windows,
+                     use_device: bool = True) -> None:
+    """Phases 2-3 of the chunked cascade over gate-staged entries:
+    Forward F3/F4 gate + domain definition, then the --fs branch.
+    <use_device>=False runs the bit-exact host path for every stage
+    (the adaptive cascade's surrender: identical bytes by the
+    DEVICE_GATE_BAND contract, chosen when the pending DP volume is
+    too small to amortize device dispatch — the M=409 case where a
+    high-information model rejects nearly everything at the host
+    filters, ref BASELINE.md round-3 regression)."""
+    from .pipeline import pipeline_fwd_stage
+
     # Phase 2: device Forward over every Vit survivor of the chunk,
     # then the host F3/F4 stage (+ domaindef for F3 survivors).
-    cand_seqs = [c.orfsq.dsq for e in chunk for c in e.cands]
-    cand_lens = [c.orfsq.n for e in chunk for c in e.cands]
+    cand_seqs = [c.orfsq.dsq for e in staged for c in e.cands]
+    cand_lens = [c.orfsq.n for e in staged for c in e.cands]
     fwd_all = cascade.fwd_scores(cand_seqs, np.asarray(cand_lens,
                                                        np.int64)) \
-        if cand_lens else np.empty(0, F32)
+        if cand_lens and use_device else None
+    nres_now = pli.nres
     pos = 0
-    for e in chunk:
+    for e in staged:
+        # the early domain keep-filter uses pli.Z = nres/max_length
+        # with nres AS OF THIS WINDOW in the serial stream
+        # (_postdomaindef_bath; ref p7_pipeline.c:1230-1249) — restore
+        # each entry's value so deferred downstream work keeps the
+        # serial path's bytes
+        if e.nres_at:
+            pli.nres = e.nres_at
         ncand = len(e.cands)
         pipeline_fwd_stage(pli, om, gm, gm_fs5, bg, e.hits, e.seqid,
                            e.window, hit_windows, e.complementarity,
                            e.cands, e.P_orf, e.fwdsc_arr, e.oxf_holder,
-                           fwd_dev=fwd_all[pos:pos + ncand],
-                           domdec_fn=cascade.domdec)
+                           fwd_dev=None if fwd_all is None
+                           else fwd_all[pos:pos + ncand],
+                           domdec_fn=cascade.domdec if use_device
+                           else None)
         pos += ncand
 
     # Phase 3 (--fs): build merged DNA windows per entry, gate them
     # through the device fs3-Forward, then arbitration + domaindef.
     if pli.fs_pipe and om_fs3 is not None:
         from .pipeline_fs import fs_gate_and_define, fs_prepare
-        for e in chunk:
+        for e in staged:
             e.fs_cands = fs_prepare(
                 pli, om, data, bg, e.orfs, e.window, gcode, e.P_orf,
                 e.fwdsc_arr, hit_windows[e.win_start:],
                 e.complementarity) \
                 if e.orfs is not None and len(e.orfs) else []
-        fs_seqs = [c.tmpseq.dsq for e in chunk for c in e.fs_cands]
-        fs_lens = [c.wlen for e in chunk for c in e.fs_cands]
+        fs_seqs = [c.tmpseq.dsq for e in staged for c in e.fs_cands]
+        fs_lens = [c.wlen for e in staged for c in e.fs_cands]
         fs3_all = cascade.fs3_scores(fs_seqs, np.asarray(fs_lens,
                                                          np.int64)) \
-            if fs_lens else np.empty(0, F32)
+            if fs_lens and use_device else None
         pos = 0
-        for e in chunk:
+        for e in staged:
+            if e.nres_at:
+                pli.nres = e.nres_at
             nfs = len(e.fs_cands)
             fs_gate_and_define(pli, om, gm, om_fs3, om_fs5, gm_fs5,
                                bg, e.hits, e.seqid, e.orfs, e.window,
                                gcode, e.P_orf, e.oxf_holder,
                                e.complementarity, e.fs_cands,
-                               fs3_dev=fs3_all[pos:pos + nfs],
-                               fs_domdec_fn=cascade.fs3_domdec)
+                               fs3_dev=None if fs3_all is None
+                               else fs3_all[pos:pos + nfs],
+                               fs_domdec_fn=cascade.fs3_domdec
+                               if use_device else None)
             pos += nfs
 
+    pli.nres = nres_now
     # hits flow into the global list per entry, in stream order —
     # exactly the serial path's (window, strand)-major hit ordering,
     # which the stable downstream sorts rely on for tie cases
-    done = list(chunk)
-    for e in done:
+    for e in staged:
         hitlist.unsrt.extend(e.hits.unsrt)
-    chunk.clear()
-    return done

@@ -71,6 +71,24 @@ _FS3_B = (32, 256)
 _FS3DD_L = 4096
 _FS3DD_B = (8, 64)
 
+# Adaptive device engagement: a stage goes to the device only when
+# its pending DP volume exceeds what the host could do in roughly the
+# stage's dispatch+pack-shipping cost.  At Pfam scale the std drive's
+# f32 volumes are tiny (9721 F2-surviving ORFs ~= 44M cells — host
+# milliseconds) while ~25 packed calls cost ~25s over the tunnel
+# (measured r4); the fs3 gate is the opposite (10+ Gc vs 0.69 GCUPS
+# host).  Volumes in DP cells; override via env for experiments.
+_DEV_MIN = {
+    "fwd": float(os.environ.get("BATH_MQ_FWD_MIN_CELLS", 2e9)),
+    "domdec": float(os.environ.get("BATH_MQ_DD_MIN_CELLS", 2e9)),
+    "fs3": float(os.environ.get("BATH_MQ_FS3_MIN_CELLS", 2e8)),
+    "fs3dd": float(os.environ.get("BATH_MQ_FSDD_MIN_CELLS", 2e8)),
+}
+
+
+def _stage_cells(items):
+    return sum(ln * qs.hmm.M for qs, _d, ln in items)
+
 
 class QState:
     """Per-query pipeline state for the multi-query drive."""
@@ -83,11 +101,12 @@ class QState:
         self.om = oprofile_convert(self.gm)
         self.gm_fs5 = profile_config_fs(hmm, self.bg, gcode, 5, 100,
                                         C.P7_LOCAL)
-        self.gm_fs3 = profile_config_fs(hmm, self.bg, gcode, 3, 100,
-                                        C.P7_LOCAL)
+        self.gm_fs3 = None       # fs-gate profile: only built in --fs
         self.om_fs3 = self.om_fs5 = None
         if args.fs or args.fsonly:
             from .ops.reference.fwdback_fs import fs_oprofile_convert
+            self.gm_fs3 = profile_config_fs(hmm, self.bg, gcode, 3,
+                                            100, C.P7_LOCAL)
             self.om_fs3 = fs_oprofile_convert(self.gm_fs3)
             self.om_fs5 = fs_oprofile_convert(self.gm_fs5)
         self.data = score_data_create(self.om)
@@ -175,7 +194,7 @@ class PackedGates:
              Lb, Bladder, pad_value, out_rows):
         """items: [(qs, dsq np int8, length)] -> aligned result list
         (None = caller must use its host/single-model fallback)."""
-        import jax
+        import jax.numpy as jnp
         n = len(items)
         out = [None] * n
         groups: dict = {}
@@ -202,14 +221,36 @@ class PackedGates:
                     batch[r, :ln] = np.asarray(dsq[:ln], np.int8)
                     lens[r] = ln
                     slot[r] = self._slots[(family, qs.qi)][2]
-                plan.append((chunk, call(pack, batch, lens, slot)))
-        fetched = jax.device_get([p[1] for p in plan])
+                res = call(pack, batch, lens, slot)
+                if out_rows == 4:
+                    # pack the four posterior components into ONE
+                    # device array per call so the stage can fetch
+                    # once (see below)
+                    bt, et, mo, ok = res
+                    okb = jnp.broadcast_to(
+                        ok.astype(jnp.float32)[:, None], bt.shape)
+                    res = jnp.concatenate([bt, et, mo, okb], axis=0)
+                plan.append((chunk, res))
+        # ONE dependent device concat + ONE fetch for the whole stage:
+        # per-array device_get over the tunneled backend costs a full
+        # ~0.5s sync round trip EACH (measured: 140 fetches = 80s of a
+        # 135s drive) — the same rule device_pipeline.run_bucketed
+        # follows.
+        if len(plan) == 1:
+            fetched = [np.asarray(plan[0][1])]
+        else:
+            allv = np.asarray(jnp.concatenate([p[1] for p in plan]))
+            sizes = [p[1].shape[0] for p in plan]
+            fetched = np.split(allv, np.cumsum(sizes)[:-1])
         for (chunk, _), res in zip(plan, fetched):
+            if out_rows == 4:
+                res = res.reshape(4, -1, res.shape[-1])
             for r, i in enumerate(chunk):
                 if out_rows == 1:
                     out[i] = float(res[r])
                 else:
-                    out[i] = tuple(a[r] for a in res)
+                    out[i] = (res[0, r], res[1, r], res[2, r],
+                              bool(res[3, r, 0]))
         return out
 
     def fwd_scores(self, items):
@@ -250,14 +291,66 @@ class PackedGates:
 
 
 class MQEntry:
-    __slots__ = ("window", "seqid", "complementarity", "orfs", "tid")
+    __slots__ = ("window", "seqid", "complementarity", "orfs", "tid",
+                 "nres_at")
 
-    def __init__(self, window, seqid, complementarity, orfs, tid):
+    def __init__(self, window, seqid, complementarity, orfs, tid,
+                 nres_at):
         self.window = window
         self.seqid = seqid
         self.complementarity = complementarity
         self.orfs = orfs
         self.tid = tid
+        # residue count as of this window in the serial stream: the
+        # early domain keep-filter reads pli.Z = nres/max_length at
+        # domain-definition time (ref p7_pipeline.c:1230-1249 via
+        # _postdomaindef_bath), so each entry must see the serial
+        # value, not 0 and not the final total
+        self.nres_at = nres_at
+
+
+class _CombinedOrfs:
+    """Flat/offs/lens view spanning every entry of a chunk: the
+    native MSV/Viterbi batch interfaces take any object with these
+    three arrays, so the host filter family runs ONCE per query per
+    flush instead of once per (query, window) — per-call OpenMP spawn
+    and ctypes marshalling were ~9s of a 200-model drive."""
+    __slots__ = ("flat", "offs", "lens")
+
+    def __init__(self, flat, offs, lens):
+        self.flat = flat
+        self.offs = offs
+        self.lens = lens
+
+    def __len__(self):
+        return len(self.lens)
+
+
+def _combine_orfs(chunk, skip):
+    """Build the chunk-wide ORF stream; returns (combined, spans)
+    with spans[k] = (lo, hi) into the combined arrays, or (None, _)
+    when any entry lacks the flat layout."""
+    flats, offs, lens, spans = [], [], [], []
+    base = 0
+    cnt = 0
+    for e, sk in zip(chunk, skip):
+        if sk or getattr(e.orfs, "flat", None) is None:
+            if not sk and e.orfs is not None and len(e.orfs):
+                return None, None
+            spans.append((cnt, cnt))
+            continue
+        f = np.asarray(e.orfs.flat)     # keep the extractor's dtype
+        flats.append(f)
+        offs.append(np.asarray(e.orfs.offs, np.int64) + base)
+        lens.append(np.asarray(e.orfs.lens, np.int32))
+        spans.append((cnt, cnt + len(e.orfs)))
+        cnt += len(e.orfs)
+        base += len(f)
+    if not flats:
+        return None, None
+    return _CombinedOrfs(
+        flats[0] if len(flats) == 1 else np.concatenate(flats),
+        np.concatenate(offs), np.concatenate(lens)), spans
 
 
 def _dd_server(cache):
@@ -282,6 +375,26 @@ def _dd_server(cache):
     return fn
 
 
+_MQ_STATS = os.environ.get("BATH_MQ_STATS")
+
+
+def _phase_clock():
+    marks = [("start", time.perf_counter())]
+
+    def mark(name):
+        marks.append((name, time.perf_counter()))
+
+    def report(where):
+        if not _MQ_STATS:
+            return
+        import sys
+        parts = [f"{n}={t1 - t0:.2f}s" for (_, t0), (n, t1)
+                 in zip(marks, marks[1:])]
+        print(f"# mq-stats {where}: " + " ".join(parts),
+              file=sys.stderr)
+    return mark, report
+
+
 def flush_multi(chunk: list[MQEntry], queries: list[QState],
                 pg: PackedGates, gcode, fs_mode: bool) -> None:
     """One chunk through the multi-query staged cascade.  Entries are
@@ -289,6 +402,7 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
     each query's hit ordering (and output bytes) match its serial
     per-query run."""
     from .pipeline_fs import fs_gate_and_define, fs_prepare
+    mark, report = _phase_clock()
 
     nq = len(queries)
     ne = len(chunk)
@@ -299,22 +413,59 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
     gates: dict = {}
     hits_qe = [[TopHits() for _ in range(ne)] for _ in range(nq)]
     wspan = [[None] * ne for _ in range(nq)]
+    combined, cspans = _combine_orfs(chunk, skip) \
+        if os.environ.get("BATH_MQ_COMBINED", "1") != "0" \
+        else (None, None)
+    from .native import msv_filter_native_batch, vit_filter_score_batch
     for qi, qs in enumerate(queries):
+        # ONE native MSV call per query over the whole chunk's ORFs
+        usc_all = msv_filter_native_batch(combined, qs.om) \
+            if combined is not None else None
+        plans = [None] * ne
+        for k, e in enumerate(chunk):
+            if skip[k]:
+                continue
+            lo, hi = cspans[k] if usc_all is not None else (0, 0)
+            plans[k] = pipeline_gate_plan(
+                qs.pli, qs.om, qs.bg, e.window, e.orfs,
+                usc_pre=None if usc_all is None else usc_all[lo:hi])
+        # ONE native ViterbiFilter call per query over the chunk's
+        # bias survivors (bit-identical to the per-window batch)
+        vslices = [None] * ne
+        if combined is not None:
+            vidx = []
+            for k in range(ne):
+                p = plans[k]
+                if p is not None and p.vit_idx is not None \
+                        and len(p.vit_idx):
+                    vidx.append(cspans[k][0] + p.vit_idx)
+            if vidx:
+                gidx = np.concatenate(vidx)
+                vsc = vit_filter_score_batch(combined, gidx, qs.om)
+                if vsc is not None:
+                    pos = 0
+                    for k in range(ne):
+                        p = plans[k]
+                        nv = len(p.vit_idx) if p is not None and \
+                            p.vit_idx is not None else 0
+                        if nv:
+                            vslices[k] = vsc[pos:pos + nv]
+                            pos += nv
         for k, e in enumerate(chunk):
             if skip[k]:
                 gates[(qi, k)] = ([], [], [], [])
                 wspan[qi][k] = (len(qs.hit_windows),
                                 len(qs.hit_windows))
                 continue
-            plan = pipeline_gate_plan(qs.pli, qs.om, qs.bg, e.window,
-                                      e.orfs)
             lo = len(qs.hit_windows)
             res = pipeline_gates(qs.pli, qs.om, qs.data, qs.bg,
                                  e.window, e.orfs, qs.hit_windows,
-                                 e.seqid, e.complementarity, plan=plan)
+                                 e.seqid, e.complementarity,
+                                 plan=plans[k], vitsc=vslices[k])
             gates[(qi, k)] = res
             wspan[qi][k] = (lo, len(qs.hit_windows))
 
+    mark("gates")
     # Phase B: packed Forward gate over every candidate of every query
     items = []
     spans: dict = {}
@@ -324,7 +475,9 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
             lo = len(items)
             items.extend((qs, c.orfsq.dsq, c.orfsq.n) for c in cands)
             spans[(qi, k)] = (lo, len(items))
-    fwd_all = pg.fwd_scores(items) if items else []
+    use_fwd = items and _stage_cells(items) >= _DEV_MIN["fwd"]
+    fwd_all = pg.fwd_scores(items) if use_fwd else [None] * len(items)
+    mark(f"fwd[{len(items)}{'' if use_fwd else ' host'}]")
 
     # Phase C (std): predicted F3 survivors -> packed domain decoding
     if not fs_mode:
@@ -348,30 +501,34 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
                         dd_items.append((qs, cand.orfsq.dsq,
                                          cand.orfsq.n))
                         dd_keys.append((qs, id(cand.orfsq)))
-        for (qs, key), post in zip(dd_keys,
-                                   pg.domdec(dd_items)
-                                   if dd_items else []):
-            if post is not None:
-                qs.dd_cache[key] = post
+        if dd_items and _stage_cells(dd_items) >= _DEV_MIN["domdec"]:
+            for (qs, key), post in zip(dd_keys, pg.domdec(dd_items)):
+                if post is not None:
+                    qs.dd_cache[key] = post
 
+    mark("domdec")
     # Phase D: host F3/F4 stage + domain definition per (q, e)
     for qi, qs in enumerate(queries):
-        dd_fn = _dd_server(qs.dd_cache) if not fs_mode else None
+        dd_fn = _dd_server(qs.dd_cache) \
+            if not fs_mode and qs.dd_cache else None
         for k, e in enumerate(chunk):
             if skip[k]:
                 continue
             cands, P_orf, fwdsc_arr, oxf_holder = gates[(qi, k)]
             lo, hi = spans[(qi, k)]
-            fwd_dev = np.array(
-                [np.nan if v is None else v
-                 for v in fwd_all[lo:hi]], F32) \
-                if hi > lo else np.empty(0, F32)
+            fwd_dev = None
+            if use_fwd and hi > lo:
+                fwd_dev = np.array(
+                    [np.nan if v is None else v
+                     for v in fwd_all[lo:hi]], F32)
+            qs.pli.nres = e.nres_at
             pipeline_fwd_stage(qs.pli, qs.om, qs.gm, qs.gm_fs5, qs.bg,
                                hits_qe[qi][k], e.seqid, e.window,
                                qs.hit_windows, e.complementarity,
                                cands, P_orf, fwdsc_arr, oxf_holder,
                                fwd_dev=fwd_dev, domdec_fn=dd_fn)
 
+    mark("fwd_stage")
     # Phase E (fs): window prep per (q, e), then the packed fs3 gate
     if fs_mode:
         fs_cands: dict = {}
@@ -397,7 +554,11 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
                 fs_items.extend((qs, c.tmpseq.dsq, c.wlen)
                                 for c in cs)
                 fs_spans[(qi, k)] = (lo, len(fs_items))
-        fs3_all = pg.fs3_scores(fs_items) if fs_items else []
+        use_fs3 = fs_items and \
+            _stage_cells(fs_items) / 3 >= _DEV_MIN["fs3"]
+        fs3_all = pg.fs3_scores(fs_items) if use_fs3 \
+            else [None] * len(fs_items)
+        mark(f"fs3[{len(fs_items)}{'' if use_fs3 else ' host'}]")
 
         # Phase F: predicted fs survivors -> packed fs domain decoding
         fsdd_items = []
@@ -419,28 +580,34 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
                         fsdd_items.append((qs, cand.tmpseq.dsq,
                                            cand.wlen))
                         fsdd_keys.append((qs, id(cand.tmpseq)))
-        for (qs, key), post in zip(
-                fsdd_keys,
-                pg.fs3_domdec(fsdd_items, 100.0 / 103.0)
-                if fsdd_items else []):
-            if post is not None:
-                qs.fsdd_cache[key] = post
+        if fsdd_items and \
+                _stage_cells(fsdd_items) / 3 >= _DEV_MIN["fs3dd"]:
+            for (qs, key), post in zip(
+                    fsdd_keys,
+                    pg.fs3_domdec(fsdd_items, 100.0 / 103.0)):
+                if post is not None:
+                    qs.fsdd_cache[key] = post
 
         # Phase G: arbitration + fs domain definition per (q, e)
         for qi, qs in enumerate(queries):
-            fsdd_fn = _dd_server(qs.fsdd_cache)
+            fsdd_fn = _dd_server(qs.fsdd_cache) \
+                if qs.fsdd_cache else None
             for k, e in enumerate(chunk):
                 if skip[k]:
                     continue
                 _, P_orf, _fw, oxf_holder = gates[(qi, k)]
                 lo, hi = fs_spans[(qi, k)]
-                fs3_dev = np.array(
-                    [np.nan if v is None else v
-                     for v in fs3_all[lo:hi]], F32) \
-                    if hi > lo else np.empty(0, F32)
+                fs3_dev = None
+                if use_fs3 and hi > lo:
+                    fs3_dev = np.array(
+                        [np.nan if v is None else v
+                         for v in fs3_all[lo:hi]], F32)
 
                 def _fsdd(seqs, dec_loop, _fn=fsdd_fn):
                     return _fn(seqs)
+                if fsdd_fn is None:
+                    _fsdd = None
+                qs.pli.nres = e.nres_at
                 fs_gate_and_define(
                     qs.pli, qs.om, qs.gm, qs.om_fs3, qs.om_fs5,
                     qs.gm_fs5, qs.bg, hits_qe[qi][k], e.seqid,
@@ -449,6 +616,8 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
                     fs3_dev=fs3_dev, fs_domdec_fn=_fsdd,
                     widx=fs_widx[(qi, k)])
 
+    mark("fs_define" if fs_mode else "tail")
+    report(f"flush[{ne}e]")
     # hits flow into each query's global list in entry (stream) order
     for qi, qs in enumerate(queries):
         for k in range(ne):
@@ -466,7 +635,8 @@ def run_multiquery(args, hmms, gcode, require_init, ofp, tblfp,
     pg = PackedGates(queries)
     fs_mode = bool(args.fs or args.fsonly)
 
-    context = max(q.om.max_length for q in queries) * 3
+    context = int(os.environ.get("BATH_WINDOW_CONTEXT", 0)) \
+        or max(q.om.max_length for q in queries) * 3
     id_lengths: dict = {}
     nres = 0
     nseqs = 0
@@ -503,21 +673,26 @@ def run_multiquery(args, hmms, gcode, require_init, ofp, tblfp,
             continue
         window.L = window.n
         seqid_for_hits = nseqs
+        # serial nres semantics: both strands counted BEFORE the
+        # window is processed (cli window_specs increments then
+        # yields), so both entries carry the post-increment value
         if strands != C.STRAND_BOTTOMONLY:
             nres += window.W
+        if strands != C.STRAND_TOPONLY:
+            nres += window.W
+        if strands != C.STRAND_BOTTOMONLY:
             orfs = extract_orfs(gcode, window.dsq, minlen=args.minlen,
                                 require_initiator=require_init)
             chunk.append(MQEntry(window, seqid_for_hits,
-                                 C.NOCOMPLEMENT, orfs, tid))
+                                 C.NOCOMPLEMENT, orfs, tid, nres))
             pending += len(orfs)
         if strands != C.STRAND_TOPONLY:
-            nres += window.W
             rc = window.reverse_complement()
             orfs = extract_orfs(gcode, rc.dsq, minlen=args.minlen,
                                 is_revcomp=True,
                                 require_initiator=require_init)
             chunk.append(MQEntry(rc, seqid_for_hits, C.COMPLEMENT,
-                                 orfs, tid))
+                                 orfs, tid, nres))
             pending += len(orfs)
         tid += 1
         if is_last:

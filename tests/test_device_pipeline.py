@@ -61,8 +61,13 @@ def test_gate_band_perturbation_byte_invariant(extra, sign):
     eps = sign * 0.9 * band_bound_nats()
     assert abs(eps) > 1.0     # sanity: the band allows >1 nat of error
     want = run_search("numpy", extra)
+    # force device engagement: the adaptive cascade would otherwise
+    # finish this tiny fixture on host, making the perturbation a
+    # no-op (the overdrive test below proves the hook bites)
     got = run_search("jax", extra,
-                     env_extra={"BATH_DEVICE_PERTURB": f"{eps:.6f}"})
+                     env_extra={"BATH_DEVICE_PERTURB": f"{eps:.6f}",
+                                "BATH_DEVICE_MIN_CELLS": "0",
+                                "BATH_FS_CAND_FLUSH": "0"})
     assert got == want
 
 
@@ -72,7 +77,9 @@ def test_gate_band_overdrive_changes_decisions():
     above the gate) must hard-reject true hits and change the
     output — i.e. the band test above has teeth."""
     want = run_search("numpy")
-    got = run_search("jax", env_extra={"BATH_DEVICE_PERTURB": "-60.0"})
+    got = run_search("jax",
+                     env_extra={"BATH_DEVICE_PERTURB": "-60.0",
+                                "BATH_DEVICE_MIN_CELLS": "0"})
     assert got != want
 
 
@@ -110,7 +117,7 @@ def test_msv_hybrid_cascade_byte_identical():
     want = run_search("numpy")
     env = dict(os.environ, BATH_JAX_PLATFORM="cpu",
                BATH_MSV_DEVICE="0", BATH_VIT_DEVICE="0",
-               BATH_DEVICE_STATS="1")
+               BATH_DEVICE_STATS="1", BATH_DEVICE_MIN_CELLS="0")
     r = subprocess.run(
         [sys.executable, "-m", "bath_tpu.cli.bathsearch",
          "--backend", "jax",
@@ -132,5 +139,7 @@ def test_fs3_v2_kernel_selection_byte_identical():
     nat bf16 drift)."""
     a = run_search("numpy", ["--fs"])
     b = run_search("jax", ["--fs"],
-                   env_extra={"BATH_FS3_KERNEL": "v2"})
+                   env_extra={"BATH_FS3_KERNEL": "v2",
+                              "BATH_DEVICE_MIN_CELLS": "0",
+                              "BATH_FS_CAND_FLUSH": "0"})
     assert a == b
