@@ -369,10 +369,13 @@ def validate_msa(msa: MSA):
 def build(msa: MSA, cfg: BuilderConfig | None = None,
           bg: Background | None = None,
           r: Randomness | None = None,
-          postmsa_file: str | None = None) -> HMM:
+          postmsa_file: str | None = None,
+          do_calibrate: bool = True) -> HMM:
     """MSA -> calibrated probability-form HMM
     (ref: p7_builder.c p7_Builder :419).  postmsa_file resaves the
-    trace-implied annotated alignment (ref: make_post_msa :371)."""
+    trace-implied annotated alignment (ref: make_post_msa :371).
+    do_calibrate=False defers E-value calibration (the device backend
+    batch-calibrates whole model sets: evalues_device.py)."""
     cfg = cfg or BuilderConfig()
     bg = bg or Background(msa.abc)
     validate_msa(msa)
@@ -469,7 +472,8 @@ def build(msa: MSA, cfg: BuilderConfig | None = None,
 
     ccfg = cfg.calibration
     ccfg.fs = cfg.fs
-    calibrate(hmm, ccfg, r=r or Randomness(cfg.seed), bg=bg)
+    if do_calibrate:
+        calibrate(hmm, ccfg, r=r or Randomness(cfg.seed), bg=bg)
 
     if cfg.w_len > 0:
         hmm.max_length = cfg.w_len
@@ -520,7 +524,8 @@ def seqmodel(dsq: np.ndarray, name: str, Q: np.ndarray, f: np.ndarray,
 def single_build(dsq: np.ndarray, name: str,
                  cfg: BuilderConfig | None = None,
                  bg: Background | None = None,
-                 r: Randomness | None = None) -> HMM:
+                 r: Randomness | None = None,
+                 do_calibrate: bool = True) -> HMM:
     """Single query sequence -> calibrated HMM via substitution-matrix
     probabilities, BLOSUM62 by default (ref: p7_SingleBuilder :478,
     p7_builder_SetScoreSystem :286)."""
@@ -550,7 +555,8 @@ def single_build(dsq: np.ndarray, name: str,
     set_consensus(hmm, dsq)
     ccfg = cfg.calibration
     ccfg.fs = cfg.fs
-    calibrate(hmm, ccfg, r=r or Randomness(cfg.seed), bg=bg)
+    if do_calibrate:
+        calibrate(hmm, ccfg, r=r or Randomness(cfg.seed), bg=bg)
     if cfg.w_len > 0:
         hmm.max_length = cfg.w_len
     elif cfg.w_beta == 0.0:

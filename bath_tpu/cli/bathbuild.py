@@ -26,12 +26,19 @@ _BCTX: dict | None = None
 
 
 def _build_task(msa):
-    """One model build in a (possibly forked) worker."""
+    """One model build in a (possibly forked) worker.  With the
+    device backend, calibration is deferred: the parent
+    batch-calibrates the whole model set on the TPU
+    (evalues_device.calibrate_many_device) before serializing."""
     import io
     c = _BCTX
     hmm = build(msa, c["cfg"], bg=Background(), r=c["r"],
-                postmsa_file=c["postmsa_file"])
+                postmsa_file=c["postmsa_file"],
+                do_calibrate=not c.get("defer_cal"))
     entropy = mean_match_relative_entropy(hmm, c["bg"])
+    if c.get("defer_cal"):
+        return (hmm, msa.name, msa.nseq, msa.alen,
+                hmm.M, hmm.ct, hmm.eff_nseq, entropy, msa.desc)
     buf = io.StringIO()
     write_hmm(buf, hmm)
     return (buf.getvalue(), msa.name, msa.nseq, msa.alen,
@@ -83,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="substitution score matrix (with --singlemx)")
     p.add_argument("--mxfile", default=None,
                    help="read substitution score matrix from file <f>")
+    p.add_argument("--backend", choices=("numpy", "jax"),
+                   default="numpy",
+                   help="calibration backend: jax batch-runs the "
+                        "E-value simulations on the device")
     p.add_argument("--cpu", type=int, default=0,
                    help="number of parallel model-build workers (multi-MSA files)")
     p.add_argument("--ere", type=float, default=None)
@@ -241,7 +252,8 @@ def main(argv=None) -> int:
 
             global _BCTX
             _BCTX = dict(cfg=cfg, r=r, bg=bg,
-                         postmsa_file=args.postmsafile)
+                         postmsa_file=args.postmsafile,
+                         defer_cal=args.backend == "jax")
             try:
                 ncpu = max(0, int(args.cpu or 0))
                 if ncpu > 1 and len(msas) > 1 \
@@ -258,6 +270,25 @@ def main(argv=None) -> int:
                     results = [_build_task(m) for m in msas]
             finally:
                 _BCTX = None
+            if args.backend == "jax":
+                # device-batched calibration over the whole model set
+                # (ref: evalues.c p7_Calibrate per model; here one
+                # batched simulation stage per kernel per model —
+                # evalues_device.py)
+                from ..evalues_device import calibrate_many_device
+                ccfg = cfg.calibration
+                ccfg.fs = cfg.fs
+                hmms = [rrow[0] for rrow in results]
+                calibrate_many_device(hmms, ccfg)
+                import io
+                packed = []
+                for hmm, name, nseq, alen, M, ct, effn, ent, desc \
+                        in results:
+                    buf = io.StringIO()
+                    write_hmm(buf, hmm)
+                    packed.append((buf.getvalue(), name, nseq, alen,
+                                   M, ct, effn, ent, desc))
+                results = packed
             for text, name, nseq, alen, M, ct, effn, ent, desc \
                     in results:
                 nali += 1
@@ -266,13 +297,22 @@ def main(argv=None) -> int:
                       % (nali, name or "", nseq, alen, M, ct,
                          effn, ent, desc or ""), file=ofp)
         else:
+            defer = args.backend == "jax"
+            rows = []
             for sq in read_fasta(args.msafile, amino()):
-                nali += 1
                 hmm = single_build(sq.dsq, sq.name, cfg, bg=Background(),
-                                   r=r)
+                                   r=r, do_calibrate=not defer)
                 if sq.desc:
                     hmm.desc = sq.desc
                 entropy = mean_match_relative_entropy(hmm, bg)
+                rows.append((hmm, sq, entropy))
+            if defer and rows:
+                from ..evalues_device import calibrate_many_device
+                ccfg = cfg.calibration
+                ccfg.fs = cfg.fs
+                calibrate_many_device([h for h, _, _ in rows], ccfg)
+            for hmm, sq, entropy in rows:
+                nali += 1
                 write_hmm(hfp, hmm)
                 print("  %-6d %-20s %5d %5d %5d %4d %8.2f %6.3f %s"
                       % (nali, sq.name, 1, sq.n, hmm.M, hmm.ct,

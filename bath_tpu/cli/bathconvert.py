@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "current BATH format (TPU-native bath_tpu)")
     p.add_argument("hmmfile_out")
     p.add_argument("hmmfile_in")
+    p.add_argument("--backend", choices=("numpy", "jax"),
+                   default="numpy",
+                   help="fs-tau calibration backend: jax batch-runs "
+                        "the simulations on the device")
     p.add_argument("--ct", type=int, default=None,
                    help="use alt genetic code of NCBI transl table <n>")
     return p
@@ -51,32 +55,42 @@ def main(argv=None) -> int:
     bg = Background()
     r = Randomness(42)
     idx = 0
+    hmms = []
+    fs_items = []                 # (hmm, ct) needing fs calibration
+    for hmm in read_hmms(args.hmmfile_in):
+        if hmm.abc.kind != "amino":
+            print(f"Invalid alphabet type in {args.hmmfile_in}; "
+                  "expected amino acid", file=sys.stderr)
+            return 1
+        ct = args.ct if args.ct is not None else (hmm.ct or 1)
+        hmm.fsprob = FSPROB_DEFAULT
+        needs_fs = ((args.ct is not None and ct != hmm.ct)
+                    or hmm.evparam[C.EV_FTAUFS3] == C.EVPARAM_UNSET
+                    or hmm.evparam[C.EV_FTAUFS5] == C.EVPARAM_UNSET)
+        hmm.fs = True
+        hmm.ct = ct
+        hmms.append(hmm)
+        if needs_fs:
+            fs_items.append((hmm, ct))
+    if fs_items and args.backend == "jax":
+        from ..evalues_device import convert_fs_taus_device
+        convert_fs_taus_device(fs_items, r, bg)
+    else:
+        for hmm, ct in fs_items:
+            gcode = GeneticCode.create(ct)
+            gcode.set_initiator_any()
+            tbl = CodonTable(gcode)
+            lam = float(hmm.evparam[C.EV_FLAMBDA])
+            gm3 = profile_config_fs(hmm, bg, gcode, 3, 100)
+            om3 = fs_oprofile_convert(gm3)
+            hmm.evparam[C.EV_FTAUFS3] = fs_tau(
+                r, om3, tbl, bg, 100, 200, lam, 0.04)
+            gm5 = profile_config_fs(hmm, bg, gcode, 5, 100)
+            om5 = fs_oprofile_convert(gm5)
+            hmm.evparam[C.EV_FTAUFS5] = fs_tau(
+                r, om5, tbl, bg, 100, 200, lam, 0.04)
     with open(args.hmmfile_out, "w") as ofp:
-        for hmm in read_hmms(args.hmmfile_in):
-            if hmm.abc.kind != "amino":
-                print(f"Invalid alphabet type in {args.hmmfile_in}; "
-                      "expected amino acid", file=sys.stderr)
-                return 1
-            ct = args.ct if args.ct is not None else (hmm.ct or 1)
-            hmm.fsprob = FSPROB_DEFAULT
-            needs_fs = ((args.ct is not None and ct != hmm.ct)
-                        or hmm.evparam[C.EV_FTAUFS3] == C.EVPARAM_UNSET
-                        or hmm.evparam[C.EV_FTAUFS5] == C.EVPARAM_UNSET)
-            hmm.fs = True
-            hmm.ct = ct
-            if needs_fs:
-                gcode = GeneticCode.create(ct)
-                gcode.set_initiator_any()
-                tbl = CodonTable(gcode)
-                lam = float(hmm.evparam[C.EV_FLAMBDA])
-                gm3 = profile_config_fs(hmm, bg, gcode, 3, 100)
-                om3 = fs_oprofile_convert(gm3)
-                hmm.evparam[C.EV_FTAUFS3] = fs_tau(
-                    r, om3, tbl, bg, 100, 200, lam, 0.04)
-                gm5 = profile_config_fs(hmm, bg, gcode, 5, 100)
-                om5 = fs_oprofile_convert(gm5)
-                hmm.evparam[C.EV_FTAUFS5] = fs_tau(
-                    r, om5, tbl, bg, 100, 200, lam, 0.04)
+        for hmm in hmms:
             if hmm.max_length <= 0:
                 hmm.set_max_length()
             idx += 1

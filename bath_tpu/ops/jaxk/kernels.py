@@ -162,6 +162,8 @@ def _gdot(W, x, ng: int):
     batched matmul — block-diagonal semantics at linear (not
     quadratic) cost in the packed lane count."""
     if ng == 1:
+        if W.ndim == 3:          # single-model pack: [1, Mg, Mg]
+            W = W[0]
         return jnp.dot(W, x, preferred_element_type=F32)
     GM, B = x.shape
     Mg = GM // ng
@@ -334,18 +336,24 @@ class FwdMBParams:
     u: jnp.ndarray       # [Mt] xE weights (1 + colsum of unfolded W)
 
 
-def fwd_mb_params(om: OProfile, sub_multiple: int = 8) -> FwdMBParams:
+def fwd_mb_params(om: OProfile, sub_multiple: int = 8,
+                  to_dev: bool = True) -> FwdMBParams:
+    """to_dev=False leaves the arrays numpy (bulk component builders
+    — e.g. multi-model packing — avoid per-array device_puts, whose
+    dispatch is pathologically slow under a default_device override
+    on plugin backends)."""
     M = om.M
     Mt = round_up(M, sub_multiple)
     Kp = om.Kp
     rfvT = np.zeros((Mt, Kp), np.float32)
     rfvT[:M] = om.rfv[:, 1:M + 1].T
     tfv = om.tfv
+    conv = jnp.asarray if to_dev else (lambda x: x)
 
     def pad(v):
         out = np.zeros(Mt, np.float32)
         out[:len(v)] = v
-        return jnp.asarray(out)
+        return conv(out)
 
     tMD = np.zeros(Mt, np.float32)
     tMD[1:M] = tfv[1:M, C.P_MD]          # slot k = M_k -> D_{k+1}
@@ -363,11 +371,11 @@ def fwd_mb_params(om: OProfile, sub_multiple: int = 8) -> FwdMBParams:
     W3 = np.zeros_like(W)
     W3[1:] = tDMv[1:, None] * W[:-1]
     return FwdMBParams(
-        Mt=Mt, M=M, rfvT=jnp.asarray(rfvT.astype(np.float32)),
+        Mt=Mt, M=M, rfvT=conv(rfvT.astype(np.float32)),
         tBM=pad(tfv[:M, C.P_BM]), tMM=pad(tfv[:M, C.P_MM]),
         tIM=pad(tfv[:M, C.P_IM]),
         tMI=pad(tfv[1:M + 1, C.P_MI]), tII=pad(tfv[1:M + 1, C.P_II]),
-        W3=jnp.asarray(W3), u=jnp.asarray(u))
+        W3=conv(W3), u=conv(u))
 
 
 _FWD_BL = 12
@@ -571,17 +579,20 @@ class FS3Params:
                              # unfolded closure (xE = u . msv)
 
 
-def fs3_params(om_fs, sub_multiple: int = 8) -> FS3Params:
-    """From an FSOProfile (codon_lengths == 3)."""
+def fs3_params(om_fs, sub_multiple: int = 8,
+               to_dev: bool = True) -> FS3Params:
+    """From an FSOProfile (codon_lengths == 3).  to_dev=False leaves
+    arrays numpy (see fwd_mb_params)."""
     M = om_fs.M
     Mt = round_up(M, sub_multiple)
     rfvT = om_fs.rfv[:, 1:M + 1].T.astype(np.float32)   # [M, nrows]
     tfv = om_fs.tfv
+    conv = jnp.asarray if to_dev else (lambda x: x)
 
     def table(origs):
         t = np.zeros((Mt, len(origs)), np.float32)
         t[:M] = rfvT[:, origs]
-        return jnp.asarray(t)
+        return conv(t)
 
     dig = range(C.MAXNUC)
     orig2 = [C.codon2_fs3(b, a) for a in dig for b in dig] \
@@ -594,7 +605,7 @@ def fs3_params(om_fs, sub_multiple: int = 8) -> FS3Params:
     def pad(v):
         out = np.zeros(Mt, np.float32)
         out[:len(v)] = v
-        return jnp.asarray(out)
+        return conv(out)
 
     tMD = np.zeros(Mt, np.float32)
     tMD[1:M] = tfv[1:M, C.P_MD]          # slot k = M_k -> D_{k+1}
@@ -619,9 +630,9 @@ def fs3_params(om_fs, sub_multiple: int = 8) -> FS3Params:
         Mt=Mt, M=M, T2=table(orig2), T3=table(orig3), T4=table(orig4),
         tBM=pad(tfv[:M, C.P_BM]), tMM=pad(tfv[:M, C.P_MM]),
         tIM=pad(tfv[:M, C.P_IM]), tDM=pad(tfv[:M, C.P_DM]),
-        tMDs=jnp.asarray(tMD),
+        tMDs=conv(tMD),
         tMI=pad(tfv[1:M + 1, C.P_MI]), tII=pad(tfv[1:M + 1, C.P_II]),
-        UT=jnp.asarray(W3), u=jnp.asarray(u))
+        UT=conv(W3), u=conv(u))
 
 
 def _shift_down(x):

@@ -45,16 +45,22 @@ def _cpu_device():
 
 
 def _np_params(builder, *args, **kw):
-    """Run a per-model param builder with jnp placement pinned to the
-    host CPU backend (multi-query drives build hundreds of models'
-    components; only the packed call arrays ever ship to the TPU)."""
-    import jax
-    dev = _cpu_device()
-    if dev is None:
+    """Run a per-model param builder host-side (multi-query drives
+    build hundreds of models' components; only the packed call arrays
+    ever ship to the TPU).  Builders that accept to_dev=False build
+    pure numpy (no jnp dispatch at all — a default_device override
+    costs ~10ms per jnp op on plugin backends); others are pinned to
+    the CPU backend."""
+    if kw.get("to_dev") is False:
         p = builder(*args, **kw)
     else:
-        with jax.default_device(dev):
+        import jax
+        dev = _cpu_device()
+        if dev is None:
             p = builder(*args, **kw)
+        else:
+            with jax.default_device(dev):
+                p = builder(*args, **kw)
     out = {}
     for f in fields(p):
         v = getattr(p, f.name)
@@ -64,7 +70,7 @@ def _np_params(builder, *args, **kw):
 
 def fwd_components(om):
     """Host-side (numpy) per-model Forward-gate components."""
-    return _np_params(jk.fwd_mb_params, om)
+    return _np_params(jk.fwd_mb_params, om, to_dev=False)
 
 
 def domdec_components(om):
@@ -77,7 +83,7 @@ def domdec_components(om):
 
 
 def fs3_components(om_fs):
-    return _np_params(jk.fs3_params, om_fs)
+    return _np_params(jk.fs3_params, om_fs, to_dev=False)
 
 
 def fs3_domdec_components(om_fs):
