@@ -581,6 +581,19 @@ class DeviceCascade:
             def scorer(batch, blens):
                 return fs3_score_v2(batch, blens, self._fs3v2_params,
                                     nj=1.0, interpret=interp)
+        elif os.environ.get("BATH_FS3_KERNEL", "v3") == "v3":
+            # block-lazy rescaling variant (ops/jaxk/fs3_v3.py):
+            # 63.7 GCUPS vs v1's 47.8 on-chip (round-4 race), same
+            # scores to f32 round-off — the production default;
+            # BATH_FS3_KERNEL=v1 restores the pending-scale kernel
+            from .ops.jaxk.fs3_v3 import (fs3_params_v3,
+                                          fs3_score_batch_v3)
+            if getattr(self, "_fs3v3_params", None) is None:
+                self._fs3v3_params = fs3_params_v3(self._om_fs3)
+
+            def scorer(batch, blens):
+                return fs3_score_batch_v3(batch, blens,
+                                          self._fs3v3_params, nj=1.0)
         else:
             if self._fs3_params is None:
                 self._fs3_params = jk.fs3_params(self._om_fs3)

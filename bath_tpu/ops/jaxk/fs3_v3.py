@@ -9,14 +9,14 @@ cell, not the tiles:
 1. **Block-lazy rescaling.**  The v1 kernel tracks a pending-scale
    scalar per ring slot and folds it at every read (~4 [Mt, B]
    multiplies per position: the sv *sc2, the two ivx *pivx, the
-   new_i *pend).  v3 rescales once per 12-position block instead:
+   new_i *pend).  v3 rescales once per BL-position block instead:
    within a block every row shares the block-base scale, so reads
    need NO folding at all; at the block boundary one [B] scale
    (max xE over the block, clamped >= 1 like v1's per-position
    max(xE, 1)) is divided into the ring slots that survive into the
-   next block (9 row multiplies + 2 ivx per 12 positions ~= 0.9/pos).
-   f32 headroom makes this safe: 12 positions of unrescaled growth is
-   bounded by ~(max odds ratio)^12 ~= 1e24-1e31 against f32's 3.4e38;
+   next block (9 row multiplies + 2 ivx per block ~= 0.5/pos at
+   BL=24).  f32 headroom makes this safe: 24 positions of unrescaled
+   growth is bounded by ~(max odds ratio)^24 against f32's 3.4e38;
    the shrink direction is identical to v1 (which also never
    upscales).
 
@@ -32,11 +32,20 @@ cell, not the tiles:
    of the closure operator (W3s below), removing one sublane roll per
    position.
 
-Net: ~24 -> ~15-16 [Mt, B] ops/position.  Scores are within f32
-round-off of v1 (same recurrence, same emission values, different
-rescale points); the production gate band (DEVICE_GATE_BAND, 0.05
-nats at the pipeline tier) dwarfs the drift, and the parity test pins
-it against the host parser at the same tolerance as v1.
+Net: ~24 -> ~15-16 [Mt, B] ops/position.  Measured on one v5e chip
+(M=134, B=4096, L=8184, best-of-3): **60.1 GCUPS** at the default
+(edot="pos", BL=24) vs v1's 47.8 — the per-position f32 emission
+dots must stay SSA values (edot="block" materializes [Mt, BL*B] f32
+in HBM and REGRESSES to 43; BL=36 regresses to 53; a fused
+block-diagonal [3Mt,339] emission dot + [Mt+8,Mt] closure/xE
+operator — one MXU call per position instead of five — measured 33:
+three small-contraction dots beat one big one).
+
+Scores are within f32 round-off of v1 (same recurrence, same
+emission values, different rescale points); the production gate band
+(DEVICE_GATE_BAND, 0.05 nats at the pipeline tier) dwarfs the drift,
+and the parity test pins it against the host parser at the same
+tolerance as v1.
 
 Ref: generic_fwdback_frameshift.c:210-232 (the IVX recurrence);
 impl_sse/fwdback_fs.c (the reference's per-row sparse rescaling this
@@ -74,9 +83,9 @@ def fs3_params_v3(om_fs, sub_multiple: int = 8) -> FS3ParamsV3:
     return FS3ParamsV3(base=base, W3s=jnp.asarray(W3s))
 
 
-@partial(jax.jit, static_argnames=("Mt", "nj", "edot"))
+@partial(jax.jit, static_argnames=("Mt", "nj", "edot", "BL"))
 def _fs3_v3_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tMI, tII,
-                 nj, Mt, W3s, u, edot="block"):
+                 nj, Mt, W3s, u, edot="pos", BL=24):
     B, L = dsq.shape
     dsq = dsq.astype(jnp.int32)
     Lpad = ((L + BL - 1) // BL) * BL
@@ -238,8 +247,8 @@ def _fs3_v3_impl(dsq, lens, T2, T3, T4, tBM, tMM, tIM, tMI, tII,
 
 
 def fs3_score_batch_v3(dsq, lens, params: FS3ParamsV3,
-                       nj: float = 1.0, edot: str = "block"
-                       ) -> jnp.ndarray:
+                       nj: float = 1.0, edot: str = "pos",
+                       BL: int = 24) -> jnp.ndarray:
     """Frameshift 3-codon Forward scores (nats), v1 call contract
     (lane-chunked past the VMEM carry cap like fs3_score_batch)."""
     p = params.base
@@ -251,7 +260,7 @@ def fs3_score_batch_v3(dsq, lens, params: FS3ParamsV3,
     def one(d, ln):
         return _fs3_v3_impl(d, ln, p.T2, p.T3, p.T4, p.tBM, p.tMM,
                             p.tIM, p.tMI, p.tII, float(nj), p.Mt,
-                            params.W3s, p.u, edot=edot)
+                            params.W3s, p.u, edot=edot, BL=BL)
 
     if B <= cap:
         return one(dsq, lens)

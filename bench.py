@@ -324,6 +324,17 @@ def main():
             racers["pallas-v2"] = (run2, bat2)
         except Exception as e:          # Mosaic regression: keep jnp
             print(f"# v2 kernel unavailable: {e!r}", file=sys.stderr)
+        try:
+            from bath_tpu.ops.jaxk.fs3_v3 import (fs3_params_v3,
+                                                  fs3_score_batch_v3)
+            ps3 = fs3_params_v3(om3)
+
+            def run3(d):
+                return fs3_score_batch_v3(d, lens, ps3, nj=1.0)
+            np.asarray(run3(batches[0]))        # warm/compile
+            racers["jnp-v3"] = (run3, batches)
+        except Exception as e:
+            print(f"# v3 kernel unavailable: {e!r}", file=sys.stderr)
         np.asarray(run(batches[0]))             # warm/compile
         best = {}
         for rnd in range(3):

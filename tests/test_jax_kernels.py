@@ -77,6 +77,17 @@ def test_fs3_jax_vs_numpy(setup):
         om3.reconfig_length(len(d) // 3)
         _, ref = ffs.forward_parser_fs3(d, om3)
         assert abs(s - ref) < 0.2, (len(d), s, ref)
+    # v3 (block-lazy rescaling, ops/jaxk/fs3_v3.py): same recurrence,
+    # different rescale points — must sit within f32 round-off of v1
+    from bath_tpu.ops.jaxk.fs3_v3 import (fs3_params_v3,
+                                          fs3_score_batch_v3)
+    pv3 = fs3_params_v3(om3)
+    n = len(dnas)
+    s3 = np.asarray(fs3_score_batch_v3(batch, lens, pv3, nj=1.0))[:n]
+    assert np.all(np.abs(s3 - scores[:n]) < 0.02), (s3, scores)
+    s3p = np.asarray(fs3_score_batch_v3(batch, lens, pv3, nj=1.0,
+                                        edot="pos"))[:n]
+    assert np.array_equal(s3p, s3)
 
 
 def test_mesh_backend_identical():
