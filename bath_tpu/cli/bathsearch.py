@@ -632,9 +632,13 @@ def run(argv=None) -> int:
             DEV_MIN = float(os.environ.get("BATH_DEVICE_MIN_CELLS",
                                            2e8))
             # fs mode: the fs3 windows (built downstream) dwarf the
-            # fwd volume; engage the device once enough candidates
-            # are staged that windows will batch well
-            FS_CANDS = int(os.environ.get("BATH_FS_CAND_FLUSH", 512))
+            # fwd volume; engage the device once the PROJECTED fs3
+            # DP volume amortizes device init + per-flush latency
+            # (a candidate-count trigger engaged the device on
+            # hit-sparse drives whose host fs3 work was milliseconds
+            # — the r4 e2e regression)
+            FS_MIN_CELLS = float(os.environ.get("BATH_FS_MIN_CELLS",
+                                                5e8))
             chunk: list = []
             staged: list = []
             pending_orfs = 0
@@ -654,8 +658,13 @@ def run(argv=None) -> int:
             def _maybe_down(final=False):
                 cells = staged_fwd_cells(staged, om.M)
                 ncand = sum(len(e.cands or ()) for e in staged)
+                # projected fs3 gate volume: each candidate becomes a
+                # window of up to 2*W aminos * 3 nt; fs cells follow
+                # the multiquery nt/3 convention (multiquery._DEV_MIN)
+                fs_cells = ncand * 2.0 * om.max_length * om.M
                 engage = (cells >= DEV_MIN
-                          or (pli.fs_pipe and ncand >= FS_CANDS))
+                          or (pli.fs_pipe
+                              and fs_cells >= FS_MIN_CELLS))
                 if final:
                     _down_flush(engage)
                 elif engage:

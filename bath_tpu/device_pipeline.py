@@ -82,6 +82,7 @@ def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
     loop is ~15% of e2e host wall at 100MB, measured round 3);
     <scorer(batch, lens) -> jnp array of shape [out_rows*B] or [B]>.
     Returns [out_rows, n] float64 (row-major per scorer row)."""
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -195,10 +196,44 @@ def _perturb(scores: np.ndarray) -> np.ndarray:
                     scores).astype(np.float32)
 
 
+def ensure_axon_registered():
+    """Deferred axon PJRT registration.
+
+    The sitecustomize hook registers the axon TPU plugin eagerly when
+    PALLAS_AXON_POOL_IPS is set, importing jax at interpreter startup
+    (~1.8s) in EVERY process — including drives whose adaptive
+    engagement never touches the device.  A launcher can instead move
+    the env var to BATH_AXON_DEFER_IPS; the first real device
+    engagement lands here and performs the same registration, so the
+    accelerator tax is paid exactly when the accelerator is used
+    (measured: no-engagement drives start in 0.2s instead of 2s)."""
+    ips = os.environ.get("BATH_AXON_DEFER_IPS")
+    if not ips or os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    import sys
+    import uuid
+    os.environ["PALLAS_AXON_POOL_IPS"] = ips
+    os.environ["AXON_POOL_SVC_OVERRIDE"] = "127.0.0.1"
+    os.environ["AXON_LOOPBACK_RELAY"] = "1"
+    os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    try:
+        from axon.register import register
+        register(None, f"{gen}:1x1x1",
+                 so_path="/opt/axon/libaxon_pjrt.so",
+                 session_id=str(uuid.uuid4()),
+                 remote_compile=os.environ.get(
+                     "PALLAS_AXON_REMOTE_COMPILE") == "1")
+    except Exception as e:               # pragma: no cover
+        print(f"# deferred axon registration failed: {e!r}",
+              file=sys.stderr)
+
+
 def _enable_compile_cache():
     """Persistent XLA compile cache: gate-kernel compiles are
     seconds-to-minutes (hardware backends especially), and every
     bathsearch process uses the same handful of bucket shapes."""
+    ensure_axon_registered()
     import jax
     try:
         cache = os.environ.get(
@@ -217,7 +252,9 @@ class DeviceCascade:
     """Per-query device kernels + packing for the chunked cascade."""
 
     def __init__(self, om, om_fs3=None, mesh_sharding=None):
-        _enable_compile_cache()
+        # NO device/jax work here: the adaptive cascade may finish a
+        # drive without engaging the device at all, and even the jax
+        # import (~1.5s) is deferred to first engagement
         self.om = om
         self.mesh_sharding = mesh_sharding
         self._msv = None
@@ -257,6 +294,7 @@ class DeviceCascade:
         of ~8 (the bucketed path's per-call tunnel overhead dominated
         the stage).  Fills out_sc in place; returns the boolean mask
         of ORFs it covered."""
+        _enable_compile_cache()
         import time as _time
 
         import jax
@@ -387,6 +425,7 @@ class DeviceCascade:
         Returns {i: (nwin, [(row, k, sc), ...])} for in-bucket items;
         missing keys (over-bucket) and overflowed lanes fall back to
         the host scan (ref: impl_sse/msvfilter.c :250)."""
+        _enable_compile_cache()
         import math as _math
 
         import jax
@@ -451,6 +490,7 @@ class DeviceCascade:
         reference's eslERANGE return does; missing keys (over-bucket
         items) fall back to the host scan (ref: impl_sse/vitfilter.c
         :286)."""
+        _enable_compile_cache()
         import math as _math
         import time as _time
 
@@ -618,6 +658,7 @@ class DeviceCascade:
         """Batched device (btot, etot, mocc, ok) for F3 survivors —
         ok=False (host fallback) for over-bucket ORFs or flagged
         lanes.  Returns per-item [n_i+1]-sliceable rows."""
+        _enable_compile_cache()
         from .ops.jaxk import kernels as jk
         if self._domdec_params is None:
             self._domdec_params = jk.domdec_params(self.om)
@@ -669,6 +710,7 @@ class DeviceCascade:
         windows — ok=False (host fallback) for over-bucket windows or
         flagged lanes.  <dec_loop>: N/J/C LOOP prob of the profile
         the host decoder uses (om_fs5 pinned at multihit(100))."""
+        _enable_compile_cache()
         from .ops.jaxk import kernels as jk
         if self._fs3_domdec_params is None:
             self._fs3_domdec_params = jk.fs3_domdec_params(
@@ -714,6 +756,7 @@ class DeviceCascade:
         return btot, etot, mocc, ok
 
     def _put(self, arr):
+        _enable_compile_cache()
         if self.mesh_sharding is None:
             return arr
         import jax
@@ -808,33 +851,39 @@ def flush_gates(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
         if vit_dev == "auto":
             vit_dev = "0" if have_native else "1"
     # one concatenated int8 residue stream for the whole chunk: the
-    # MSV packer gathers rows vectorized instead of a per-ORF loop
+    # MSV packer gathers rows vectorized instead of a per-ORF loop.
+    # Only built when the device MSV gate is selected — the hybrid
+    # default runs the native host batch, and the per-ORF offset
+    # accumulation costs ~2s per 100MB drive (3.6M ORFs, measured r4)
     flats: list = []
-    all_offs: list = []
-    all_lens: list = []
+    offs_parts: list = []
+    lens_parts: list = []
     base = 0
-    for e, sk in zip(chunk, skip):
-        if sk:
-            continue
-        if getattr(e.orfs, "flat", None) is not None:
-            f = np.asarray(e.orfs.flat, np.int8)
-            flats.append(f)
-            all_offs.extend(int(o) + base for o in e.orfs.offs)
-            all_lens.extend(int(x) for x in e.orfs.lens)
-            base += len(f)
-        else:
-            for o in e.orfs:
-                f = np.asarray(o.dsq, np.int8)
+    if msv_dev != "0":
+        for e, sk in zip(chunk, skip):
+            if sk:
+                continue
+            if getattr(e.orfs, "flat", None) is not None:
+                f = np.asarray(e.orfs.flat, np.int8)
                 flats.append(f)
-                all_offs.append(base)
-                all_lens.append(o.n)
+                offs_parts.append(
+                    np.asarray(e.orfs.offs, np.int64) + base)
+                lens_parts.append(
+                    np.asarray(e.orfs.lens, np.int64))
                 base += len(f)
-    if all_lens and msv_dev != "0":
+            else:
+                for o in e.orfs:
+                    f = np.asarray(o.dsq, np.int8)
+                    flats.append(f)
+                    offs_parts.append(np.asarray([base], np.int64))
+                    lens_parts.append(np.asarray([o.n], np.int64))
+                    base += len(f)
+    if lens_parts:
         flat_all = (flats[0] if len(flats) == 1
                     else np.concatenate(flats))
         usc_all = cascade.msv_scores(
-            None, np.asarray(all_lens, np.int64), flat=flat_all,
-            offs=np.asarray(all_offs, np.int64))
+            None, np.concatenate(lens_parts), flat=flat_all,
+            offs=np.concatenate(offs_parts))
     else:
         # hybrid cascade: usc_pre=None makes pipeline_gate_plan run
         # the per-window native OpenMP MSV batch (bit-identical)
@@ -955,6 +1004,20 @@ def flush_gates(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
             e.seqid, e.complementarity, plan=p, vitsc=vitsc,
             ssvcaps=ssvcaps, vitcaps=vcaps_by_entry[k])
         e.win_end = len(hit_windows)
+
+    # staged entries may accumulate across the whole drive (the
+    # adaptive cascade defers downstream until the DP volume
+    # amortizes the device); drop what downstream never reads (a
+    # 100MB drive otherwise retains every window + revcomp + ORF
+    # array to the end: allocator pressure measured as ~10% of e2e
+    # wall).  The fs branch rebuilds merged DNA windows from the ORF
+    # list + window sequence (fs_prepare), so only the standard
+    # pipeline can shed them.
+    if not pli.fs_pipe:
+        for e in chunk:
+            e.orfs = None
+            if not e.cands:
+                e.window = None
 
     done = list(chunk)
     chunk.clear()

@@ -141,8 +141,10 @@ class PackedGates:
 
     def __init__(self, queries: list[QState]):
         self.queries = queries
-        from .device_pipeline import _enable_compile_cache
-        _enable_compile_cache()
+        # no jax work at construction: the adaptive thresholds may
+        # keep the whole drive on host; _enable_compile_cache (which
+        # also performs deferred axon registration) runs at the first
+        # packed dispatch instead
         # pack membership per (kind-class-geometry)
         self._slots: dict = {}      # (family, qi) -> (class, pack, slot)
         self._packs: dict = {}      # (kind, class, pack) -> pack obj
@@ -194,6 +196,8 @@ class PackedGates:
              Lb, Bladder, pad_value, out_rows):
         """items: [(qs, dsq np int8, length)] -> aligned result list
         (None = caller must use its host/single-model fallback)."""
+        from .device_pipeline import _enable_compile_cache
+        _enable_compile_cache()
         import jax.numpy as jnp
         n = len(items)
         out = [None] * n

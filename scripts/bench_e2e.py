@@ -78,6 +78,13 @@ def _drive(name, args, fa, nres_factor=2, hmm=None, backend="numpy",
         # so sitecustomize doesn't spend ~1.9s registering the TPU
         # plugin (a sandbox artifact, not a framework cost)
         env.pop("PALLAS_AXON_POOL_IPS", None)
+    else:
+        # deferred registration: the adaptive cascade pays the jax
+        # import + plugin registration only when a stage actually
+        # engages the device (device_pipeline.ensure_axon_registered)
+        ips = env.pop("PALLAS_AXON_POOL_IPS", None)
+        if ips:
+            env["BATH_AXON_DEFER_IPS"] = ips
     env["BATH_DEVICE_STATS"] = "1"
     cmd = [sys.executable, "-m", "bath_tpu.cli.bathsearch",
            "--backend", backend, *args,

@@ -181,6 +181,13 @@ def drive(models, genome, backend, fs=False, label="", hosts=0):
                 Ms.append(int(line.split()[1]))
     nres = 2 * os.path.getsize(genome)   # both strands, ~1 hdr line
     env = dict(os.environ)
+    if backend == "numpy":
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    else:
+        # deferred axon registration (see bench_e2e._drive)
+        ips = env.pop("PALLAS_AXON_POOL_IPS", None)
+        if ips:
+            env["BATH_AXON_DEFER_IPS"] = ips
     args = [sys.executable, "-m", "bath_tpu.cli.bathsearch",
             "--backend", backend, "-o", os.path.join(WORK, "out.txt"),
             "--tblout", os.path.join(WORK, "out.tbl")]
