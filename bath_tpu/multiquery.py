@@ -29,7 +29,12 @@ the maximum over the query set.  A larger overlap only widens window
 context; duplicate hits from overlap regions are removed by the same
 RemoveDuplicates discipline either way (SURVEY.md section 5
 long-context), and the byte-parity tests pin equality on mixed-M
-query sets.
+query sets.  One consequence at database scale: a query whose serial
+overlap is smaller than the shared maximum can see a boundary ORF
+its serial stream would split, so its per-query FILTER-COUNT
+statistics lines may differ by that ORF's residues (observed: one
+query of 200 on a 5 Mb drive, +384 of 293k SSV-passing residues);
+hits, scores, and alignments remain byte-identical.
 """
 
 from __future__ import annotations

@@ -534,19 +534,31 @@ def msv_filter_native_batch(orf_dsqs: list, om) -> np.ndarray | None:
         np.cumsum(lens[:-1], out=offs[1:])
         cat = np.concatenate([np.ascontiguousarray(d, dtype=np.int32)
                               for d in orf_dsqs])
-    tcache = om.__dict__.setdefault("_tjb_cache", {})
     # tjb per UNIQUE length (ORF lengths repeat heavily; the scalar
-    # per-ORF path was a visible cost at database scale)
-    ulens, inv = np.unique(np.asarray(lens, dtype=np.int64),
-                           return_inverse=True)
-    utjb = np.empty(len(ulens), dtype=np.int32)
-    for u, L in enumerate(ulens):
-        L = int(L)
-        v = tcache.get(L)
-        if v is None:
-            v = om._unbiased_byteify(np.log(3.0 / (L + 3.0)))
-            tcache[L] = v
-        utjb[u] = v
+    # per-ORF path was a visible cost at database scale).  The
+    # (ulens, inv) factorization is cached on the OrfList — the
+    # multi-query drive scores the SAME shared ORF stream once per
+    # model — and the per-unique-length byteify is one vectorized op
+    # replicating _unbiased_byteify's exact f32/roundf arithmetic.
+    uent = getattr(orf_dsqs, "_ulen_cache", None) \
+        if flat is not None else None
+    if uent is None:
+        ulens, inv = np.unique(np.asarray(lens, dtype=np.int64),
+                               return_inverse=True)
+        if flat is not None:
+            try:
+                orf_dsqs._ulen_cache = (ulens, inv)
+            except AttributeError:
+                pass               # non-caching container: fine
+    else:
+        ulens, inv = uent
+    sc32 = np.log(3.0 / (ulens.astype(np.float64) + 3.0)) \
+        .astype(np.float32)
+    x = np.float32(om.scale_b) * sc32
+    rc = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    cost = -rc                     # always >= 0 (log arg < 1)
+    utjb = np.where(cost > 255.0, 255,
+                    cost.astype(np.int64) & 0xFF).astype(np.int32)
     tjbs = utjb[inv]
     out = np.empty(n, dtype=np.float32)
     lib.bio_msv_filter_batch(cat, offs, lens, tjbs, n, sbv, rbv,
@@ -689,18 +701,19 @@ def vit_filter_score_batch(orfs, idxs, om) -> np.ndarray | None:
     in_offs = np.ascontiguousarray(orfs.offs[idxs], dtype=np.int64)
     lens = np.ascontiguousarray(orfs.lens[idxs], dtype=np.int32)
     rwv_p, twv_p = _packed_filter_ptrs(om)
-    mcache = om.__dict__.setdefault("_movew_cache", {})
     nj = float(om.nj)           # move score depends on (L, nj)
     ulens, inv = np.unique(lens.astype(np.int64), return_inverse=True)
-    umove = np.empty(len(ulens), dtype=np.int32)
-    for u, L in enumerate(ulens):
-        L = int(L)
-        v = mcache.get((L, nj))
-        if v is None:
-            om.reconfig_length(L)
-            v = int(om.xw[C.X_N, C.MOVE])
-            mcache[(L, nj)] = v
-        umove[u] = v
+    # vectorized _wordify(scale_w, log(pmove)) over the unique
+    # lengths, replicating reconfig_length's exact f32 arithmetic
+    # (the scalar per-unique-length loop was ~1.5s per Pfam-scale
+    # multi-query drive)
+    Lf = ulens.astype(np.float32)
+    pmove = (np.float32(2.0) + np.float32(nj)) / (
+        Lf + np.float32(2.0) + np.float32(nj))
+    x = np.float32(om.scale_w) * np.log(pmove)
+    rc = np.where(x >= 0, np.floor(x + np.float32(0.5)),
+                  np.ceil(x - np.float32(0.5)))
+    umove = np.clip(rc, -32768.0, 32767.0).astype(np.int32)
     move_ws = np.ascontiguousarray(umove[inv], dtype=np.int32)
     out = np.empty(n, np.float32)
     lib.bio_vit_filter_batch(
@@ -1419,15 +1432,24 @@ def fs5_oa_trace_native(om_fs, pp, ox):
 def _bind_ssvbath(lib):
     if getattr(lib, "_ssvbath_bound", False):
         return
-    F32C = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    # raw void_p args: this runs once per F1-surviving ORF (~10k
+    # calls per Pfam-scale drive); ndpointer from_param+cast costs
+    # ~4us per array argument
+    VP0 = ctypes.c_void_p
     lib.bio_ssv_filter_bath.restype = ctypes.c_int64
     lib.bio_ssv_filter_bath.argtypes = (
-        [I32P, ctypes.c_int64, U8P, U8P, ctypes.c_int64,
+        [VP0, ctypes.c_int64, VP0, VP0, ctypes.c_int64,
          ctypes.c_int, ctypes.c_int,
          ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
          ctypes.c_double, ctypes.c_int32]
-        + [I32P, I32P, I32P, F32C, ctypes.c_int64])
+        + [VP0, VP0, VP0, VP0, ctypes.c_int64])
     lib._ssvbath_bound = True
+
+
+# per-call capture scratch, reused (threads each get their own)
+import threading as _threading
+
+_SSVBATH_TLS = _threading.local()
 
 
 def ssv_filter_bath_native(dsq, om, data, sc_thresh):
@@ -1447,14 +1469,19 @@ def ssv_filter_bath_native(dsq, om, data, sc_thresh):
     dsq32 = dsq if (dsq.dtype == np.int32 and dsq.flags.c_contiguous) \
         else np.ascontiguousarray(dsq, dtype=np.int32)
     cap = 4096
-    wn = np.empty(cap, np.int32)
-    wk = np.empty(cap, np.int32)
-    wl = np.empty(cap, np.int32)
-    ws = np.empty(cap, np.float32)
+    s = _SSVBATH_TLS
+    if getattr(s, "wn", None) is None:
+        s.wn = np.empty(cap, np.int32)
+        s.wk = np.empty(cap, np.int32)
+        s.wl = np.empty(cap, np.int32)
+        s.ws = np.empty(cap, np.float32)
+    wn, wk, wl, ws = s.wn, s.wk, s.wl, s.ws
     n = lib.bio_ssv_filter_bath(
-        dsq32, len(dsq32), om.rbv, ssv, len(ssv), om.Kp, om.M,
+        dsq32.ctypes.data, len(dsq32), om.rbv.ctypes.data,
+        ssv.ctypes.data, len(ssv), om.Kp, om.M,
         int(om.base_b), int(om.bias_b), int(om.tjb_b), int(om.tbm_b),
-        float(om.scale_b), int(sc_thresh), wn, wk, wl, ws, cap)
+        float(om.scale_b), int(sc_thresh), wn.ctypes.data,
+        wk.ctypes.data, wl.ctypes.data, ws.ctypes.data, cap)
     if n < 0:
         return None
     return [(int(wn[i]), int(wk[i]), int(wl[i]), float(ws[i]))
@@ -1655,16 +1682,13 @@ def bwd_fill_native(dsq, om, fwd, full=True):
         return None
     _bind_bwdfill(lib)
     from ..ops.reference.fwdback import PMatrix, RangeError
-    from ..ops.reference.fwdback import _trans_views
     L, M = len(dsq), om.M
     if L == 0:
         return None
     F32 = np.float32
-    rfv = om.rfv
-    if rfv.dtype != np.float32 or not rfv.flags.c_contiguous:
-        rfv = np.ascontiguousarray(rfv, dtype=np.float32)
-    tv = [np.ascontiguousarray(t, dtype=np.float32)
-          for t in _trans_views(om)]
+    # per-om cached contiguous views (the per-call concatenation
+    # copies were ~0.2ms x thousands of envelope fills)
+    tv, rfv, _tp, _rp = _fwd_views(om)
     bx = PMatrix(L=L, M=M,
                  xE=np.zeros(L + 1, F32), xN=np.zeros(L + 1, F32),
                  xJ=np.zeros(L + 1, F32), xB=np.zeros(L + 1, F32),
@@ -1726,11 +1750,10 @@ def oa_fill_native(om, pp):
     if lib is None:
         return None
     _bind_oafill(lib)
-    from ..ops.reference.fwdback import NEG_INF, PMatrix, _trans_views
+    from ..ops.reference.fwdback import NEG_INF, PMatrix
     L, M = pp.L, pp.M
     F32 = np.float32
-    tv = [np.ascontiguousarray(t, dtype=np.float32)
-          for t in _trans_views(om)]
+    tv, _rfv, _tp, _rp = _fwd_views(om)
     ox = PMatrix(L=L, M=M,
                  xE=np.full(L + 1, NEG_INF, F32),
                  xN=np.zeros(L + 1, F32),

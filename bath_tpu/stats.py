@@ -17,6 +17,10 @@ def gumbel_surv(x, mu, lam):
     y = lam * (x - mu)
     ey = -np.exp(-y)
     # for tiny |ey|, 1-exp(ey) ~ -ey
+    if np.ndim(ey) == 0:
+        # scalar fast path (the per-ORF gates call this millions of
+        # times): same arithmetic, branch instead of where
+        return -ey if -1e-4 < ey else 1.0 - np.exp(ey)
     return np.where(np.abs(ey) < 1e-4, -ey, 1.0 - np.exp(ey))
 
 
@@ -41,6 +45,9 @@ def gumbel_invsurv(p, mu, lam):
 def exp_surv(x, mu, lam):
     """P(S > x) for exponential tail starting at mu (esl_exp_surv):
     exp(-lambda (x-mu)) for x>=mu else 1."""
+    if np.ndim(x) == 0:
+        x = np.float64(x)         # scalar fast path, same arithmetic
+        return 1.0 if x < mu else np.exp(-lam * (x - mu))
     x = np.asarray(x, dtype=np.float64)
     return np.where(x < mu, 1.0, np.exp(-lam * (x - mu)))
 
