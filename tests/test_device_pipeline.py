@@ -143,3 +143,28 @@ def test_fs3_v2_kernel_selection_byte_identical():
                               "BATH_DEVICE_MIN_CELLS": "0",
                               "BATH_FS_CAND_FLUSH": "0"})
     assert a == b
+
+
+def test_deferred_axon_registration_noop_paths():
+    """ensure_axon_registered: inert without BATH_AXON_DEFER_IPS, and
+    inert when PALLAS_AXON_POOL_IPS is already set (sitecustomize
+    registered eagerly) — it must never double-register or mutate the
+    env in those cases."""
+    import os
+
+    from bath_tpu.device_pipeline import ensure_axon_registered
+
+    saved = {k: os.environ.pop(k, None)
+             for k in ("BATH_AXON_DEFER_IPS", "PALLAS_AXON_POOL_IPS")}
+    try:
+        ensure_axon_registered()          # no defer env: no-op
+        assert "PALLAS_AXON_POOL_IPS" not in os.environ
+        os.environ["PALLAS_AXON_POOL_IPS"] = "10.0.0.1"
+        os.environ["BATH_AXON_DEFER_IPS"] = "10.0.0.2"
+        ensure_axon_registered()          # already registered: no-op
+        assert os.environ["PALLAS_AXON_POOL_IPS"] == "10.0.0.1"
+    finally:
+        for k in ("BATH_AXON_DEFER_IPS", "PALLAS_AXON_POOL_IPS"):
+            os.environ.pop(k, None)
+            if saved[k] is not None:
+                os.environ[k] = saved[k]

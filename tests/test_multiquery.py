@@ -57,6 +57,31 @@ def test_multiquery_fs_byte_identical(tmp_path):
     assert _norm(a) == _norm(b)
 
 
+def test_multiquery_wider_context_hits_identical(tmp_path):
+    """The shared stream's window context is the MAX over the query
+    set; a query co-searched with a much larger model therefore sees
+    wider windows than its serial stream.  Hits/scores/alignments
+    must stay byte-identical regardless (RemoveDuplicates absorbs
+    overlap-region duplicates); only per-query filter-count
+    statistics lines are allowed to move (a boundary ORF the serial
+    stream would split — see multiquery.py window-boundary note)."""
+    q = tmp_path / "two.bhmm"
+    q.write_text(open(f"{TUT}/AMP_N.bhmm").read()
+                 + open(f"{TUT}/PTH2.bhmm").read())
+    target = "/root/repo/tests/data/mesh_target_fs.fa"
+    a, b = tmp_path / "np.out", tmp_path / "wide.out"
+    args = ["--block_length", "20000", str(q), target]
+    _run(a, ["--backend", "numpy"] + args)
+    # 8x the natural shared context: simulates co-searching with a
+    # much larger model
+    _run(b, ["--backend", "jax"] + args,
+         env_extra={"BATH_WINDOW_CONTEXT": "12800"})
+    drop = lambda text: "\n".join(
+        l for l in text.splitlines()
+        if not l.startswith("Residues passing"))
+    assert drop(_norm(a)) == drop(_norm(b))
+
+
 def test_multiquery_twelve_models_byte_identical(tmp_path):
     """12-query drive (tRNA-proteins.bhmm, mixed M 56..459) vs the
     PTH2 target: exercises multiple size-class packs and queries with
