@@ -35,20 +35,26 @@ F32 = np.float32
 def build_dna_windows(pli, orfs, dnasq, om, data, P_orf, hit_windows,
                       complementarity, pct_overlap=0.0):
     windows = []
-    for f in range(len(orfs)):
-        if P_orf[f] > pli.F4:
-            continue
+    # one pass over hit_windows, best per ORF id (same strict-'>'
+    # score tie-break, longer-window-on-equal-score, as the per-ORF
+    # scan it replaces — that scan was O(orfs x windows) and a
+    # visible cost at database scale)
+    best_by_id: dict = {}
+    for w_i, w in enumerate(hit_windows):
+        b = best_by_id.get(w.id, -1)
+        if b < 0:
+            if w.score > float("-inf"):
+                best_by_id[w.id] = w_i
+        else:
+            bw = hit_windows[b]
+            if w.score > bw.score or (w.score == bw.score
+                                      and w.length > bw.length):
+                best_by_id[w.id] = w_i
+    P_arr = np.asarray(P_orf, np.float64)
+    for f in np.nonzero(~(P_arr > pli.F4))[0]:
+        f = int(f)
         orf = orfs[f]
-        best_idx = -1
-        best_score = float("-inf")
-        for w_i, w in enumerate(hit_windows):
-            if w.id != f:
-                continue
-            if w.score > best_score or (
-                    w.score == best_score and best_idx >= 0
-                    and w.length > hit_windows[best_idx].length):
-                best_score = w.score
-                best_idx = w_i
+        best_idx = best_by_id.get(f, -1)
         if best_idx >= 0:
             cw_n = hit_windows[best_idx].n
             cw_k = hit_windows[best_idx].k
@@ -843,6 +849,26 @@ def fs_prepare(pli, om, data, bg, orfs, dnasq, gcode, P_orf, fwdsc_arr,
     windows = build_dna_windows(pli, orfs, dnasq, om, data, P_orf,
                                 hit_windows, complementarity)
     cands = []
+    # vectorized per-survivor DNA coordinates: the per-window scan
+    # over ALL ORFs was O(windows x orfs) python (a visible cost at
+    # database scale); the per-ORF bookkeeping below runs only for
+    # the ORFs each window actually contains, in the same f order
+    nsurv = 0
+    if windows:
+        P_arr = np.asarray(P_orf, np.float64)
+        surv = np.nonzero(~(P_arr > pli.F4))[0]
+        nsurv = len(surv)
+    if nsurv:
+        sts = np.fromiter((orfs[int(f)].start for f in surv),
+                          np.int64, nsurv)
+        ens = np.fromiter((orfs[int(f)].end for f in surv),
+                          np.int64, nsurv)
+        if complementarity:
+            ostart = dnasq.start - (dnasq.n - ens + 1) + 1
+            oend = dnasq.start - (dnasq.n - sts + 1) + 1
+        else:
+            ostart = dnasq.start + sts - 1
+            oend = dnasq.start + ens - 1
     for w_idx, (wn, wlen) in enumerate(windows):
         window_start = (dnasq.start - (wn + wlen)) if complementarity \
             else (dnasq.start + wn - 1)
@@ -858,34 +884,28 @@ def fs_prepare(pli, om, data, bg, orfs, dnasq, gcode, P_orf, fwdsc_arr,
         P_min = float("inf")
         k_min, k_max = om.M, 0
         last_window_cnt = 0
-        for f in range(len(orfs)):
-            if P_orf[f] > pli.F4:
-                continue
+        contained = surv[(ostart >= window_start)
+                         & (oend <= window_end)] if nsurv else ()
+        for f in contained:
+            f = int(f)
             orfsq = orfs[f]
-            if complementarity:
-                orf_start = dnasq.start - (dnasq.n - orfsq.end + 1) + 1
-                orf_end = dnasq.start - (dnasq.n - orfsq.start + 1) + 1
-            else:
-                orf_start = dnasq.start + orfsq.start - 1
-                orf_end = dnasq.start + orfsq.end - 1
-            if orf_start >= window_start and orf_end <= window_end:
-                orfsq.idx = w_idx
-                if widx is not None:
-                    widx[f] = w_idx
-                P_min = min(P_min, P_orf[f])
-                tot_orfsc = float(flogsum(np.float32(tot_orfsc),
-                                          np.float32(fwdsc_arr[f])))
-                orf_cnt += 1
-                h = last_window_cnt
-                while h < len(hit_windows) and hit_windows[h].id != f:
+            orfsq.idx = w_idx
+            if widx is not None:
+                widx[f] = w_idx
+            P_min = min(P_min, P_orf[f])
+            tot_orfsc = float(flogsum(np.float32(tot_orfsc),
+                                      np.float32(fwdsc_arr[f])))
+            orf_cnt += 1
+            h = last_window_cnt
+            while h < len(hit_windows) and hit_windows[h].id != f:
+                h += 1
+            if h < len(hit_windows):
+                while h < len(hit_windows) and hit_windows[h].id == f:
+                    k_min = min(k_min,
+                                hit_windows[h].k - hit_windows[h].length + 1)
+                    k_max = max(k_max, hit_windows[h].k)
                     h += 1
-                if h < len(hit_windows):
-                    while h < len(hit_windows) and hit_windows[h].id == f:
-                        k_min = min(k_min,
-                                    hit_windows[h].k - hit_windows[h].length + 1)
-                        k_max = max(k_max, hit_windows[h].k)
-                        h += 1
-                    last_window_cnt = h
+                last_window_cnt = h
 
         P_tot = float(stats.exp_surv(tot_orfsc / C.CONST_LOG2,
                                      om.evparam[C.EV_FTAU],
