@@ -101,11 +101,11 @@ class QState:
     def __init__(self, hmm, args, gcode, qi):
         self.hmm = hmm
         self.qi = qi
+        self._gcode = gcode
         self.bg = Background()
         self.gm = profile_config(hmm, self.bg, L=100, mode=C.P7_LOCAL)
         self.om = oprofile_convert(self.gm)
-        self.gm_fs5 = profile_config_fs(hmm, self.bg, gcode, 5, 100,
-                                        C.P7_LOCAL)
+        self._gm_fs5 = None      # lazy: only hit display/fs need it
         self.gm_fs3 = None       # fs-gate profile: only built in --fs
         self.om_fs3 = self.om_fs5 = None
         if args.fs or args.fsonly:
@@ -129,6 +129,16 @@ class QState:
         # packed domain-decoding caches, reset per flush
         self.dd_cache: dict = {}
         self.fsdd_cache: dict = {}
+
+    @property
+    def gm_fs5(self):
+        """Built on first use: every query pays ~13ms for the
+        5-codon profile, but only queries with F3 survivors (hit
+        display) or --fs mode ever read it."""
+        if self._gm_fs5 is None:
+            self._gm_fs5 = profile_config_fs(
+                self.hmm, self.bg, self._gcode, 5, 100, C.P7_LOCAL)
+        return self._gm_fs5
 
     def size_class(self, classes):
         for ci, (Mg, _G) in enumerate(classes):

@@ -121,6 +121,32 @@ def _copy_annotation(gm, hmm: HMM):
     gm.compo = None if hmm.compo is None else hmm.compo.copy()
 
 
+
+def _pairwise_rows(A):
+    """numpy's 1-D pairwise f32 sum (n <= 128), vectorized over
+    rows — bit-identical to per-row np.sum of the 1-D slices."""
+    n = A.shape[1]
+    if n == 0:
+        return np.zeros(A.shape[0], np.float32)
+    if n < 8:
+        s = A[:, 0].copy()
+        for j in range(1, n):
+            s = s + A[:, j]
+        return s
+    r = [A[:, j].copy() for j in range(8)]
+    i = 8
+    while i + 8 <= n:
+        for j in range(8):
+            r[j] = r[j] + A[:, i + j]
+        i += 8
+    res = ((r[0] + r[1]) + (r[2] + r[3])) \
+        + ((r[4] + r[5]) + (r[6] + r[7]))
+    while i < n:
+        res = res + A[:, i]
+        i += 1
+    return res
+
+
 def profile_config(hmm: HMM, bg: Background, L: int = 100,
                    mode: int = C.P7_LOCAL) -> Profile:
     """Standard profile configuration (ref: modelconfig.c p7_ProfileConfig)."""
@@ -140,15 +166,22 @@ def profile_config(hmm: HMM, bg: Background, L: int = 100,
             tsc[k, C.P_DD] = np.log(t[k, C.H_DD])
         tsc[:, C.P_BM] = _entry_scores(hmm, C.is_local(mode))
 
-    # match emission log-odds + degenerate expectations
+    # match emission log-odds + degenerate expectations, batched
+    # over k (same f32/pairwise-sum arithmetic as the per-position
+    # expect_score_vec loop it replaces — a visible cost at
+    # database scale)
     msc = np.full((Kp, M + 1), NEG_INF, dtype=np.float32)
-    sc = np.full(Kp, NEG_INF, dtype=np.float32)
     with np.errstate(divide="ignore"):
-        for k in range(1, M + 1):
-            sc[:K] = np.log(hmm.mat[k].astype(np.float64) / bg.f).astype(
-                np.float32)
-            sc[K] = sc[Kp - 2] = sc[Kp - 1] = NEG_INF
-            msc[:, k] = abc.expect_score_vec(sc, bg.f)
+        sc_all = np.log(hmm.mat[1:M + 1].astype(np.float64)
+                        / bg.f).astype(np.float32)       # [M, K]
+    msc[:K, 1:] = sc_all.T
+    fK = bg.f[:K].astype(np.float32)
+    for x in range(K + 1, Kp - 2):
+        mem = abc.degen[x, :K]
+        denom = np.float32(fK[mem].sum())
+        num = _pairwise_rows(
+            np.ascontiguousarray(sc_all[:, mem] * fK[mem]))
+        msc[x, 1:] = num / denom
 
     xsc = np.zeros((4, 2), dtype=np.float32)
     gm = Profile(M=M, abc=abc, tsc=tsc, msc=msc, xsc=xsc, mode=mode)
@@ -381,30 +414,6 @@ def profile_config_fs(hmm: HMM, bg: Background, gcode: GeneticCode,
     asc_all = np.full((M, Kp), NEG_INF, np.float32)
     asc_all[:, :K] = sc_all
     fK = bg.f[:K].astype(np.float32)
-
-    def _pairwise_rows(A):
-        """numpy's 1-D pairwise f32 sum (n <= 128), vectorized over
-        rows — bit-identical to per-row np.sum of the 1-D slices."""
-        n = A.shape[1]
-        if n == 0:
-            return np.zeros(A.shape[0], np.float32)
-        if n < 8:
-            s = A[:, 0].copy()
-            for j in range(1, n):
-                s = s + A[:, j]
-            return s
-        r = [A[:, j].copy() for j in range(8)]
-        i = 8
-        while i + 8 <= n:
-            for j in range(8):
-                r[j] = r[j] + A[:, i + j]
-            i += 8
-        res = ((r[0] + r[1]) + (r[2] + r[3])) \
-            + ((r[4] + r[5]) + (r[6] + r[7]))
-        while i < n:
-            res = res + A[:, i]
-            i += 1
-        return res
 
     for x in range(K + 1, Kp - 2):
         mem = abc.degen[x, :K]
