@@ -143,6 +143,9 @@ def _sweep():
     from bath_tpu.ops.reference.fwdback_fs import fs_oprofile_convert
     from bath_tpu.profile import profile_config_fs
 
+    from bath_tpu.ops.jaxk.fs3_v3 import (fs3_params_v3,
+                                          fs3_score_batch_v3)
+
     bg = Background()
     gcode = GeneticCode.create(1)
     gcode.set_initiator_any()
@@ -152,21 +155,21 @@ def _sweep():
         hmm = _sweep_hmm(M_target)
         om3 = fs_oprofile_convert(
             profile_config_fs(hmm, bg, gcode, 3, 100))
-        p3 = jk.fs3_params(om3)
+        p3 = fs3_params_v3(om3)           # the production default
         for B in (1024, 4096, 8192):
             L = max(504, int(CELLS / (B * hmm.M)) // 504 * 504)
             d = jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int8))
             lens = jnp.asarray(np.full(B, L, np.int32))
-            np.asarray(jk.fs3_score_batch(d, lens, p3, nj=1.0))
+            np.asarray(fs3_score_batch_v3(d, lens, p3, nj=1.0))
             t0 = time.perf_counter()
-            out = jk.fs3_score_batch(d, lens, p3, nj=1.0)
+            out = fs3_score_batch_v3(d, lens, p3, nj=1.0)
             np.asarray(out)
             dt = time.perf_counter() - t0
             gcups = B * L * hmm.M / dt / 1e9
             print(json.dumps({
-                "metric": "fs3-gate GCUPS", "M": hmm.M, "B": B,
+                "metric": "fs3-gate GCUPS [v3]", "M": hmm.M, "B": B,
                 "L": L, "value": round(gcups, 2),
-                "lane_cap": jk.fs3_max_lanes(p3.Mt)}))
+                "lane_cap": jk.fs3_max_lanes(p3.base.Mt)}))
 
 
 def main():
