@@ -37,8 +37,19 @@ def gumbel_logsurv(x, mu, lam):
 
 
 def gumbel_invsurv(p, mu, lam):
-    """x such that P(S > x) = p (esl_gumbel_invsurv)."""
-    return mu - np.log(-1.0 * np.log1p(-p)) / lam
+    """x such that P(S > x) = p (esl_gumbel_invsurv).
+
+    Guarded at p >= 1 (e.g. --max sets filter thresholds to 1.0):
+    the limit is x = -inf (every score survives), returned without
+    tripping numpy's divide-by-zero warning in log1p."""
+    if np.ndim(p) == 0:
+        if p >= 1.0:
+            return -np.inf
+        return mu - np.log(-1.0 * np.log1p(-p)) / lam
+    p = np.asarray(p, dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        return np.where(p >= 1.0, -np.inf,
+                        mu - np.log(-1.0 * np.log1p(np.minimum(p, 1.0 - 1e-300))) / lam)
 
 
 # --- Exponential ------------------------------------------------------

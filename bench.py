@@ -9,11 +9,33 @@ frameshift 3-codon Forward parser — the pipeline's north-star kernel
 ships in its committed tutorial outputs (310.18 Mc/s = 0.31018 GCUPS,
 tutorial/MET-ct4.out:103; the reference publishes no larger-scale
 numbers in-repo).
+
+Driver-budget-proof structure (VERDICT r4 item 1 — the r4 artifact was
+lost to an axon-tunnel stall, rc=124 with no JSON line):
+
+  parent (this process, no flags)
+    ├ hard overall deadline (BATH_BENCH_BUDGET, default 225 s) via
+    │   SIGALRM; SIGTERM/SIGINT/SIGHUP all flush the best JSON line
+    │   seen so far before exiting, so a kill at ANY moment yields a
+    │   parseable artifact
+    ├ CPU child (--cpu), started IMMEDIATELY and run concurrently:
+    │   prints a quick single-worker line (~15 s) then the full
+    │   4-worker line (~40 s) — the floor under any tunnel weather
+    └ device child (--_device), deadline ≤110 s, retried once while
+        budget remains: prints a JSON line after EVERY timed
+        iteration, so even a mid-iteration kill keeps the completed
+        measurements
+
+The parent keeps the max-value line across all children and prints
+exactly one JSON line on stdout at exit.
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -21,21 +43,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REF_BASELINE_GCUPS = 0.31018
+HMM_PATH = "/root/reference/tutorial/AMP_N.bhmm"
 
 _CPU_STATE = {}
+_LOCK = threading.Lock()
+_BEST = {"value": -1.0, "line": None}
+_CHILDREN = []
+_FLUSHED = threading.Event()
 
 
-def _cpu_init(hmm_path):
+def _emit(metric, gcups, extra=None):
+    d = {"metric": metric, "value": round(float(gcups), 3),
+         "unit": "GCUPS",
+         "vs_baseline": round(float(gcups) / REF_BASELINE_GCUPS, 2)}
+    if extra:
+        d.update(extra)
+    print(json.dumps(d), flush=True)
+
+
+def _note(msg):
+    sys.stderr.write(msg + "\n")
+    sys.stderr.flush()
+
+
+# ---------------------------------------------------------------------
+# CPU tier (the weather-proof floor; also the explicit --cpu mode)
+# ---------------------------------------------------------------------
+
+def _load_om3():
     from bath_tpu.bg import Background
     from bath_tpu.gencode import GeneticCode
     from bath_tpu.hmmfile import read_hmm
     from bath_tpu.ops.reference.fwdback_fs import fs_oprofile_convert
     from bath_tpu.profile import profile_config_fs
-    hmm = read_hmm(hmm_path)
+    hmm = read_hmm(HMM_PATH)
     gcode = GeneticCode.create(1)
     gcode.set_initiator_any()
     gm3 = profile_config_fs(hmm, Background(), gcode, 3, 100)
-    _CPU_STATE["om3"] = fs_oprofile_convert(gm3)
+    return hmm, fs_oprofile_convert(gm3)
+
+
+def _cpu_init(hmm_path):
+    _CPU_STATE["om3"] = _load_om3()[1]
 
 
 def _cpu_work(seqs):
@@ -44,42 +93,53 @@ def _cpu_work(seqs):
     return [fs3_parser_score_native(s, om3) for s in seqs]
 
 
-def _cpu_bench(hmm, om3, fallback):
+def _cpu_main():
+    """Two phases, each printing a JSON line: a quick single-process
+    measurement (a number exists within ~15 s of process start), then
+    the full 4-worker pool number (the production CPU path: bit-exact
+    native C fs3 gate over forked workers — jnp-on-CPU would
+    understate the framework ~10x)."""
     import multiprocessing as mp
     from bath_tpu.native import fs3_parser_score_native
+    hmm, om3 = _load_om3()
     if fs3_parser_score_native(np.zeros(48, np.int32), om3) is None:
-        print(json.dumps({
-            "metric": "fs3-forward-gate GCUPS" + fallback
-            + " (native lib unavailable)",
-            "value": 0.0, "unit": "GCUPS", "vs_baseline": 0.0}))
+        _emit("fs3-forward-gate GCUPS (native lib unavailable)", 0.0)
         return
     rng = np.random.default_rng(0)
-    B, L, W = 256, 1536, 4
+    L = 1536
+    # quick: one worker, ~1.6e9 cells (lands < ~15 s even when the
+    # machine is contended — this line is the kill-at-60s guarantee)
+    seqs = [rng.integers(0, 4, L).astype(np.int32) for _ in range(8)]
+    fs3_parser_score_native(seqs[0], om3)          # warm
+    t0 = time.perf_counter()
+    for s in seqs:
+        fs3_parser_score_native(s, om3)
+    dt = time.perf_counter() - t0
+    _emit("fs3-forward-gate GCUPS (native, 1 CPU worker, quick)",
+          len(seqs) * L * hmm.M / dt / 1e9)
+    # full: 4 forked workers
+    B, W = 256, 4
     seqs = [rng.integers(0, 4, L).astype(np.int32) for _ in range(B)]
     chunks = [seqs[i::W] for i in range(W)]
     ctx = mp.get_context("fork")
-    with ctx.Pool(W, initializer=_cpu_init,
-                  initargs=("/root/reference/tutorial/AMP_N.bhmm",)) \
+    with ctx.Pool(W, initializer=_cpu_init, initargs=(HMM_PATH,)) \
             as pool:
         pool.map(_cpu_work, [c[:1] for c in chunks])    # warm forks
         t0 = time.perf_counter()
         pool.map(_cpu_work, chunks)
         dt = time.perf_counter() - t0
-    gcups = B * L * hmm.M / dt / 1e9
-    print(json.dumps({
-        "metric": "fs3-forward-gate GCUPS (native, 4 CPU workers)"
-        + fallback,
-        "value": round(gcups, 3),
-        "unit": "GCUPS",
-        "vs_baseline": round(gcups / REF_BASELINE_GCUPS, 2),
-    }))
+    _emit("fs3-forward-gate GCUPS (native, 4 CPU workers)",
+          B * L * hmm.M / dt / 1e9)
 
 
-def _tpu_alive(timeout_s: float = 120.0) -> bool:
+# ---------------------------------------------------------------------
+# Device tier
+# ---------------------------------------------------------------------
+
+def _tpu_alive(timeout_s: float = 45.0) -> bool:
     """Probe the TPU in a subprocess (the axon tunnel can stall with
     jax blocked at 0% CPU — a hang here would lose the whole bench
     run).  Probing out-of-process keeps this process's jax clean."""
-    import subprocess
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -91,18 +151,238 @@ def _tpu_alive(timeout_s: float = 120.0) -> bool:
         return False
 
 
+def _device_main(argv):
+    """Measure the production fs3 kernel (ops/jaxk/fs3_v3.py) on the
+    chip.  Emits a JSON line after EVERY timed iteration so the
+    parent keeps completed measurements even if the tunnel stalls and
+    this child is killed mid-iteration.  Explicit kernel modes
+    (--v2/--sub/--pallas/--v1) select the parity-oracle tiers instead
+    (ops/pallas/ is retired from the default race — VERDICT r4 item
+    10: the jnp v3 kernel is the production winner; see README)."""
+    if not _tpu_alive(45.0):
+        _note("# device: TPU probe failed (tunnel down)")
+        sys.exit(3)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import jax.numpy as jnp
+    from bath_tpu.ops.jaxk import kernels as jk
+
+    hmm, om3 = _load_om3()
+    rng = np.random.default_rng(0)
+
+    mode = "v3"
+    for m in ("v2", "sub", "pallas", "v1"):
+        if f"--{m}" in argv:
+            mode = m
+    if mode == "v3":
+        from bath_tpu.ops.jaxk.fs3_v3 import (fs3_params_v3,
+                                              fs3_score_batch_v3)
+        ps = fs3_params_v3(om3)
+        B, L = 4096, 8184
+
+        def run(d, lens):
+            return fs3_score_batch_v3(d, lens, ps, nj=1.0)
+    elif mode == "v1":
+        ps = jk.fs3_params(om3)
+        B, L = 4096, 8184
+
+        def run(d, lens):
+            return jk.fs3_score_batch(d, lens, ps, nj=1.0)
+    elif mode == "v2":
+        from bath_tpu.ops.pallas.fs3v2 import fs3_params_v2, fs3_score_v2
+        ps = fs3_params_v2(om3)
+        B, L = 1024, 8184
+        bt = int(argv[argv.index("--btile") + 1]) \
+            if "--btile" in argv else 512
+        lb = int(argv[argv.index("--lblk") + 1]) \
+            if "--lblk" in argv else 96
+
+        def run(d, lens):
+            return fs3_score_v2(d, lens, ps, nj=1.0, btile=bt, lblk=lb)
+    elif mode == "sub":
+        from bath_tpu.ops.pallas.fs3_sub import (fs3_params_sub,
+                                                 fs3_score_sub)
+        ps = fs3_params_sub(om3)
+        B, L = 1024, 8184
+
+        def run(d, lens):
+            return fs3_score_sub(d, lens, ps, nj=1.0)
+    else:  # pallas v1
+        from bath_tpu.ops.pallas.fs3 import (codon_indices_fs3,
+                                             fs3_params_pallas,
+                                             fs3_score_pallas)
+        rfv_p, tr_p, Mp = fs3_params_pallas(om3)
+        B, L = 1024, 4092
+        pmove = jnp.full(B, 3.0 / (L // 3 + 3.0), jnp.float32)
+
+        def run(d, lens):
+            c = tuple(jnp.asarray(x)
+                      for x in codon_indices_fs3(np.asarray(d)))
+            return fs3_score_pallas(c, lens, pmove, rfv_p, tr_p, Mp,
+                                    nj=1.0, btile=256)
+
+    if "--B" in argv:
+        B = int(argv[argv.index("--B") + 1])
+    if "--L" in argv:
+        L = int(argv[argv.index("--L") + 1])
+    label = f"fs3-forward-gate GCUPS/chip [jnp-v3]" if mode == "v3" \
+        else f"fs3-forward-gate GCUPS/chip [{mode}]"
+    lens = jnp.asarray(np.full(B, L, np.int32))
+    # pre-upload the measurement batches (int8, kernels upcast): a
+    # tunneled upload runs at 50-260 MB/s and must not be timed
+    K = 6
+    batches = [jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int8))
+               for _ in range(K)]
+    jax.block_until_ready(batches)
+    t0 = time.perf_counter()
+    np.asarray(run(batches[0], lens))       # compile + warm
+    _note(f"# device: compile+warm {time.perf_counter()-t0:.1f}s")
+    # K dispatches per timed round with ONE materialization at the
+    # end (in-order device execution): the ~0.3-0.5s tunnel fetch
+    # round trip amortizes over K * B * L * M cells instead of
+    # dominating a single call's wall
+    best = 0.0
+    for it in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for d in batches:
+            out = run(d, lens)
+        np.asarray(out)
+        g = K * B * L * hmm.M / (time.perf_counter() - t0) / 1e9
+        best = max(best, g)
+        _emit(label, best, {"B": B, "L": L, "iter": it})
+
+
+# ---------------------------------------------------------------------
+# Parent orchestration
+# ---------------------------------------------------------------------
+
+def _consume(proc, tag):
+    for raw in proc.stdout:
+        line = raw.decode(errors="replace").strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            with _LOCK:
+                if d.get("value", 0.0) > _BEST["value"]:
+                    _BEST["value"] = d["value"]
+                    _BEST["line"] = d
+            _note(f"# [{tag}] {d.get('metric')}: {d.get('value')}")
+        elif line:
+            _note(f"# [{tag}] {line}")
+
+
+def _flush_best():
+    if _FLUSHED.is_set():
+        return
+    _FLUSHED.set()
+    with _LOCK:
+        line = _BEST["line"]
+    if line is None:
+        line = {"metric": "fs3-forward-gate GCUPS "
+                          "(no measurement completed before deadline)",
+                "value": 0.0, "unit": "GCUPS", "vs_baseline": 0.0}
+    for k in ("iter", "B", "L"):
+        line.pop(k, None)
+    print(json.dumps(line), flush=True)
+
+
+def _reap():
+    for p in _CHILDREN:
+        if p.poll() is None:
+            try:
+                p.terminate()
+            except OSError:
+                pass
+    time.sleep(0.5)
+    for p in _CHILDREN:
+        if p.poll() is None:
+            try:
+                p.kill()
+            except OSError:
+                pass
+
+
+def _on_signal(signum, frame):
+    _note(f"# parent: signal {signum}; flushing best-so-far")
+    _flush_best()
+    _reap()
+    os._exit(0)
+
+
+def _spawn(args, tag):
+    proc = subprocess.Popen([sys.executable,
+                             os.path.abspath(__file__)] + args,
+                            stdout=subprocess.PIPE, stderr=sys.stderr)
+    _CHILDREN.append(proc)
+    t = threading.Thread(target=_consume, args=(proc, tag), daemon=True)
+    t.start()
+    return proc
+
+
+def _parent(argv):
+    budget = float(os.environ.get("BATH_BENCH_BUDGET", "225"))
+    t_end = time.monotonic() + budget
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        signal.signal(sig, _on_signal)
+    signal.signal(signal.SIGALRM, _on_signal)
+    signal.alarm(max(1, int(budget)))
+
+    cpu = _spawn(["--cpu"], "cpu")
+    got_device = False
+    for attempt in range(2):
+        remaining = t_end - time.monotonic()
+        if remaining < 70.0:
+            break
+        dev = _spawn(["--_device"] + argv, "device")
+        deadline = time.monotonic() + min(110.0, remaining - 12.0)
+        while dev.poll() is None and time.monotonic() < deadline:
+            time.sleep(0.5)
+        if dev.poll() is None:
+            _note(f"# parent: device attempt {attempt} hit deadline; "
+                  "killing child")
+            dev.terminate()
+            time.sleep(2.0)
+            if dev.poll() is None:
+                dev.kill()
+            dev.wait()
+        with _LOCK:
+            got_device = (_BEST["line"] is not None
+                          and "/chip" in _BEST["line"].get("metric", ""))
+        if dev.returncode == 0 and got_device:
+            break
+        _note(f"# parent: device attempt {attempt} "
+              f"rc={dev.returncode} got_device={got_device}")
+    # make sure the CPU floor lands (it is usually done already)
+    while cpu.poll() is None and time.monotonic() < t_end - 3.0:
+        time.sleep(0.5)
+    if not got_device:
+        with _LOCK:
+            if _BEST["line"] is not None:
+                _BEST["line"]["metric"] += \
+                    " (DEVICE FALLBACK: TPU tunnel unreachable)"
+    signal.alarm(0)
+    _flush_best()
+    _reap()
+
+
+# ---------------------------------------------------------------------
+# (M, B) sweep — bench_artifacts/sweep artifact generator
+# ---------------------------------------------------------------------
+
 def _sweep_hmm(M_target):
     """An HMM of roughly M_target nodes: bundled models where one
     fits, else built once from a sampled long MSA (cached)."""
     from bath_tpu.hmmfile import read_hmm
     if M_target <= 150:
-        return read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+        return read_hmm(HMM_PATH)
     if M_target <= 500:
         return read_hmm("/root/reference/tutorial/MET.bhmm")  # M=409
-    import subprocess
     path = f"/tmp/bench_sweep_M{M_target}.bhmm"
     if not os.path.exists(path):
-        amp = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
+        amp = read_hmm(HMM_PATH)
         rng = np.random.default_rng(3)
         AA = "ACDEFGHIKLMNPQRSTVWY"
         reps = (M_target + amp.M - 1) // amp.M
@@ -129,10 +409,10 @@ def _sweep_hmm(M_target):
 
 
 def _sweep():
-    """Per-(M, B) GCUPS table for the fs3 gate kernel (VERDICT r2 ask
-    4: Pfam-realistic model sizes + the lane-cap cliff check).  Prints
-    one JSON line per combo; the lane-chunked fs3_score_batch must
-    hold GCUPS flat past the VMEM carry cap."""
+    """Per-(M, B) GCUPS table for the production fs3 v3 kernel
+    (VERDICT r4 item 6: Pfam-realistic model sizes + the lane-cap
+    cliff shown flat).  Prints one JSON line per combo, best-of-2
+    timed iterations."""
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
@@ -140,17 +420,15 @@ def _sweep():
     from bath_tpu.bg import Background
     from bath_tpu.gencode import GeneticCode
     from bath_tpu.ops.jaxk import kernels as jk
+    from bath_tpu.ops.jaxk.fs3_v3 import fs3_params_v3, fs3_score_batch_v3
     from bath_tpu.ops.reference.fwdback_fs import fs_oprofile_convert
     from bath_tpu.profile import profile_config_fs
-
-    from bath_tpu.ops.jaxk.fs3_v3 import (fs3_params_v3,
-                                          fs3_score_batch_v3)
 
     bg = Background()
     gcode = GeneticCode.create(1)
     gcode.set_initiator_any()
     rng = np.random.default_rng(0)
-    CELLS = 1 << 32                       # ~device-seconds per combo
+    CELLS = 1 << 35                       # ~0.5 device-sec per iter
     for M_target in (134, 409, 1000):
         hmm = _sweep_hmm(M_target)
         om3 = fs_oprofile_convert(
@@ -158,209 +436,33 @@ def _sweep():
         p3 = fs3_params_v3(om3)           # the production default
         for B in (1024, 4096, 8192):
             L = max(504, int(CELLS / (B * hmm.M)) // 504 * 504)
-            d = jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int8))
             lens = jnp.asarray(np.full(B, L, np.int32))
-            np.asarray(fs3_score_batch_v3(d, lens, p3, nj=1.0))
-            t0 = time.perf_counter()
-            out = fs3_score_batch_v3(d, lens, p3, nj=1.0)
-            np.asarray(out)
-            dt = time.perf_counter() - t0
-            gcups = B * L * hmm.M / dt / 1e9
+            d = jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int8))
+            np.asarray(fs3_score_batch_v3(d, lens, p3, nj=1.0))  # warm
+            best = 0.0
+            for _ in range(2):
+                d = jnp.asarray(
+                    rng.integers(0, 4, (B, L)).astype(np.int8))
+                t0 = time.perf_counter()
+                np.asarray(fs3_score_batch_v3(d, lens, p3, nj=1.0))
+                dt = time.perf_counter() - t0
+                best = max(best, B * L * hmm.M / dt / 1e9)
             print(json.dumps({
                 "metric": "fs3-gate GCUPS [v3]", "M": hmm.M, "B": B,
-                "L": L, "value": round(gcups, 2),
-                "lane_cap": jk.fs3_max_lanes(p3.base.Mt)}))
+                "L": L, "value": round(best, 2),
+                "lane_cap": jk.fs3_max_lanes(p3.base.Mt)}), flush=True)
 
 
 def main():
-    if "--sweep" in sys.argv:
+    argv = sys.argv[1:]
+    if "--sweep" in argv:
         _sweep()
-        return
-    if "--cpu" not in sys.argv and "--_device" not in sys.argv:
-        # run the device measurement in a child with a hard timeout:
-        # a tunnel flap mid-measurement would otherwise hang this
-        # process on the result fetch forever (jax has no deadline)
-        import subprocess
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--_device", *sys.argv[1:]],
-                timeout=3000, capture_output=True, text=True)
-            if r.returncode == 0 and '"metric"' in r.stdout:
-                sys.stdout.write(r.stdout[r.stdout.index('{"'):])
-                return
-            sys.stderr.write(r.stderr[-2000:])
-        except subprocess.TimeoutExpired:
-            sys.stderr.write("# device bench timed out (tunnel "
-                             "flap mid-measurement)\n")
-        sys.argv.append("--cpu")        # surrendered: CPU fallback
-        sys.argv.append("--_surrendered")
-    fallback = (" (CPU FALLBACK: TPU tunnel unreachable)"
-                if "--_surrendered" in sys.argv else "")
-    if "--cpu" not in sys.argv:
-        # the tunnel flaps in windows of minutes (round-3 measured);
-        # probe for up to ~20 min before surrendering to the CPU
-        # fallback — a flap must not cost the round its chip number
-        # (this branch runs in the --_device child; the parent holds
-        # the overall 3000s deadline, so probing stops at ~15 min to
-        # leave the measurement time)
-        for attempt in range(10):
-            if _tpu_alive():
-                break
-            time.sleep(30)
-        else:
-            # record a clearly-labeled CPU number rather than hanging
-            fallback = " (CPU FALLBACK: TPU tunnel unreachable)"
-    from bath_tpu.bg import Background
-    from bath_tpu.gencode import GeneticCode
-    from bath_tpu.hmmfile import read_hmm
-    from bath_tpu.ops.reference.fwdback_fs import fs_oprofile_convert
-    from bath_tpu.profile import profile_config_fs
-
-    hmm = read_hmm("/root/reference/tutorial/AMP_N.bhmm")
-    bg = Background()
-    gcode = GeneticCode.create(1)
-    gcode.set_initiator_any()
-    gm3 = profile_config_fs(hmm, bg, gcode, 3, 100)
-    om3 = fs_oprofile_convert(gm3)
-
-    if fallback or "--cpu" in sys.argv:
-        # TPU unavailable: measure the production CPU path (the
-        # bit-exact native C fs3 gate over forked workers), not
-        # jnp-on-CPU, which would understate the framework ~10x
-        _cpu_bench(hmm, om3, fallback)
-        return
-
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    import jax.numpy as jnp
-
-    from bath_tpu.ops.jaxk import kernels as jk
-
-    p3 = jk.fs3_params(om3)
-
-    use_pallas = "--pallas" in sys.argv
-    use_sub = "--sub" in sys.argv
-    use_v2 = "--v2" in sys.argv
-    # the Mosaic variants keep their own shapes (host-side codon
-    # index prep at the jnp path's larger shape dominates its timing)
-    B, L = (1024, 4092) if use_pallas else (4096, 8184)
-    if use_sub or use_v2:
-        B, L = 1024, 8184
-    rng = np.random.default_rng(0)
-    # distinct inputs per iteration so no layer can cache executions
-    n_iter = 6
-    batches = [jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int32))
-               for _ in range(n_iter)]
-    lens = jnp.asarray(np.full(B, L, np.int32))
-    if use_v2:
-        from bath_tpu.ops.pallas.fs3v2 import fs3_params_v2, fs3_score_v2
-        ps = fs3_params_v2(om3)
-        bt = 512
-        if "--btile" in sys.argv:
-            bt = int(sys.argv[sys.argv.index("--btile") + 1])
-        lb = 96
-        if "--lblk" in sys.argv:
-            lb = int(sys.argv[sys.argv.index("--lblk") + 1])
-
-        def run(d):
-            return fs3_score_v2(d, lens, ps, nj=1.0, btile=bt, lblk=lb)
-    elif use_sub:
-        from bath_tpu.ops.pallas.fs3_sub import (fs3_params_sub,
-                                                 fs3_score_sub)
-        ps = fs3_params_sub(om3)
-
-        def run(d):
-            return fs3_score_sub(d, lens, ps, nj=1.0)
-    elif use_pallas:
-        from bath_tpu.ops.pallas.fs3 import (codon_indices_fs3,
-                                             fs3_params_pallas,
-                                             fs3_score_pallas)
-        rfv_p, tr_p, Mp = fs3_params_pallas(om3)
-        pmove = jnp.full(B, 3.0 / (L // 3 + 3.0), jnp.float32)
-        batches = [tuple(jnp.asarray(c) for c in codon_indices_fs3(
-            np.asarray(d))) for d in batches]
-
-        def run(d):
-            return fs3_score_pallas(d, lens, pmove, rfv_p, tr_p, Mp,
-                                    nj=1.0, btile=256)
+    elif "--cpu" in argv:
+        _cpu_main()
+    elif "--_device" in argv:
+        _device_main(argv)
     else:
-        def run(d):
-            return jk.fs3_score_batch(d, lens, p3, nj=1.0)
-
-    def timed(runner, bats, ls):
-        np.asarray(runner(bats[0]))     # compile + warm
-        t0 = time.perf_counter()
-        out = None
-        for d in bats:
-            out = runner(d)
-        np.asarray(out)                 # forces full materialization
-        return (time.perf_counter() - t0) / len(bats)
-
-    explicit = use_pallas or use_sub or use_v2
-    if explicit:
-        dt = timed(run, batches, lens)
-        gcups = B * L * hmm.M / dt / 1e9
-        kern = "v2" if use_v2 else ("sub" if use_sub else "pallas")
-    else:
-        # default mode: race the jnp kernel against the v2 Pallas
-        # kernel over INTERLEAVED rounds and report each kernel's
-        # best — ambient tunnel throughput swings +-35% across
-        # minutes (measured round 3: the same jnp kernel 45.8 vs
-        # 29-31 GCUPS an hour apart), so back-to-back single
-        # measurements confound kernel choice with tunnel weather
-        racers = {"jnp": (run, batches)}
-        try:
-            from bath_tpu.ops.pallas.fs3v2 import (fs3_params_v2,
-                                                   fs3_score_v2)
-            ps2 = fs3_params_v2(om3)
-            B2, L2 = 1024, 8184
-            bat2 = [jnp.asarray(
-                rng.integers(0, 4, (B2, L2)).astype(np.int8))
-                for _ in range(2)]
-            lens2 = jnp.asarray(np.full(B2, L2, np.int32))
-
-            def run2(d):
-                return fs3_score_v2(d, lens2, ps2, nj=1.0,
-                                    btile=512, lblk=96)
-            np.asarray(run2(bat2[0]))           # warm/compile
-            racers["pallas-v2"] = (run2, bat2)
-        except Exception as e:          # Mosaic regression: keep jnp
-            print(f"# v2 kernel unavailable: {e!r}", file=sys.stderr)
-        try:
-            from bath_tpu.ops.jaxk.fs3_v3 import (fs3_params_v3,
-                                                  fs3_score_batch_v3)
-            ps3 = fs3_params_v3(om3)
-
-            def run3(d):
-                return fs3_score_batch_v3(d, lens, ps3, nj=1.0)
-            np.asarray(run3(batches[0]))        # warm/compile
-            racers["jnp-v3"] = (run3, batches)
-        except Exception as e:
-            print(f"# v3 kernel unavailable: {e!r}", file=sys.stderr)
-        np.asarray(run(batches[0]))             # warm/compile
-        best = {}
-        for rnd in range(3):
-            for name, (r, bats) in racers.items():
-                t0 = time.perf_counter()
-                out = None
-                for d in bats:
-                    out = r(d)
-                np.asarray(out)
-                sh = bats[0].shape
-                g = sh[0] * sh[1] * hmm.M * len(bats) \
-                    / (time.perf_counter() - t0) / 1e9
-                best[name] = max(best.get(name, 0.0), g)
-                print(f"# round {rnd} {name}: {g:.2f} GCUPS",
-                      file=sys.stderr)
-        kern, gcups = max(best.items(), key=lambda kv: kv[1])
-
-    print(json.dumps({
-        "metric": f"fs3-forward-gate GCUPS/chip [{kern}]" + fallback,
-        "value": round(gcups, 3),
-        "unit": "GCUPS",
-        "vs_baseline": round(gcups / REF_BASELINE_GCUPS, 2),
-    }))
+        _parent(argv)
 
 
 if __name__ == "__main__":
