@@ -26,6 +26,14 @@ _SRC = os.path.join(_HERE, "src", "bathio.cpp")
 
 
 def _so_path() -> str:
+    # BATH_NATIVE_SO: explicit library override — used by the
+    # sanitizer tier (scripts/sanitize_native.sh) to route the whole
+    # test suite through an ASAN/UBSAN build of the same source
+    # (the reference's analogue is its valgrind testsuite level 3,
+    # ref testsuite/testsuite.sqc:186-237)
+    env = os.environ.get("BATH_NATIVE_SO")
+    if env:
+        return env
     # development checkout: repo-root native/libbathio.so (kept so
     # incremental `g++ -o native/libbathio.so` workflows still work)
     root = os.path.dirname(os.path.dirname(_HERE))
@@ -69,11 +77,17 @@ def get_lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    stale = (os.path.exists(_SO) and os.path.exists(_SRC)
-             and os.path.getmtime(_SO) < os.path.getmtime(_SRC))
-    if (not os.path.exists(_SO) or stale) and not _build():
+    if os.environ.get("BATH_NATIVE_SO"):
+        # explicit override (sanitizer tier): load as-is, never
+        # overwrite it with a default-flags rebuild
         if not os.path.exists(_SO):
             return None
+    else:
+        stale = (os.path.exists(_SO) and os.path.exists(_SRC)
+                 and os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        if (not os.path.exists(_SO) or stale) and not _build():
+            if not os.path.exists(_SO):
+                return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
