@@ -179,6 +179,36 @@ def run_bucketed(scorer, seqs, lens, pad_value, bucket_b=None,
     return out
 
 
+def _call_with_deadline(thunk, timeout_s):
+    """Run <thunk> on a daemon worker thread and wait up to
+    <timeout_s>.  Returns (ok, result).  jax's blocking fetches
+    release the GIL, so a tunnel-stalled call parks harmlessly on the
+    abandoned thread while the caller proceeds on the host path; the
+    daemon flag keeps a permanently-blocked call from wedging
+    interpreter exit."""
+    if timeout_s is None:
+        return True, thunk()
+    import threading
+    box: dict = {}
+    done = threading.Event()
+
+    def work():
+        try:
+            box["res"] = thunk()
+        except BaseException as e:          # re-raised on the caller
+            box["exc"] = e
+        done.set()
+
+    t = threading.Thread(target=work, daemon=True,
+                         name="bath-device-flush")
+    t.start()
+    if not done.wait(timeout_s):
+        return False, None
+    if "exc" in box:
+        raise box["exc"]
+    return True, box["res"]
+
+
 def _perturb(scores: np.ndarray) -> np.ndarray:
     """Test hook (BATH_DEVICE_PERTURB=<nats>): inject alternating-sign
     error into the device gate scores.  tests/test_device_pipeline.py
@@ -257,6 +287,14 @@ class DeviceCascade:
         # import (~1.5s) is deferred to first engagement
         self.om = om
         self.mesh_sharding = mesh_sharding
+        # mid-drive stall watchdog (VERDICT r4 item 3): once any
+        # flush exceeds its deadline the cascade surrenders the
+        # device for the rest of the drive and every stage returns
+        # its host-fallback value — byte-identical output either way
+        # (the same contract as over-bucket items).  The reference
+        # never hangs on its compute tier; neither do we.
+        self.surrendered = False
+        self.device_blocked_s = 0.0
         self._msv = None
         self._vit = None
         self._fwd_params = None
@@ -358,8 +396,17 @@ class DeviceCascade:
         _stat("msv-stream", len(plan), mb, _time.perf_counter() - t0)
         return packable
 
-    def msv_scores(self, seqs, lens, flat=None, offs=None
-                   ) -> np.ndarray:
+    def msv_scores(self, seqs, lens, flat=None, offs=None):
+        """Watchdog-guarded MSV scores; None on stall/surrender (the
+        caller's usc_pre=None path re-runs the host MSV batch)."""
+        cells = float(np.sum(lens)) * self.om.M if len(lens) else 0.0
+        return self._guard(
+            "msv", cells,
+            lambda: self._msv_scores_impl(seqs, lens, flat, offs),
+            lambda: None)
+
+    def _msv_scores_impl(self, seqs, lens, flat=None, offs=None
+                         ) -> np.ndarray:
         """Bit-identical to ops.reference.filters.msv_filter per
         item (integer DP on device, f64 conversion here).  Pass
         either <seqs> (list of arrays) or <flat>/<offs> (one int8
@@ -421,6 +468,15 @@ class DeviceCascade:
     SSVB_B = 1024
 
     def ssv_captures(self, seqs, lens, nulls, F1):
+        """Watchdog-guarded SSV captures; {} on stall/surrender
+        (missing keys already mean host-scan fallback)."""
+        cells = float(np.sum(lens)) * self.om.M if len(lens) else 0.0
+        return self._guard(
+            "ssvcap", cells,
+            lambda: self._ssv_captures_impl(seqs, lens, nulls, F1),
+            dict)
+
+    def _ssv_captures_impl(self, seqs, lens, nulls, F1):
         """Batched device capture events for p7_SSVFilter_BATH.
         Returns {i: (nwin, [(row, k, sc), ...])} for in-bucket items;
         missing keys (over-bucket) and overflowed lanes fall back to
@@ -483,6 +539,16 @@ class DeviceCascade:
     VITB_B = 128
 
     def vit_captures(self, seqs, lens, filterscs, F2):
+        """Watchdog-guarded Vit captures; {} on stall/surrender
+        (missing keys already mean host-scan fallback)."""
+        cells = float(np.sum(lens)) * self.om.M if len(lens) else 0.0
+        return self._guard(
+            "vitcap", cells,
+            lambda: self._vit_captures_impl(seqs, lens, filterscs,
+                                            F2),
+            dict)
+
+    def _vit_captures_impl(self, seqs, lens, filterscs, F2):
         """Batched device capture-event scan for p7_ViterbiFilter_
         BATH over the few F2 survivors.  Returns {i: (rows, ks)} —
         ascending 1-based crossing rows + striped-order k_start,
@@ -555,7 +621,16 @@ class DeviceCascade:
         return caps
 
     # -- ViterbiFilter (F2): bias survivors --------------------------
-    def vit_scores(self, seqs, lens) -> np.ndarray:
+    def vit_scores(self, seqs, lens):
+        """Watchdog-guarded ViterbiFilter scores; None on
+        stall/surrender (the caller's vitsc=None path re-runs the
+        host score batch + capture)."""
+        cells = float(np.sum(lens)) * self.om.M if len(lens) else 0.0
+        return self._guard(
+            "vit", cells, lambda: self._vit_scores_impl(seqs, lens),
+            lambda: None)
+
+    def _vit_scores_impl(self, seqs, lens) -> np.ndarray:
         """Bit-identical to ops.reference.filters.viterbi_filter's
         score (int16 DP on device, f64 conversion here)."""
         import jax.numpy as jnp
@@ -586,7 +661,15 @@ class DeviceCascade:
         return sc
 
     # -- Forward (F3/F4): Vit survivors -----------------------------
-    def fwd_scores(self, seqs, lens) -> np.ndarray:
+    def fwd_scores(self, seqs, lens):
+        """Watchdog-guarded Forward gate scores; None on
+        stall/surrender (fwd_dev=None re-runs the host F3 stage)."""
+        cells = float(np.sum(lens)) * self.om.M if len(lens) else 0.0
+        return self._guard(
+            "fwd", cells, lambda: self._fwd_scores_impl(seqs, lens),
+            lambda: None)
+
+    def _fwd_scores_impl(self, seqs, lens) -> np.ndarray:
         from .ops.jaxk import kernels as jk
         if self._fwd_params is None:
             self._fwd_params = jk.fwd_mb_params(self.om)
@@ -603,7 +686,16 @@ class DeviceCascade:
         return _perturb(out)
 
     # -- fs3 Forward (the --fs window gate) --------------------------
-    def fs3_scores(self, seqs, lens) -> np.ndarray:
+    def fs3_scores(self, seqs, lens):
+        """Watchdog-guarded fs3-Forward gate scores; None on
+        stall/surrender (fs3_dev=None re-runs the host fs3 gate)."""
+        M = getattr(self._om_fs3, "M", self.om.M)
+        cells = float(np.sum(lens)) * M if len(lens) else 0.0
+        return self._guard(
+            "fs3", cells, lambda: self._fs3_scores_impl(seqs, lens),
+            lambda: None)
+
+    def _fs3_scores_impl(self, seqs, lens) -> np.ndarray:
         from .ops.jaxk import kernels as jk
         # BATH_FS3_KERNEL=v2 selects the Pallas fs3v2 kernel (banded
         # gate: its ~4e-4-nat bf16 drift at L=2400 is far inside
@@ -655,6 +747,16 @@ class DeviceCascade:
     DOMDEC_B = 128
 
     def domdec(self, orfseqs):
+        """Watchdog-guarded fused Backward+decoding; all-ok=False on
+        stall/surrender (the established per-item host fallback)."""
+        n = len(orfseqs)
+        cells = float(sum(s.n for s in orfseqs)) * self.om.M
+        return self._guard(
+            "domdec", cells, lambda: self._domdec_impl(orfseqs),
+            lambda: ([None] * n, [None] * n, [None] * n,
+                     np.zeros(n, bool)))
+
+    def _domdec_impl(self, orfseqs):
         """Batched device (btot, etot, mocc, ok) for F3 survivors —
         ok=False (host fallback) for over-bucket ORFs or flagged
         lanes.  Returns per-item [n_i+1]-sliceable rows."""
@@ -706,6 +808,19 @@ class DeviceCascade:
     FSDOMDEC_B = 32
 
     def fs3_domdec(self, winseqs, dec_loop: float):
+        """Watchdog-guarded fused fs3 Backward+decoding; all-ok=False
+        on stall/surrender (the established per-item host
+        fallback)."""
+        n = len(winseqs)
+        M = getattr(self._om_fs3, "M", self.om.M)
+        cells = float(sum(s.n for s in winseqs)) * M
+        return self._guard(
+            "fs3domdec", cells,
+            lambda: self._fs3_domdec_impl(winseqs, dec_loop),
+            lambda: ([None] * n, [None] * n, [None] * n,
+                     np.zeros(n, bool)))
+
+    def _fs3_domdec_impl(self, winseqs, dec_loop: float):
         """Batched device (btot, etot, mocc, ok) for fs-branch DNA
         windows — ok=False (host fallback) for over-bucket windows or
         flagged lanes.  <dec_loop>: N/J/C LOOP prob of the profile
@@ -754,6 +869,57 @@ class DeviceCascade:
                 btot[i], etot[i], mocc[i] = bt[r], et[r], mo[r]
                 ok[i] = bool(okv[r])
         return btot, etot, mocc, ok
+
+    # -- stall watchdog ----------------------------------------------
+    def _flush_deadline_s(self, cells: float):
+        """Per-flush deadline, scaled to the flush's DP volume.  The
+        base covers worst-case first-flush compiles (minutes on a
+        tunneled backend); the per-cell term covers genuinely large
+        flushes.  BATH_DEVICE_FLUSH_TIMEOUT overrides the base;
+        <= 0 disables the watchdog."""
+        base = float(os.environ.get("BATH_DEVICE_FLUSH_TIMEOUT", 300))
+        if base <= 0:
+            return None
+        return base + cells / 1e9
+
+    def _guard(self, stage, cells, thunk, fallback):
+        """Run a device flush under the stall watchdog.  On deadline
+        expiry: mark the cascade surrendered (all later stages take
+        their host fallback immediately), account the blocked wall,
+        and return <fallback()> — the stage's established
+        host-fallback value, so the drive completes on the host path
+        with identical bytes."""
+        if self.surrendered:
+            return fallback()
+        import sys
+        import time as _time
+        t = self._flush_deadline_s(cells)
+        hang = os.environ.get("BATH_DEVICE_HANG")
+        if hang and hang.split(":")[0] == stage:
+            # fault-injection hook (tests/test_device_pipeline.py):
+            # simulate a tunnel stall in this stage, and clamp THIS
+            # stage's deadline so the test trips in ~1s while every
+            # healthy stage keeps the production deadline
+            secs = float(hang.split(":")[1]) if ":" in hang else 3600.0
+            real = thunk
+
+            def thunk():
+                _time.sleep(secs)
+                return real()
+            t = 1.0 if t is None else min(t, 1.0)
+        t0 = _time.perf_counter()
+        ok, res = _call_with_deadline(thunk, t)
+        if ok:
+            return res
+        blocked = _time.perf_counter() - t0
+        self.surrendered = True
+        self.device_blocked_s += blocked
+        print(f"# device watchdog: stage {stage} exceeded its "
+              f"{t:.0f}s flush deadline; surrendered to the host "
+              f"path for the rest of the drive "
+              f"(device_blocked_s={blocked:.1f})", file=sys.stderr)
+        _stat("watchdog-surrender", 1, 0.0, blocked)
+        return fallback()
 
     def _put(self, arr):
         _enable_compile_cache()
@@ -919,6 +1085,11 @@ def flush_gates(chunk: list[ChunkEntry], cascade: DeviceCascade, pli,
     vsc_all = cascade.vit_scores(vit_seqs, np.asarray(vit_lens,
                                                       np.int64)) \
         if vit_lens else np.empty(0, F32)
+    if vsc_all is None:
+        # watchdog surrender mid-flush: route every entry through the
+        # host Viterbi path (vitsc=None), byte-identical
+        vsc_all = np.empty(0, F32)
+        vit_dev = "0"
 
     # ViterbiFilter_BATH window capture for the F2 survivors among
     # the scored lanes: batched device crossing-event scan; the host

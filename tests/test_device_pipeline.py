@@ -168,3 +168,49 @@ def test_deferred_axon_registration_noop_paths():
             os.environ.pop(k, None)
             if saved[k] is not None:
                 os.environ[k] = saved[k]
+
+def _run_search_raw(extra, env_extra):
+    env = dict(os.environ, BATH_JAX_PLATFORM="cpu",
+               BATH_DEVICE_STATS="1")
+    env.update(env_extra)
+    r = subprocess.run(
+        [sys.executable, "-m", "bath_tpu.cli.bathsearch",
+         "--backend", "jax", *extra,
+         f"{TUT}/AMP_N.bhmm", f"{TUT}/target-AMP_N.fa"],
+        capture_output=True, text=True, timeout=900,
+        cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return re.sub(r"# (CPU time|Mc/sec):.*", "", r.stdout), r.stderr
+
+
+@pytest.mark.parametrize("stage,extra,env0", [
+    ("fwd", [], {}),
+    ("msv", [], {"BATH_MSV_DEVICE": "1"}),
+    ("fs3", ["--fs"], {"BATH_FS_CAND_FLUSH": "0"}),
+])
+def test_watchdog_stall_surrenders_to_host(stage, extra, env0):
+    """Mid-drive stall watchdog (VERDICT r4 item 3): mock a hanging
+    device call in one stage (BATH_DEVICE_HANG fault injection) with
+    a ~1s flush deadline; the cascade must surrender the device,
+    complete the drive on the host path with byte-identical output,
+    and report a watchdog-surrender accounting row with the blocked
+    wall (device_blocked_s)."""
+    want = run_search("numpy", extra)
+    env = {"BATH_DEVICE_HANG": f"{stage}:3600",
+           "BATH_DEVICE_MIN_CELLS": "0", **env0}
+    got, err = _run_search_raw(extra, env)
+    assert got == want
+    assert f"device watchdog: stage {stage}" in err, err[-1500:]
+    assert "device-stats watchdog-surrender: calls=1" in err, \
+        err[-1500:]
+
+
+def test_watchdog_inert_on_healthy_drive():
+    """With no stall injected, the watchdog changes nothing: the
+    device-engaged drive stays byte-identical and reports no
+    surrender row."""
+    want = run_search("numpy")
+    got, err = _run_search_raw([], {"BATH_DEVICE_MIN_CELLS": "0",
+                                    "BATH_DEVICE_FLUSH_TIMEOUT": "300"})
+    assert got == want
+    assert "watchdog-surrender" not in err
