@@ -253,6 +253,116 @@ class LazyOrfList:
         return len(self) > 0
 
 
+def reslice_orfs(orfs, d: int, *, L: int, is_revcomp: bool,
+                 minlen: int, require_initiator: bool,
+                 gcode: GeneticCode, dsq: np.ndarray):
+    """Derive the ORF list extract_orfs would produce on the window
+    shortened by <d> nt of context, from the full window's list —
+    without re-extracting.
+
+    The multi-query drive shares one window stream whose overlap is
+    the MAX of the per-query `om->max_length*3` overlaps (ref:
+    bathsearch.c:1099); a query with a smaller overlap sees a window
+    whose first d nt (forward strand) / last d nt (reverse strand,
+    i.e. the first d of the pre-revcomp window) are absent.  Both
+    overlaps are multiples of 3, so (d % 3 == 0) the codon grid and
+    frame labels are identical and the serial list differs from the
+    shared one only at the truncated edge:
+
+    * forward (left-truncated by d): every ORF drops its codons that
+      start before position d+1; fully-dropped or now-sub-minlen ORFs
+      vanish; with require_initiator a truncated ORF re-anchors at
+      its first initiator codon >= d+1.  Closure and emission order
+      are untouched (stops are to the right of the cut).
+    * reverse (right-truncated by d, since revcomp(x[d:]) is a PREFIX
+      of revcomp(x)): every ORF keeps only codons whose smallest
+      original-orientation coordinate is >= d+1; an ORF that loses
+      codons, or whose terminating stop codon straddles the cut
+      (end <= d+3), becomes OPEN and moves to the end-of-window flush
+      group (frame order 0,1,2 — extract_orfs's flush rule), exactly
+      as serial extraction would classify it.
+
+    All coordinates stay in the SHARED window's convention (serial
+    coords + d), which downstream consumers combine with the shared
+    window object's start/n — the sums are invariant (verified by
+    tests/test_multiquery.py byte parity).  Returns a LazyOrfList
+    sharing the input's flat amino buffer, or a list[Orf] for the
+    pure-Python representation."""
+    assert d % 3 == 0 and d > 0
+    if getattr(orfs, "flat", None) is None:
+        # pure-Python Orf list (native extractor unavailable): wrap
+        # into arrays, reslice, rebuild
+        if len(orfs) == 0:
+            return orfs
+        starts = np.array([o.start for o in orfs], np.int64)
+        ends = np.array([o.end for o in orfs], np.int64)
+        frames = np.array([o.frame for o in orfs], np.int64)
+        lens = np.array([o.n for o in orfs], np.int64)
+        flat = np.concatenate([np.asarray(o.dsq) for o in orfs])
+        offs = np.zeros(len(orfs), np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        lite = LazyOrfList(flat, offs, lens, starts, ends, frames)
+        v = reslice_orfs(lite, d, L=L, is_revcomp=is_revcomp,
+                         minlen=minlen,
+                         require_initiator=require_initiator,
+                         gcode=gcode, dsq=dsq)
+        return [Orf(np.array(v.flat[v.offs[i]:v.offs[i] + v.lens[i]]),
+                    int(v.starts[i]), int(v.ends[i]),
+                    int(v.frames[i])) for i in range(len(v))]
+
+    starts = np.asarray(orfs.starts, np.int64)
+    ends = np.asarray(orfs.ends, np.int64)
+    lens = np.asarray(orfs.lens, np.int64)
+    offs = np.asarray(orfs.offs, np.int64)
+    frames = np.asarray(orfs.frames, np.int64)
+    eff_min = max(int(minlen), 1)
+    if not is_revcomp:
+        # drop codons starting before d+1: codon j of an ORF starts
+        # at start+3j, so n_drop = ceil((d+1-start)/3)
+        ndrop = np.maximum(0, (d + 3 - starts) // 3)
+        if require_initiator:
+            hit = np.nonzero((ndrop > 0) & (ndrop < lens))[0]
+            init = gcode.is_initiator
+            for i in hit:
+                s, n, j = int(starts[i]), int(lens[i]), int(ndrop[i])
+                while j < n:
+                    p = s - 1 + 3 * j
+                    x1, x2, x3 = int(dsq[p]), int(dsq[p + 1]), \
+                        int(dsq[p + 2])
+                    if x1 < 4 and x2 < 4 and x3 < 4 and \
+                            init[16 * x1 + 4 * x2 + x3]:
+                        break
+                    j += 1
+                ndrop[i] = j
+        newlens = lens - ndrop
+        keep = newlens >= eff_min
+        return LazyOrfList(orfs.flat, offs[keep] + ndrop[keep],
+                           newlens[keep].astype(np.int32),
+                           (starts + 3 * ndrop)[keep], ends[keep],
+                           frames[keep])
+    # reverse strand: keep codons whose smallest original coordinate
+    # (start - 3j - 2 for codon j) is >= d+1
+    nkeep = np.maximum(0, (starts - d) // 3)
+    newlens = np.minimum(lens, nkeep)
+    ntr = lens - newlens
+    keep = newlens >= eff_min
+    # shared-open <=> the ORF ends at its frame's last full codon
+    # (end == ((L - f) % 3) + 1); serial-open additionally when
+    # truncated or when the stop codon straddles the cut
+    open_shared = ends == ((L - frames) % 3) + 1
+    open_serial = (ntr > 0) | open_shared | (ends <= d + 3)
+    ends2 = np.where(ntr > 0, starts - 3 * newlens + 1, ends)
+    ki = np.nonzero(keep)[0]
+    closed = ki[~open_serial[ki]]
+    openk = ki[open_serial[ki]]
+    openk = openk[np.argsort(frames[openk], kind="stable")]
+    order = np.concatenate([closed, openk]) if len(ki) \
+        else ki
+    return LazyOrfList(orfs.flat, offs[order],
+                       newlens[order].astype(np.int32),
+                       starts[order], ends2[order], frames[order])
+
+
 def extract_orfs(gcode: GeneticCode, dsq: np.ndarray, *,
                  minlen: int = 20, is_revcomp: bool = False,
                  require_initiator: bool = False) -> list[Orf]:

@@ -154,8 +154,19 @@ class PackedGates:
     pack parameters are packed once and stay device-resident, so a
     flush costs only its batch transfers + one fetch per stage."""
 
-    def __init__(self, queries: list[QState]):
+    def __init__(self, queries: list[QState], mesh_sharding=None):
         self.queries = queries
+        # data-parallel GSPMD mesh (bathsearch --mesh N): packed
+        # batches are sharded on the lane dim, pack parameters
+        # replicate, results gather — the multi-model analogue of
+        # DeviceCascade's mesh_sharding (parallel/mesh.py)
+        self.mesh_sharding = mesh_sharding
+        # stall watchdog, same contract as DeviceCascade._guard: a
+        # flush that exceeds its deadline surrenders the device for
+        # the drive and every stage returns its [None]*n host
+        # fallback (byte-identical output either way)
+        self.surrendered = False
+        self.device_blocked_s = 0.0
         # no jax work at construction: the adaptive thresholds may
         # keep the whole drive on host; _enable_compile_cache (which
         # also performs deferred axon registration) runs at the first
@@ -209,8 +220,47 @@ class PackedGates:
     # ---- generic packed-batch runner ------------------------------
     def _run(self, items, family, classes, kind, build, comp, call,
              Lb, Bladder, pad_value, out_rows):
-        """items: [(qs, dsq np int8, length)] -> aligned result list
-        (None = caller must use its host/single-model fallback)."""
+        """Watchdog-guarded packed batch: items [(qs, dsq, length)]
+        -> aligned result list (None = caller must use its
+        host/single-model fallback — also the stall-surrender
+        value)."""
+        import sys
+        import time as _time
+
+        from .device_pipeline import _call_with_deadline
+        n = len(items)
+        if self.surrendered:
+            return [None] * n
+        cells = _stage_cells(items)
+        base = float(os.environ.get("BATH_DEVICE_FLUSH_TIMEOUT", 300))
+        t = None if base <= 0 else base + cells / 1e9
+        hang = os.environ.get("BATH_DEVICE_HANG")
+        thunk = lambda: self._run_impl(items, family, classes, kind,
+                                       build, comp, call, Lb, Bladder,
+                                       pad_value, out_rows)
+        if hang and hang.split(":")[0] == "mq-" + kind:
+            secs = float(hang.split(":")[1]) if ":" in hang else 3600.0
+            real = thunk
+
+            def thunk():
+                _time.sleep(secs)
+                return real()
+            t = 1.0 if t is None else min(t, 1.0)
+        t0 = _time.perf_counter()
+        ok, res = _call_with_deadline(thunk, t)
+        if ok:
+            return res
+        blocked = _time.perf_counter() - t0
+        self.surrendered = True
+        self.device_blocked_s += blocked
+        print(f"# device watchdog: packed stage {kind} exceeded its "
+              f"{t:.0f}s flush deadline; surrendered to the host "
+              f"path for the rest of the drive "
+              f"(device_blocked_s={blocked:.1f})", file=sys.stderr)
+        return [None] * n
+
+    def _run_impl(self, items, family, classes, kind, build, comp,
+                  call, Lb, Bladder, pad_value, out_rows):
         from .device_pipeline import _enable_compile_cache
         _enable_compile_cache()
         import jax.numpy as jnp
@@ -240,7 +290,8 @@ class PackedGates:
                     batch[r, :ln] = np.asarray(dsq[:ln], np.int8)
                     lens[r] = ln
                     slot[r] = self._slots[(family, qs.qi)][2]
-                res = call(pack, batch, lens, slot)
+                res = call(pack, self._put(batch), self._put(lens),
+                           self._put(slot))
                 if out_rows == 4:
                     # pack the four posterior components into ONE
                     # device array per call so the stage can fetch
@@ -271,6 +322,12 @@ class PackedGates:
                     out[i] = (res[0, r], res[1, r], res[2, r],
                               bool(res[3, r, 0]))
         return out
+
+    def _put(self, arr):
+        if self.mesh_sharding is None:
+            return arr
+        import jax
+        return jax.device_put(arr, self.mesh_sharding)
 
     def fwd_scores(self, items):
         from .ops.jaxk import multimodel as mm
@@ -311,7 +368,7 @@ class PackedGates:
 
 class MQEntry:
     __slots__ = ("window", "seqid", "complementarity", "orfs", "tid",
-                 "nres_at")
+                 "nres_at", "orfs_d")
 
     def __init__(self, window, seqid, complementarity, orfs, tid,
                  nres_at):
@@ -319,6 +376,11 @@ class MQEntry:
         self.seqid = seqid
         self.complementarity = complementarity
         self.orfs = orfs
+        # {d (nt of extra shared context) -> resliced ORF view}:
+        # queries whose serial overlap is smaller than the shared
+        # stream's see the serial ORF set (gencode.reslice_orfs);
+        # same-overlap queries share one view
+        self.orfs_d = {}
         self.tid = tid
         # residue count as of this window in the serial stream: the
         # early domain keep-filter reads pli.Z = nres/max_length at
@@ -345,31 +407,53 @@ class _CombinedOrfs:
         return len(self.lens)
 
 
-def _combine_orfs(chunk, skip):
-    """Build the chunk-wide ORF stream; returns (combined, spans)
-    with spans[k] = (lo, hi) into the combined arrays, or (None, _)
-    when any entry lacks the flat layout."""
-    flats, offs, lens, spans = [], [], [], []
+def _combine_flat(chunk, skip):
+    """One concatenated amino stream + per-entry base offsets for the
+    whole chunk.  Every overlap group's ORF views share each entry's
+    flat buffer (reslice_orfs only rewrites offs/lens), so the
+    expensive concat happens ONCE per flush and groups differ only in
+    their metadata arrays.  Returns None when any live entry lacks
+    the flat layout (pure-Python extractor)."""
+    flats, bases = [], []
     base = 0
-    cnt = 0
     for e, sk in zip(chunk, skip):
         if sk or getattr(e.orfs, "flat", None) is None:
             if not sk and e.orfs is not None and len(e.orfs):
-                return None, None
-            spans.append((cnt, cnt))
+                return None
+            bases.append(0)
             continue
         f = np.asarray(e.orfs.flat)     # keep the extractor's dtype
         flats.append(f)
-        offs.append(np.asarray(e.orfs.offs, np.int64) + base)
-        lens.append(np.asarray(e.orfs.lens, np.int32))
-        spans.append((cnt, cnt + len(e.orfs)))
-        cnt += len(e.orfs)
+        bases.append(base)
         base += len(f)
     if not flats:
+        return None
+    return (flats[0] if len(flats) == 1 else np.concatenate(flats),
+            bases)
+
+
+def _combine_orfs(orf_lists, skip, shared):
+    """Chunk-wide ORF metadata over one overlap group's per-entry ORF
+    lists, against the flush-wide flat stream from _combine_flat;
+    returns (combined, spans) with spans[k] = (lo, hi) into the
+    combined arrays, or (None, _) when the flat layout is absent."""
+    if shared is None:
         return None, None
-    return _CombinedOrfs(
-        flats[0] if len(flats) == 1 else np.concatenate(flats),
-        np.concatenate(offs), np.concatenate(lens)), spans
+    flat_all, bases = shared
+    offs, lens, spans = [], [], []
+    cnt = 0
+    for ol, sk, base in zip(orf_lists, skip, bases):
+        if sk or getattr(ol, "flat", None) is None:
+            spans.append((cnt, cnt))
+            continue
+        offs.append(np.asarray(ol.offs, np.int64) + base)
+        lens.append(np.asarray(ol.lens, np.int32))
+        spans.append((cnt, cnt + len(ol)))
+        cnt += len(ol)
+    if not offs:
+        return None, None
+    return _CombinedOrfs(flat_all, np.concatenate(offs),
+                         np.concatenate(lens)), spans
 
 
 def _dd_server(cache):
@@ -414,12 +498,52 @@ def _phase_clock():
     return mark, report
 
 
+def _entry_views(chunk, skip, ctx_q, gcode, minlen, require_init):
+    """Per-entry (orfs, d) for one window-overlap group: d is the
+    extra shared context beyond the group's serial overlap <ctx_q>,
+    and orfs is the serial ORF set (gencode.reslice_orfs) when d > 0.
+    ctx_q < 0 means the shared list verbatim (the largest query, or
+    a pinned/disabled configuration)."""
+    from .gencode import reslice_orfs
+    out = []
+    for e, sk in zip(chunk, skip):
+        d = 0
+        if not sk and ctx_q >= 0:
+            d = max(0, (e.window.n - e.window.W) - ctx_q)
+        if d <= 0 or d % 3:
+            # d % 3 != 0 only under exotic --block_length < overlap
+            # configs; keep the shared list there (the pre-r5
+            # documented divergence) rather than mis-slice
+            out.append((e.orfs, 0))
+            continue
+        v = e.orfs_d.get(d)
+        if v is None:
+            v = reslice_orfs(
+                e.orfs, d, L=e.window.n,
+                is_revcomp=bool(e.complementarity), minlen=minlen,
+                require_initiator=require_init, gcode=gcode,
+                dsq=e.window.dsq)
+            e.orfs_d[d] = v
+        out.append((v, d))
+    return out
+
+
 def flush_multi(chunk: list[MQEntry], queries: list[QState],
-                pg: PackedGates, gcode, fs_mode: bool) -> None:
+                pg: PackedGates, gcode, fs_mode: bool,
+                minlen: int = 20, require_init: bool = False,
+                ctx_pinned: bool = False) -> None:
     """One chunk through the multi-query staged cascade.  Entries are
     processed in stream order within each query at every phase, so
     each query's hit ordering (and output bytes) match its serial
-    per-query run."""
+    per-query run.
+
+    Byte parity includes the per-query statistics block: each
+    window-overlap group sees its SERIAL ORF set via reslice_orfs
+    (+ serial fs-window clamp bounds), so filter-stage residue
+    counters match the serial per-query stream exactly (VERDICT r4
+    item 7; ref bathsearch.c:1099, p7_pipeline.c:1835).
+    <ctx_pinned>: BATH_WINDOW_CONTEXT pinned the overlap for every
+    backend — no reslicing."""
     from .pipeline_fs import fs_gate_and_define, fs_prepare
     mark, report = _phase_clock()
 
@@ -432,11 +556,29 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
     gates: dict = {}
     hits_qe = [[TopHits() for _ in range(ne)] for _ in range(nq)]
     wspan = [[None] * ne for _ in range(nq)]
-    combined, cspans = _combine_orfs(chunk, skip) \
-        if os.environ.get("BATH_MQ_COMBINED", "1") != "0" \
-        else (None, None)
+    use_combined = os.environ.get("BATH_MQ_COMBINED", "1") != "0"
+    reslice_on = not ctx_pinned and \
+        os.environ.get("BATH_MQ_RESLICE", "1") != "0"
+    ctx_shared = max(q.om.max_length for q in queries) * 3
+    qgroups: dict = {}
+    for qi, qs in enumerate(queries):
+        ctx_q = qs.om.max_length * 3
+        key = -1 if (not reslice_on or ctx_q >= ctx_shared) else ctx_q
+        qgroups.setdefault(key, []).append(qi)
+    views = [None] * nq                 # per-query per-entry (orfs, d)
+    comb_of = [None] * nq
+    shared_flat = _combine_flat(chunk, skip) if use_combined else None
+    for key, qis in qgroups.items():
+        ov = _entry_views(chunk, skip, key, gcode, minlen,
+                          require_init)
+        cg = _combine_orfs([o for o, _ in ov], skip, shared_flat) \
+            if use_combined else (None, None)
+        for qi in qis:
+            views[qi] = ov
+            comb_of[qi] = cg
     from .native import msv_filter_native_batch, vit_filter_score_batch
     for qi, qs in enumerate(queries):
+        combined, cspans = comb_of[qi]
         # ONE native MSV call per query over the whole chunk's ORFs
         usc_all = msv_filter_native_batch(combined, qs.om) \
             if combined is not None else None
@@ -446,7 +588,7 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
                 continue
             lo, hi = cspans[k] if usc_all is not None else (0, 0)
             plans[k] = pipeline_gate_plan(
-                qs.pli, qs.om, qs.bg, e.window, e.orfs,
+                qs.pli, qs.om, qs.bg, e.window, views[qi][k][0],
                 usc_pre=None if usc_all is None else usc_all[lo:hi])
         # ONE native ViterbiFilter call per query over the chunk's
         # bias survivors (bit-identical to the per-window batch)
@@ -478,7 +620,8 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
                 continue
             lo = len(qs.hit_windows)
             res = pipeline_gates(qs.pli, qs.om, qs.data, qs.bg,
-                                 e.window, e.orfs, qs.hit_windows,
+                                 e.window, views[qi][k][0],
+                                 qs.hit_windows,
                                  e.seqid, e.complementarity,
                                  plan=plans[k], vitsc=vslices[k])
             gates[(qi, k)] = res
@@ -563,10 +706,19 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
                 _, P_orf, fwdsc_arr, _ = gates[(qi, k)]
                 widx: dict = {}
                 lo0, _hi0 = wspan[qi][k]
-                cs = fs_prepare(qs.pli, qs.om, qs.data, qs.bg, e.orfs,
+                ol, d = views[qi][k]
+                # serial fs-window clamp bounds: the serial window is
+                # d nt shorter at its context edge (left for forward,
+                # right for revcomp — revcomp(x[d:]) is a prefix)
+                bnd = None
+                if d:
+                    bnd = (1, e.window.n - d) if e.complementarity \
+                        else (d + 1, e.window.n)
+                cs = fs_prepare(qs.pli, qs.om, qs.data, qs.bg, ol,
                                 e.window, gcode, P_orf, fwdsc_arr,
                                 qs.hit_windows[lo0:],
-                                e.complementarity, widx=widx)
+                                e.complementarity, widx=widx,
+                                bounds=bnd)
                 fs_cands[(qi, k)] = cs
                 fs_widx[(qi, k)] = widx
                 lo = len(fs_items)
@@ -630,8 +782,8 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
                 fs_gate_and_define(
                     qs.pli, qs.om, qs.gm, qs.om_fs3, qs.om_fs5,
                     qs.gm_fs5, qs.bg, hits_qe[qi][k], e.seqid,
-                    e.orfs, e.window, gcode, P_orf, oxf_holder,
-                    e.complementarity, fs_cands[(qi, k)],
+                    views[qi][k][0], e.window, gcode, P_orf,
+                    oxf_holder, e.complementarity, fs_cands[(qi, k)],
                     fs3_dev=fs3_dev, fs_domdec_fn=_fsdd,
                     widx=fs_widx[(qi, k)])
 
@@ -651,9 +803,17 @@ def run_multiquery(args, hmms, gcode, require_init, ofp, tblfp,
     t_start = time.time()
     queries = [QState(h, args, gcode, qi)
                for qi, h in enumerate(hmms)]
-    pg = PackedGates(queries)
+    mesh_sharding = None
+    if getattr(args, "mesh", 0) and args.mesh > 1:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.mesh import make_mesh
+        mesh_sharding = NamedSharding(make_mesh(args.mesh), P("dp"))
+    pg = PackedGates(queries, mesh_sharding=mesh_sharding)
     fs_mode = bool(args.fs or args.fsonly)
 
+    ctx_pinned = bool(int(os.environ.get("BATH_WINDOW_CONTEXT", 0)))
     context = int(os.environ.get("BATH_WINDOW_CONTEXT", 0)) \
         or max(q.om.max_length for q in queries) * 3
     id_lengths: dict = {}
@@ -671,7 +831,9 @@ def run_multiquery(args, hmms, gcode, require_init, ofp, tblfp,
     tid = 0
 
     def _flush():
-        flush_multi(chunk, queries, pg, gcode, fs_mode)
+        flush_multi(chunk, queries, pg, gcode, fs_mode,
+                    minlen=args.minlen, require_init=require_init,
+                    ctx_pinned=ctx_pinned)
 
     for window, is_last in read_windows(args.dbfile, context=context,
                                         block_length=block_length):

@@ -33,7 +33,13 @@ F32 = np.float32
 # DNA window building (ref: p7_pli_BuildDNAWindows :461)
 # ---------------------------------------------------------------------
 def build_dna_windows(pli, orfs, dnasq, om, data, P_orf, hit_windows,
-                      complementarity, pct_overlap=0.0):
+                      complementarity, pct_overlap=0.0, bounds=None):
+    """<bounds>: optional (lo, hi) window-coordinate clamp replacing
+    the default (1, dnasq.n) — the multi-query drive passes the
+    query's SERIAL window extent (its own max_length*3 overlap, ref
+    bathsearch.c:1099) so fs windows clamp exactly where the serial
+    per-query stream would."""
+    lo, hi = bounds if bounds is not None else (1, dnasq.n)
     windows = []
     # one pass over hit_windows, best per ORF id (same strict-'>'
     # score tie-break, longer-window-on-equal-score, as the per-ORF
@@ -78,11 +84,11 @@ def build_dna_windows(pli, orfs, dnasq, om, data, P_orf, hit_windows,
         ws = min(0, ws)
         we = max(orf.n, we)
         if complementarity:
-            ws_dna = max(1, (dnasq.n - orf.start + 1) + ws * 3)
-            we_dna = min(dnasq.n, (dnasq.n - orf.start + 1) + we * 3)
+            ws_dna = max(lo, (dnasq.n - orf.start + 1) + ws * 3)
+            we_dna = min(hi, (dnasq.n - orf.start + 1) + we * 3)
         else:
-            ws_dna = max(1, orf.start + ws * 3)
-            we_dna = min(dnasq.n, orf.start + we * 3)
+            ws_dna = max(lo, orf.start + ws * 3)
+            we_dna = min(hi, orf.start + we * 3)
         windows.append([ws_dna, we_dna - ws_dna + 1])
         orf.idx = len(windows) - 1
 
@@ -837,7 +843,7 @@ class FSWindowCand:
 
 def fs_prepare(pli, om, data, bg, orfs, dnasq, gcode, P_orf, fwdsc_arr,
                hit_windows, complementarity,
-               widx=None) -> list[FSWindowCand]:
+               widx=None, bounds=None) -> list[FSWindowCand]:
     """Phase 1 of the frameshift branch: DNA window building plus the
     per-window statistics and bias filtering that precede the
     fs3-Forward gate (ref: p7_pli_Frameshift :1338-1463).
@@ -847,7 +853,8 @@ def fs_prepare(pli, om, data, bg, orfs, dnasq, gcode, P_orf, fwdsc_arr,
     Orf.idx attribute (ORF lists are shared across queries there, so
     attribute writes from one query would leak into another)."""
     windows = build_dna_windows(pli, orfs, dnasq, om, data, P_orf,
-                                hit_windows, complementarity)
+                                hit_windows, complementarity,
+                                bounds=bounds)
     cands = []
     # vectorized per-survivor DNA coordinates: the per-window scan
     # over ALL ORFs was O(windows x orfs) python (a visible cost at

@@ -103,3 +103,88 @@ def test_multiquery_disable_env(tmp_path):
     _run(a, args)
     _run(b, args, env_extra={"BATH_MULTIQUERY": "0"})
     assert _norm(a) == _norm(b)
+
+def _mk_boundary_fixture(tmp_path):
+    """Target engineered to provoke the window-overlap stats
+    divergence: MET's overlap is 1410 nt, AMP_N's 501, so co-searched
+    windows give AMP_N 909 nt of extra left context.  Stop-free
+    AMP_N-consensus embeds cross a window boundary AND the smaller
+    serial window's start (block_length 6000: plus-strand embed spans
+    ~5280..6084 over boundary 6000, minus-strand ~11280..12084 over
+    boundary 12000), so the shared stream sees a longer ORF than
+    AMP_N's serial stream and 'Residues passing' counters move unless
+    the per-query reslicing is active."""
+    import numpy as np
+    sys.path.insert(0, "/root/repo")
+    from bath_tpu.hmmfile import read_hmm
+    rng = np.random.default_rng(7)
+    L = 18000
+    nt = rng.choice(np.array(list("ACGT")), L)
+    hmm = read_hmm(f"{TUT}/AMP_N.bhmm")
+    CODON = {"A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA",
+             "F": "TTT", "G": "GGT", "H": "CAT", "I": "ATT",
+             "K": "AAA", "L": "CTG", "M": "ATG", "N": "AAT",
+             "P": "CCT", "Q": "CAA", "R": "CGT", "S": "TCT",
+             "T": "ACT", "V": "GTT", "W": "TGG", "Y": "TAT"}
+    AA = "ACDEFGHIKLMNPQRSTVWY"
+    aas = [AA[int(np.argmax(np.asarray(hmm.mat[k][:20])))]
+           for k in range(1, hmm.M + 1)]
+    coding = "".join(CODON[a] for a in aas) * 2       # 804 nt, no stops
+    nt[5280:5280 + len(coding)] = np.array(list(coding))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = np.array([comp[c] for c in coding[::-1]])
+    nt[11280:11280 + len(rc)] = rc
+    tgt = tmp_path / "boundary.fa"
+    tgt.write_text(">t1 boundary fixture\n" + "".join(nt) + "\n")
+    q = tmp_path / "mix.bhmm"
+    q.write_text(open(f"{TUT}/MET.bhmm").read()
+                 + open(f"{TUT}/AMP_N.bhmm").read())
+    return q, tgt
+
+
+def test_multiquery_stats_block_byte_identical(tmp_path):
+    """Full-file byte identity INCLUDING the per-query statistics
+    block (VERDICT r4 item 7): mixed-overlap queries over a
+    boundary-crossing target, std and --fs.  The per-query ORF
+    reslicing (gencode.reslice_orfs) gives each overlap group its
+    serial ORF set, so filter-stage residue counters match the serial
+    stream exactly (ref bathsearch.c:1099, p7_pipeline.c:1835)."""
+    q, tgt = _mk_boundary_fixture(tmp_path)
+    for extra in ([], ["--fs"]):
+        a = tmp_path / f"np{len(extra)}.out"
+        b = tmp_path / f"jx{len(extra)}.out"
+        args = extra + ["--block_length", "6000", str(q), str(tgt)]
+        _run(a, ["--backend", "numpy"] + args)
+        _run(b, ["--backend", "jax"] + args)
+        assert _norm(a) == _norm(b)
+
+
+def test_multiquery_stats_parity_has_teeth(tmp_path):
+    """The fixture really provokes the divergence: with reslicing
+    disabled (BATH_MQ_RESLICE=0, the pre-r5 behavior) the statistics
+    lines MUST move while hits stay identical — i.e. the test above
+    fails without the fix."""
+    q, tgt = _mk_boundary_fixture(tmp_path)
+    a, b = tmp_path / "np.out", tmp_path / "off.out"
+    args = ["--block_length", "6000", str(q), str(tgt)]
+    _run(a, ["--backend", "numpy"] + args)
+    _run(b, ["--backend", "jax"] + args,
+         env_extra={"BATH_MQ_RESLICE": "0"})
+    drop = lambda text: "\n".join(
+        l for l in text.splitlines()
+        if not l.startswith("Residues passing"))
+    assert _norm(a) != _norm(b)
+    assert drop(_norm(a)) == drop(_norm(b))
+
+def test_multiquery_watchdog_stall_surrenders(tmp_path):
+    """Packed-gate stall watchdog: a hanging device flush in the
+    multi-query fwd stage (BATH_DEVICE_HANG=mq-fwd fault injection)
+    must surrender to the per-item host fallback with byte-identical
+    output."""
+    a, b = tmp_path / "np.out", tmp_path / "jx.out"
+    args = [f"{TUT}/MET.bhmm", f"{TUT}/target-MET.fa"]
+    _run(a, ["--backend", "numpy"] + args)
+    _run(b, ["--backend", "jax"] + args,
+         env_extra={"BATH_DEVICE_HANG": "mq-fwd:3600",
+                    "BATH_MQ_FWD_MIN_CELLS": "0"})
+    assert _norm(a) == _norm(b)
