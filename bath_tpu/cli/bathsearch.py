@@ -47,9 +47,14 @@ _PLI_COUNTERS = ("n_past_msv", "n_past_bias", "n_past_vit",
 
 def _pool_task(spec):
     """One window, both strands, in a forked worker."""
-    tid, window, seqid = spec
+    tid, window, seqid, nres_at = spec
     c = _WCTX
     pli = c["pli"]
+    # serial-stream residue count as of this window: the early domain
+    # keep-filter reads pli.Z = nres/max_length at domain-definition
+    # time (ref p7_pipeline.c:1230-1249); the forked copy's counter
+    # is frozen at fork time, so restore the serial value per window
+    pli.nres = nres_at
     before = [getattr(pli, f) for f in _PLI_COUNTERS]
     th = TopHits()
     hws: list = []
@@ -517,8 +522,13 @@ def run(argv=None) -> int:
 
         def window_specs():
             """Window stream + database bookkeeping; yields
-            (tid, window, seqid_for_hits).  Bookkeeping side effects
-            (id_lengths, nseqs, nres) stay on the main process."""
+            (tid, window, seqid_for_hits, nres_at).  Bookkeeping side
+            effects (id_lengths, nseqs, nres) stay on the main
+            process.  nres_at is the serial-stream residue count AS
+            OF this window (post-increment): the hybrid jax+workers
+            path reads windows ahead of processing, so the deferred
+            early keep-filter cannot read live pli.nres (ref
+            p7_pipeline.c:1230-1249 via _postdomaindef_bath)."""
             nonlocal seqidx, db_started, db_seqs_done
             tid = 0
             # BATH_WINDOW_CONTEXT pins the window overlap (nt) — used
@@ -556,7 +566,7 @@ def run(argv=None) -> int:
                     pli.nres += window.W
                 if pli.strands != C.STRAND_TOPONLY:
                     pli.nres += window.W
-                yield tid, window, seqid_for_hits
+                yield tid, window, seqid_for_hits, pli.nres
                 tid += 1
                 if is_last:
                     # true source length for assign_Lengths
@@ -564,7 +574,19 @@ def run(argv=None) -> int:
                     pli.nseqs += 1
                     seqidx += 1
 
-        results = [] if nprocs > 1 else None
+        ncpu = max(0, int(args.cpu or 0))
+        # --backend jax --cpu N composes (VERDICT r4 item 2; ref
+        # thread_loop bathsearch.c:1118-1291): N-1 forked workers run
+        # the bit-exact host pipeline per window while this process
+        # drives the chunked device cascade over overflow windows;
+        # results merge in stream (tid) order, so bytes equal the
+        # serial loop regardless of the dynamic split.
+        hybrid = (args.backend == "jax" and ncpu > 1 and nprocs <= 1
+                  and cascade is not None)
+        if args.backend == "jax" and not hybrid:
+            ncpu = 0            # the device path is already batched
+
+        results = [] if (nprocs > 1 or hybrid) else None
         ctr0 = {f: getattr(pli, f) for f in _PLI_COUNTERS} \
             if nprocs > 1 else None
 
@@ -572,23 +594,136 @@ def run(argv=None) -> int:
             """Window sharding across hosts: every rank walks the
             full stream (global nres/nseqs/length bookkeeping), only
             its own windows are processed."""
-            for tid_, w_, s_ in specs:
-                if tid_ % nprocs == (proc_id if nprocs > 1 else 0):
-                    yield tid_, w_, s_
+            for spec in specs:
+                if spec[0] % nprocs == (proc_id if nprocs > 1 else 0):
+                    yield spec
 
-        ncpu = max(0, int(args.cpu or 0))
-        if args.backend == "jax" and ncpu > 1:
-            print("# note: --cpu is ignored with --backend jax "
-                  "(the device cascade batches across windows; "
-                  "forked workers would each re-init the device)",
-                  file=sys.stderr)
-        if args.backend == "jax":
-            ncpu = 0            # the device path is already batched
-        if ncpu > 1:
+        global _WCTX
+        if hybrid:
+            import multiprocessing as mp
+            from collections import deque
+
+            from ..device_pipeline import (ChunkEntry,
+                                           flush_downstream,
+                                           flush_gates,
+                                           staged_fwd_cells)
+            _WCTX = dict(pli=pli, om=om, gm=gm, om_fs3=om_fs3,
+                         om_fs5=om_fs5, gm_fs5=gm_fs5, data=data,
+                         bg=bg, gcode=gcode, minlen=args.minlen,
+                         require_init=require_init, fs_funcs=fs_funcs)
+            from ..native import set_native_threads
+            nworkers = max(1, ncpu - 1)
+            _wthreads = max(1, (os.cpu_count() or 1) // (nworkers + 1))
+            set_native_threads(_wthreads)   # main's own OpenMP share
+            CHUNK_ORFS = int(os.environ.get("BATH_CHUNK_ORFS", 65536))
+            DEV_MIN = float(os.environ.get("BATH_DEVICE_MIN_CELLS",
+                                           2e8))
+            FS_MIN_CELLS = float(os.environ.get("BATH_FS_MIN_CELLS",
+                                                5e8))
+            chunk: list = []
+            staged: list = []
+            pending_orfs = 0
+
+            def _down_flush(use_device):
+                flush_downstream(staged, cascade, pli, om, gm,
+                                 om_fs3, om_fs5, gm_fs5, data, bg,
+                                 th, gcode, hit_windows,
+                                 use_device=use_device)
+                for e in staged:
+                    results.append(
+                        (e.tid, list(e.hits.unsrt),
+                         hit_windows[e.win_start:e.win_end]))
+                staged.clear()
+
+            def _maybe_down(final=False):
+                cells = staged_fwd_cells(staged, om.M)
+                ncand = sum(len(e.cands or ()) for e in staged)
+                fs_cells = ncand * 2.0 * om.max_length * om.M
+                engage = (cells >= DEV_MIN
+                          or (pli.fs_pipe
+                              and fs_cells >= FS_MIN_CELLS))
+                if final:
+                    _down_flush(engage)
+                elif engage:
+                    _down_flush(True)
+
+            def _take(spec):
+                """Main-side window: into the device cascade chunk."""
+                nonlocal pending_orfs
+                _tid, window, seqid_for_hits, nres_at = spec
+                if pli.strands != C.STRAND_BOTTOMONLY:
+                    orfs = extract_orfs(
+                        gcode, window.dsq, minlen=args.minlen,
+                        require_initiator=require_init)
+                    chunk.append(ChunkEntry(window, seqid_for_hits,
+                                            C.NOCOMPLEMENT, orfs,
+                                            tid=_tid,
+                                            nres_at=nres_at))
+                    pending_orfs += len(orfs)
+                if pli.strands != C.STRAND_TOPONLY:
+                    rc = window.reverse_complement()
+                    orfs = extract_orfs(
+                        gcode, rc.dsq, minlen=args.minlen,
+                        is_revcomp=True,
+                        require_initiator=require_init)
+                    chunk.append(ChunkEntry(rc, seqid_for_hits,
+                                            C.COMPLEMENT, orfs,
+                                            tid=_tid,
+                                            nres_at=nres_at))
+                    pending_orfs += len(orfs)
+                if pending_orfs >= CHUNK_ORFS:
+                    staged.extend(flush_gates(chunk, cascade, pli,
+                                              om, data, bg,
+                                              hit_windows))
+                    pending_orfs = 0
+                    _maybe_down()
+
+            def _collect(res):
+                _tid, hits, hws, deltas = res
+                results.append((_tid, hits, hws))
+                for f, v in deltas.items():
+                    setattr(pli, f, getattr(pli, f) + v)
+
+            spec_iter = shard(window_specs())
+            pend: deque = deque()
+            MAXQ = 2 * nworkers
+            done_stream = False
+            final_done = False
+            try:
+                with mp.get_context("fork").Pool(
+                        nworkers, initializer=set_native_threads,
+                        initargs=(_wthreads,)) as pool:
+                    while True:
+                        while pend and pend[0].ready():
+                            _collect(pend.popleft().get())
+                        if not done_stream:
+                            spec = next(spec_iter, None)
+                            if spec is None:
+                                done_stream = True
+                            elif len(pend) < MAXQ:
+                                # keep the workers saturated first
+                                pend.append(pool.apply_async(
+                                    _pool_task, (spec,)))
+                            else:
+                                # overflow: the device cascade's share
+                                _take(spec)
+                            continue
+                        if not final_done:
+                            if chunk:
+                                staged.extend(flush_gates(
+                                    chunk, cascade, pli, om, data,
+                                    bg, hit_windows))
+                            _maybe_down(final=True)
+                            final_done = True
+                        if not pend:
+                            break
+                        pend[0].wait(0.05)
+            finally:
+                _WCTX = None
+        elif ncpu > 1:
             # forked worker pool (ref: thread_loop); imap preserves
             # window order, so output is byte-identical to serial
             import multiprocessing as mp
-            global _WCTX
             _WCTX = dict(pli=pli, om=om, gm=gm, om_fs3=om_fs3,
                          om_fs5=om_fs5, gm_fs5=gm_fs5, data=data,
                          bg=bg, gcode=gcode, minlen=args.minlen,
@@ -670,7 +805,8 @@ def run(argv=None) -> int:
                 elif engage:
                     _down_flush(True)
 
-            for _tid, window, seqid_for_hits in shard(window_specs()):
+            for _tid, window, seqid_for_hits, _nres_at in \
+                    shard(window_specs()):
                 if pli.strands != C.STRAND_BOTTOMONLY:
                     orfs = extract_orfs(gcode, window.dsq,
                                         minlen=args.minlen,
@@ -678,7 +814,7 @@ def run(argv=None) -> int:
                     chunk.append(ChunkEntry(window, seqid_for_hits,
                                             C.NOCOMPLEMENT, orfs,
                                             tid=_tid,
-                                            nres_at=pli.nres))
+                                            nres_at=_nres_at))
                     pending_orfs += len(orfs)
                 if pli.strands != C.STRAND_TOPONLY:
                     rc = window.reverse_complement()
@@ -689,7 +825,7 @@ def run(argv=None) -> int:
                     chunk.append(ChunkEntry(rc, seqid_for_hits,
                                             C.COMPLEMENT, orfs,
                                             tid=_tid,
-                                            nres_at=pli.nres))
+                                            nres_at=_nres_at))
                     pending_orfs += len(orfs)
                 if pending_orfs >= CHUNK_ORFS:
                     staged.extend(flush_gates(chunk, cascade, pli, om,
@@ -701,7 +837,8 @@ def run(argv=None) -> int:
                                           data, bg, hit_windows))
             _maybe_down(final=True)
         else:
-            for _tid, window, seqid_for_hits in shard(window_specs()):
+            for _tid, window, seqid_for_hits, _nres_at in \
+                    shard(window_specs()):
                 th_w = th if results is None else TopHits()
                 hws_w = hit_windows if results is None else []
                 if pli.strands != C.STRAND_BOTTOMONLY:
@@ -738,6 +875,15 @@ def run(argv=None) -> int:
             red = psum_counters(delta)
             for f in _PLI_COUNTERS:
                 setattr(pli, f, ctr0[f] + red[f])
+        elif hybrid:
+            # worker/device results interleave by completion; rebuild
+            # the serial stream (tid) order — the same merge
+            # discipline as the cross-host path above.  sort is
+            # stable, so a tid's entries (forward then revcomp) keep
+            # their order.
+            results.sort(key=lambda r: r[0])
+            th.unsrt = [h for _, hs, _ in results for h in hs]
+            hit_windows[:] = [w for _, _, hws in results for w in hws]
 
         # E-values from global residue count (ref: bathsearch.c:869-884)
         if args.Z is not None:

@@ -345,3 +345,26 @@ def test_multihost_byte_identical(tmp_path):
             assert p.returncode == 0, err[-2000:].decode()
         assert norm(tmp_path / f"mh_{n}_0.out") == norm(single), n
         port += 1
+
+
+def test_hybrid_cpu_device_byte_identical(tmp_path):
+    """--backend jax --cpu N composes forked host workers with the
+    device cascade (VERDICT r4 item 2; ref thread_loop
+    bathsearch.c:1118-1291): the dynamic worker/device window split
+    must produce output byte-identical to the numpy backend, std and
+    --fs, with the device stages forced to engage."""
+    import os
+    target = "/root/repo/tests/data/mesh_target_fs.fa"
+    hmm = "/root/reference/tutorial/AMP_N.bhmm"
+    env = dict(os.environ, BATH_JAX_PLATFORM="cpu",
+               JAX_PLATFORMS="cpu")
+    for mode in ([], ["--fs"]):
+        a = tmp_path / f"np{len(mode)}.out"
+        b = tmp_path / f"hy{len(mode)}.out"
+        args = [*mode, "--block_length", "20000", hmm, target]
+        _run_bathsearch(a, ["--backend", "numpy", *args], env)
+        envh = dict(env, BATH_DEVICE_MIN_CELLS="0",
+                    BATH_FS_MIN_CELLS="0")
+        _run_bathsearch(b, ["--backend", "jax", "--cpu", "3", *args],
+                        envh)
+        assert _norm(a) == _norm(b)
