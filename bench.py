@@ -171,10 +171,18 @@ def _device_main(argv):
     rng = np.random.default_rng(0)
 
     mode = "v3"
-    for m in ("v2", "sub", "pallas", "v1"):
+    for m in ("v2", "sub", "pallas", "v1", "v4"):
         if f"--{m}" in argv:
             mode = m
-    if mode == "v3":
+    if mode == "v4":
+        from bath_tpu.ops.jaxk.fs3_v4 import (fs3_params_v4,
+                                              fs3_score_batch_v4)
+        ps = fs3_params_v4(om3)
+        B, L = 4096, 8184
+
+        def run(d, lens):
+            return fs3_score_batch_v4(d, lens, ps, nj=1.0)
+    elif mode == "v3":
         from bath_tpu.ops.jaxk.fs3_v3 import (fs3_params_v3,
                                               fs3_score_batch_v3)
         ps = fs3_params_v3(om3)
@@ -225,7 +233,7 @@ def _device_main(argv):
         B = int(argv[argv.index("--B") + 1])
     if "--L" in argv:
         L = int(argv[argv.index("--L") + 1])
-    label = f"fs3-forward-gate GCUPS/chip [jnp-v3]" if mode == "v3" \
+    label = "fs3-forward-gate GCUPS/chip [jnp-v3]" if mode == "v3" \
         else f"fs3-forward-gate GCUPS/chip [{mode}]"
     lens = jnp.asarray(np.full(B, L, np.int32))
     # pre-upload the measurement batches (int8, kernels upcast): a

@@ -176,6 +176,12 @@ def main():
                expect_s=2400, runs=rr)
         _drive("fs-M409", ["--fs"], big, backend=b, hmm=met1,
                expect_s=3600, runs=rr)
+    if "jax" in backends:
+        # hybrid: forked host workers + device cascade sharing the
+        # window stream (the answer to numpy --cpu 4 on hit-dense
+        # drives — the one e2e row the plain cascade lost in r4)
+        _drive("fs-hit-rich-jaxcpu4", ["--fs", "--cpu", "4"], mix,
+               backend="jax", runs=runs)
     if "numpy" in backends:
         _drive("fs-hit-rich-cpu4", ["--fs", "--cpu", "4"], mix)
         # multi-exon gene drive: the testsuite's tmem-258 splice

@@ -88,6 +88,16 @@ def test_fs3_jax_vs_numpy(setup):
     s3p = np.asarray(fs3_score_batch_v3(batch, lens, pv3, nj=1.0,
                                         edot="pos"))[:n]
     assert np.array_equal(s3p, s3)
+    # v4 (linear-operator folding, ops/jaxk/fs3_v4.py): M-path
+    # shift+scale folded into the closure matmul + pre-multiplied I
+    # row — same recurrence, the tMM product now rounds inside the
+    # dot, so the tolerance vs the host parser stays the gate-band
+    # one
+    from bath_tpu.ops.jaxk.fs3_v4 import (fs3_params_v4,
+                                          fs3_score_batch_v4)
+    pv4 = fs3_params_v4(om3)
+    s4 = np.asarray(fs3_score_batch_v4(batch, lens, pv4, nj=1.0))[:n]
+    assert np.all(np.abs(s4 - scores[:n]) < 0.05), (s4, scores)
 
 
 def test_mesh_backend_identical():
