@@ -713,11 +713,24 @@ class DeviceCascade:
             def scorer(batch, blens):
                 return fs3_score_v2(batch, blens, self._fs3v2_params,
                                     nj=1.0, interpret=interp)
-        elif os.environ.get("BATH_FS3_KERNEL", "v3") == "v3":
+        elif os.environ.get("BATH_FS3_KERNEL", "v4") == "v4":
+            # linear-operator-folding variant (ops/jaxk/fs3_v4.py):
+            # 66.7 GCUPS vs v3's 64.5 in the same round-5 on-chip
+            # race — the production default; within the gate band of
+            # the host parser (0.021 nats measured worst case)
+            from .ops.jaxk.fs3_v4 import (fs3_params_v4,
+                                          fs3_score_batch_v4)
+            if getattr(self, "_fs3v4_params", None) is None:
+                self._fs3v4_params = fs3_params_v4(self._om_fs3)
+
+            def scorer(batch, blens):
+                return fs3_score_batch_v4(batch, blens,
+                                          self._fs3v4_params, nj=1.0)
+        elif os.environ.get("BATH_FS3_KERNEL") == "v3":
             # block-lazy rescaling variant (ops/jaxk/fs3_v3.py):
             # 63.7 GCUPS vs v1's 47.8 on-chip (round-4 race), same
-            # scores to f32 round-off — the production default;
-            # BATH_FS3_KERNEL=v1 restores the pending-scale kernel
+            # scores to f32 round-off; BATH_FS3_KERNEL=v1 restores
+            # the pending-scale kernel
             from .ops.jaxk.fs3_v3 import (fs3_params_v3,
                                           fs3_score_batch_v3)
             if getattr(self, "_fs3v3_params", None) is None:

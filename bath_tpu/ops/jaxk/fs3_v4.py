@@ -72,9 +72,9 @@ def fs3_params_v4(om_fs, sub_multiple: int = 8) -> FS3ParamsV4:
                        A=jnp.asarray(A.astype(np.float32)))
 
 
-@partial(jax.jit, static_argnames=("Mt", "nj", "BL"))
+@partial(jax.jit, static_argnames=("Mt", "nj", "BL", "ring_bf16"))
 def _fs3_v4_impl(dsq, lens, T2, T3, T4, tBM, tII, A, nj, Mt, W3c, u,
-                 BL=24):
+                 BL=24, ring_bf16=False):
     B, L = dsq.shape
     dsq = dsq.astype(jnp.int32)
     Lpad = ((L + BL - 1) // BL) * BL
@@ -112,6 +112,15 @@ def _fs3_v4_impl(dsq, lens, T2, T3, T4, tBM, tII, A, nj, Mt, W3c, u,
         oh = (cblk[None, :] == jnp.arange(n)[:, None]).astype(BF16)
         return jnp.dot(tab, oh, preferred_element_type=F32)
 
+    # ring_bf16: store the [Mt, B] ring rows bf16 (halves the VMEM
+    # ring traffic that binds the kernel at saturating B — the v4
+    # measurement showed -25% ops bought only +3.5%); reads upcast,
+    # f32 accumulation everywhere else.  ~0.4% per-op rounding on
+    # ring values, absorbed by the gate band (parity-tested).
+    RD = BF16 if ring_bf16 else F32
+    dn = (lambda x: x.astype(RD)) if ring_bf16 else (lambda x: x)
+    up = (lambda x: x.astype(F32)) if ring_bf16 else (lambda x: x)
+
     def block(carry, blk, first=False):
         c2_blk, c3_blk, c4_blk = blk
         (mr, iwr, dmr, ivx, xNb, xBb, xJb, xCb, logacc, lcomp, score,
@@ -136,12 +145,12 @@ def _fs3_v4_impl(dsq, lens, T2, T3, T4, tBM, tII, A, nj, Mt, W3c, u,
 
             # dm carries shift(D) + shift(M)*tMM in one ring (W3c);
             # iw carries I*tIM pre-multiplied
-            iwp = jk._shift_down(iwr[p2_m4])
-            sv = xBb[p2_m4][None, :] * tBMc + (iwp + dmr[p2_m4])
+            iwp = up(jk._shift_down(iwr[p2_m4]))
+            sv = xBb[p2_m4][None, :] * tBMc + (iwp + up(dmr[p2_m4]))
             msv = sv * E2
-            t3 = ivx[s3] * E3
-            t4 = ivx[s4] * E4
-            new_iw = mr[p3_m4] * A + iwr[p3_m4] * tIIc
+            t3 = up(ivx[s3]) * E3
+            t4 = up(ivx[s4]) * E4
+            new_iw = up(mr[p3_m4]) * A + up(iwr[p3_m4]) * tIIc
             if first:
                 t3 = jnp.where(pos >= 3, t3, 0.0)
                 t4 = jnp.where(pos >= 4, t4, 0.0)
@@ -159,8 +168,9 @@ def _fs3_v4_impl(dsq, lens, T2, T3, T4, tBM, tII, A, nj, Mt, W3c, u,
                 xC2 = jnp.where(ge3, xC2, xE * emove)
             xB2 = xN2 * pmove + xJ2 * pmove
 
-            mr[pos_m4], iwr[pos_m4], dmr[pos_m4] = msv, new_iw, new_dm
-            ivx[s2] = sv
+            mr[pos_m4], iwr[pos_m4], dmr[pos_m4] = \
+                dn(msv), dn(new_iw), dn(new_dm)
+            ivx[s2] = dn(sv)
             xNb[pos_m4], xJb[pos_m4] = xN2, xJ2
             xCb[pos_m4], xBb[pos_m4] = xC2, xB2
 
@@ -175,12 +185,12 @@ def _fs3_v4_impl(dsq, lens, T2, T3, T4, tBM, tII, A, nj, Mt, W3c, u,
         sc = jnp.maximum(xemax, 1.0)
         sinv = (1.0 / sc)[None, :]
         for r in (0, 2, 3):
-            mr[r] = mr[r] * sinv
-            iwr[r] = iwr[r] * sinv
+            mr[r] = dn(up(mr[r]) * sinv)
+            iwr[r] = dn(up(iwr[r]) * sinv)
         for r in (0, 3):
-            dmr[r] = dmr[r] * sinv
+            dmr[r] = dn(up(dmr[r]) * sinv)
         for s in (0, 2):
-            ivx[s] = ivx[s] * sinv
+            ivx[s] = dn(up(ivx[s]) * sinv)
         sb = sinv[0]
         for r in range(4):
             xNb[r] = xNb[r] * sb
@@ -196,7 +206,7 @@ def _fs3_v4_impl(dsq, lens, T2, T3, T4, tBM, tII, A, nj, Mt, W3c, u,
                 tuple(xNb), tuple(xBb), tuple(xJb), tuple(xCb),
                 logacc, lcomp, score, base + BL), None
 
-    zrow = jnp.zeros((Mt, B), F32)
+    zrow = jnp.zeros((Mt, B), RD)
     zb = jnp.zeros(B, F32)
     ones = jnp.ones(B, F32)
     xNb0 = (ones, ones, zb, zb)
@@ -211,7 +221,8 @@ def _fs3_v4_impl(dsq, lens, T2, T3, T4, tBM, tII, A, nj, Mt, W3c, u,
 
 
 def fs3_score_batch_v4(dsq, lens, params: FS3ParamsV4,
-                       nj: float = 1.0, BL: int = 24) -> jnp.ndarray:
+                       nj: float = 1.0, BL: int = 24,
+                       ring_bf16: bool = False) -> jnp.ndarray:
     """Frameshift 3-codon Forward scores (nats), v1 call contract
     (lane-chunked past the VMEM carry cap like fs3_score_batch)."""
     p = params.base
@@ -223,7 +234,7 @@ def fs3_score_batch_v4(dsq, lens, params: FS3ParamsV4,
     def one(d, ln):
         return _fs3_v4_impl(d, ln, p.T2, p.T3, p.T4, p.tBM, p.tII,
                             params.A, float(nj), p.Mt, params.W3c,
-                            p.u, BL=BL)
+                            p.u, BL=BL, ring_bf16=ring_bf16)
 
     if B <= cap:
         return one(dsq, lens)
