@@ -612,10 +612,22 @@ def run(argv=None) -> int:
                          bg=bg, gcode=gcode, minlen=args.minlen,
                          require_init=require_init, fs_funcs=fs_funcs)
             from ..native import set_native_threads
-            nworkers = max(1, ncpu - 1)
-            _wthreads = max(1, (os.cpu_count() or 1) // (nworkers + 1))
+            # N full workers (the reference's thread_loop also keeps
+            # its reader thread out of the count, bathsearch.c:183);
+            # the cascade main is a bonus consumer that only takes
+            # windows the saturated workers cannot — measured: with
+            # N-1 workers the main is a half-speed worker (it also
+            # submits/collects) and the hybrid lost ~25% to the
+            # plain pool on host-decided drives
+            nworkers = max(1, ncpu)
+            _wthreads = max(1, (os.cpu_count() or 1) // nworkers)
             set_native_threads(_wthreads)   # main's own OpenMP share
-            CHUNK_ORFS = int(os.environ.get("BATH_CHUNK_ORFS", 65536))
+            # small chunks: the main must return to the submission
+            # loop between windows or the saturated workers starve
+            # during a multi-second batched flush (gate batching is
+            # per-window in the host path anyway; the device
+            # downstream still batches across chunks via <staged>)
+            CHUNK_ORFS = int(os.environ.get("BATH_CHUNK_ORFS", 4096))
             DEV_MIN = float(os.environ.get("BATH_DEVICE_MIN_CELLS",
                                            2e8))
             FS_MIN_CELLS = float(os.environ.get("BATH_FS_MIN_CELLS",
@@ -686,7 +698,21 @@ def run(argv=None) -> int:
 
             spec_iter = shard(window_specs())
             pend: deque = deque()
-            MAXQ = 2 * nworkers
+            MAXQ = int(os.environ.get("BATH_HYBRID_MAXQ",
+                                      3 * nworkers))
+            n_main = n_pool = 0
+            # Main-compute policy (BATH_HYBRID_MAIN=auto|0|1): the
+            # cascade main only takes windows when the host has a
+            # core to spare (nworkers < cores) — on a fully
+            # subscribed host a fifth compute stream is pure
+            # contention (measured: -15% vs the plain pool), and the
+            # per-stage device-volume thresholds keep main's share
+            # host-bound on small drives anyway.  --cpu <cores>
+            # therefore matches the pool; --cpu with headroom (or
+            # =1 forced) adds the device stream.
+            hmain = os.environ.get("BATH_HYBRID_MAIN", "auto")
+            take_ok = (nworkers < (os.cpu_count() or 1)
+                       if hmain == "auto" else hmain != "0")
             done_stream = False
             final_done = False
             try:
@@ -704,9 +730,21 @@ def run(argv=None) -> int:
                                 # keep the workers saturated first
                                 pend.append(pool.apply_async(
                                     _pool_task, (spec,)))
-                            else:
+                                n_pool += 1
+                            elif take_ok:
                                 # overflow: the device cascade's share
                                 _take(spec)
+                                n_main += 1
+                            else:
+                                # host saturated: hold the spec until
+                                # a worker slot frees
+                                while len(pend) >= MAXQ:
+                                    pend[0].wait(0.02)
+                                    while pend and pend[0].ready():
+                                        _collect(pend.popleft().get())
+                                pend.append(pool.apply_async(
+                                    _pool_task, (spec,)))
+                                n_pool += 1
                             continue
                         if not final_done:
                             if chunk:
@@ -720,6 +758,10 @@ def run(argv=None) -> int:
                         pend[0].wait(0.05)
             finally:
                 _WCTX = None
+            if os.environ.get("BATH_DEVICE_STATS"):
+                print(f"# hybrid split: {n_pool} windows -> workers, "
+                      f"{n_main} -> device cascade main",
+                      file=sys.stderr)
         elif ncpu > 1:
             # forked worker pool (ref: thread_loop); imap preserves
             # window order, so output is byte-identical to serial
