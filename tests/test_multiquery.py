@@ -188,3 +188,52 @@ def test_multiquery_watchdog_stall_surrenders(tmp_path):
          env_extra={"BATH_DEVICE_HANG": "mq-fwd:3600",
                     "BATH_MQ_FWD_MIN_CELLS": "0"})
     assert _norm(a) == _norm(b)
+
+def test_reslice_orfs_matches_reextraction():
+    """Ground-truth property: reslice_orfs(shared, d) must equal
+    extract_orfs on the d-truncated window — same amino content,
+    coordinates shifted by d, same frames, same emission order —
+    across strands, overlap depths, minlen values, and initiator
+    modes (the serial-window derivation the multi-query stats parity
+    rests on)."""
+    import numpy as np
+
+    from bath_tpu.gencode import (GeneticCode, extract_orfs,
+                                  reslice_orfs)
+    from bath_tpu.sequence import revcomp
+
+    g_any = GeneticCode.create(1)
+    g_any.set_initiator_any()
+    g_init = GeneticCode.create(1)
+    checked = 0
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        L0 = int(rng.integers(400, 2200))
+        dsq = rng.integers(0, 4, L0).astype(np.int32)
+        dsq[rng.integers(0, L0, L0 // 60)] = 15   # degenerates
+        for d in (3, 30, 300):
+            for minlen in (1, 20):
+                for req, gc in ((False, g_any), (True, g_init)):
+                    for rc in (False, True):
+                        win = revcomp(dsq) if rc else dsq
+                        sub = revcomp(dsq[d:]) if rc else dsq[d:]
+                        shared = extract_orfs(
+                            gc, win, minlen=minlen, is_revcomp=rc,
+                            require_initiator=req)
+                        serial = extract_orfs(
+                            gc, sub, minlen=minlen, is_revcomp=rc,
+                            require_initiator=req)
+                        view = reslice_orfs(
+                            shared, d, L=L0, is_revcomp=rc,
+                            minlen=minlen, require_initiator=req,
+                            gcode=gc, dsq=win)
+                        assert len(view) == len(serial), \
+                            (seed, d, minlen, req, rc)
+                        for v, s in zip(view, serial):
+                            assert (np.array_equal(v.dsq, s.dsq)
+                                    and v.start == s.start + d
+                                    and v.end == s.end + d
+                                    and v.frame == s.frame), \
+                                (seed, d, minlen, req, rc)
+                        checked += 1
+    assert checked == 6 * 3 * 2 * 2 * 2
