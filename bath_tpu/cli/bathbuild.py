@@ -275,11 +275,14 @@ def main(argv=None) -> int:
                 # (ref: evalues.c p7_Calibrate per model; here one
                 # batched simulation stage per kernel per model —
                 # evalues_device.py)
-                from ..evalues_device import calibrate_many_device
+                from ..evalues_device import (calibrate_many_device,
+                                              run_guarded)
                 ccfg = cfg.calibration
                 ccfg.fs = cfg.fs
                 hmms = [rrow[0] for rrow in results]
-                calibrate_many_device(hmms, ccfg)
+                run_guarded(
+                    lambda: calibrate_many_device(hmms, ccfg),
+                    len(hmms), "device calibration")
                 import io
                 packed = []
                 for hmm, name, nseq, alen, M, ct, effn, ent, desc \
@@ -307,10 +310,14 @@ def main(argv=None) -> int:
                 entropy = mean_match_relative_entropy(hmm, bg)
                 rows.append((hmm, sq, entropy))
             if defer and rows:
-                from ..evalues_device import calibrate_many_device
+                from ..evalues_device import (calibrate_many_device,
+                                              run_guarded)
                 ccfg = cfg.calibration
                 ccfg.fs = cfg.fs
-                calibrate_many_device([h for h, _, _ in rows], ccfg)
+                run_guarded(
+                    lambda: calibrate_many_device(
+                        [h for h, _, _ in rows], ccfg),
+                    len(rows), "device calibration")
             for hmm, sq, entropy in rows:
                 nali += 1
                 write_hmm(hfp, hmm)

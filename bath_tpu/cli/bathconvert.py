@@ -73,8 +73,10 @@ def main(argv=None) -> int:
         if needs_fs:
             fs_items.append((hmm, ct))
     if fs_items and args.backend == "jax":
-        from ..evalues_device import convert_fs_taus_device
-        convert_fs_taus_device(fs_items, r, bg)
+        from ..evalues_device import (convert_fs_taus_device,
+                                      run_guarded)
+        run_guarded(lambda: convert_fs_taus_device(fs_items, r, bg),
+                    len(fs_items), "device fs-tau calibration")
     else:
         for hmm, ct in fs_items:
             gcode = GeneticCode.create(ct)

@@ -311,6 +311,31 @@ def _fs5_xv_host(dna5: np.ndarray, om5, nullsc: float, L: int
     return xv
 
 
+def run_guarded(thunk, n_items: int, what: str):
+    """Run a device-calibration stage under a stall deadline
+    (BATH_DEVICE_FLUSH_TIMEOUT base + 2 s/model; <= 0 disables).
+
+    Unlike the search cascade — whose watchdog surrenders to a
+    byte-identical host path — calibration mutates models in place
+    as stages complete, so a silent host redo would race the
+    abandoned device thread.  A build tool may fail loudly instead:
+    on expiry this exits with a clear instruction to re-run on the
+    host backend.  (Ref behavior contract: the reference's compute
+    tier cannot hang; with a tunneled accelerator, ours must not
+    either.)"""
+    import os
+
+    from .device_pipeline import _call_with_deadline
+    base = float(os.environ.get("BATH_DEVICE_FLUSH_TIMEOUT", 300))
+    t = None if base <= 0 else base + 2.0 * max(1, n_items)
+    ok, res = _call_with_deadline(thunk, t)
+    if not ok:
+        raise SystemExit(
+            f"{what} stalled past its {t:.0f}s deadline (accelerator "
+            "tunnel unresponsive); re-run with --backend numpy")
+    return res
+
+
 def calibrate_many_device(hmms, cfg: CalibrateConfig | None = None,
                           progress=None, chunk: int = 16) -> None:
     """Calibrate <hmms> in place with device-batched simulations (see
