@@ -368,3 +368,21 @@ def test_hybrid_cpu_device_byte_identical(tmp_path):
         _run_bathsearch(b, ["--backend", "jax", "--cpu", "3", *args],
                         envh)
         assert _norm(a) == _norm(b)
+
+
+def test_hybrid_cpu_device_splice_byte_identical(tmp_path):
+    """--backend jax --cpu N with --splice: the worker/device window
+    split composes with the splice post-pass (seeds + graphs built
+    from the tid-ordered merged hit windows) byte-identically."""
+    import os
+    hmm = "/root/reference/tutorial/PTHR37536.bhmm"
+    target = "/root/reference/tutorial/target-PTHR37536.fa"
+    env = dict(os.environ, BATH_JAX_PLATFORM="cpu",
+               JAX_PLATFORMS="cpu")
+    a, b = tmp_path / "np.out", tmp_path / "hy.out"
+    _run_bathsearch(a, ["--backend", "numpy", "--splice", hmm,
+                        target], env)
+    _run_bathsearch(b, ["--backend", "jax", "--cpu", "3", "--splice",
+                        hmm, target], env)
+    assert "exon" in _norm(a)
+    assert _norm(a) == _norm(b)
