@@ -408,8 +408,12 @@ def run(argv=None) -> int:
     # needs the per-query stream (splice post-pass, forked workers,
     # multi-host sharding) is active.  BATH_MULTIQUERY=0 forces the
     # serial loop.
-    if (args.backend == "jax" and nprocs <= 1 and not args.splice
-            and max(0, int(args.cpu or 0)) <= 1
+    # jax always; numpy joins when --cpu N asks for workers (the
+    # query-sharded mq pool beats the per-query loop's 200 pool
+    # setups ~5x at Pfam scale; byte-identical either way)
+    if (nprocs <= 1 and not args.splice
+            and (args.backend == "jax"
+                 or max(0, int(args.cpu or 0)) > 1)
             and os.environ.get("BATH_MULTIQUERY", "1") != "0"):
         hmms = []
         for hmm in load_queries(args.queryfile, args):

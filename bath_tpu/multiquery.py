@@ -559,11 +559,14 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
     use_combined = os.environ.get("BATH_MQ_COMBINED", "1") != "0"
     reslice_on = not ctx_pinned and \
         os.environ.get("BATH_MQ_RESLICE", "1") != "0"
-    ctx_shared = max(q.om.max_length for q in queries) * 3
     qgroups: dict = {}
     for qi, qs in enumerate(queries):
-        ctx_q = qs.om.max_length * 3
-        key = -1 if (not reslice_on or ctx_q >= ctx_shared) else ctx_q
+        # group key = the query's own serial overlap; _entry_views
+        # derives d per entry from the window's ACTUAL carried
+        # context (n - W), so the stream-wide max query naturally
+        # gets d=0 — no shortcut keyed on a local max, which would
+        # be wrong for the query-sharded pool's sub-lists
+        key = -1 if not reslice_on else qs.om.max_length * 3
         qgroups.setdefault(key, []).append(qi)
     views = [None] * nq                 # per-query per-entry (orfs, d)
     comb_of = [None] * nq
@@ -796,6 +799,73 @@ def flush_multi(chunk: list[MQEntry], queries: list[QState],
     chunk.clear()
 
 
+# ---------------------------------------------------------------------
+# Query-sharded fork pool (bathsearch --cpu N on a multi-HMM query
+# file).  The per-query work of a flush — host gates, Forward stage,
+# fs branch — is independent across queries, so N workers each take a
+# contiguous query slice (balanced by sum-of-M) and run flush_multi
+# for the SAME chunk on their fork-copied QStates; hits and counter
+# deltas return to the canonical QStates in query order, so bytes
+# equal the serial drive.  The shared window stream and ORF
+# extraction still happen ONCE (the whole point of the mq drive — the
+# reference's per-query loop re-reads the target per model, and the
+# naive per-query pool pays 200 pool setups: measured 76 s vs the
+# serial loop's 55 s on 200 models x 5 Mb; this pool runs the same
+# drive in ~a quarter of the host-forced mq wall).  Device stages are
+# disabled inside workers (the packed batching is cross-query, which
+# a query-sharded pool forgoes; plain --backend jax keeps it).
+# ---------------------------------------------------------------------
+_MQCTX = None
+
+_MQ_COUNTERS = ("n_past_msv", "n_past_bias", "n_past_vit",
+                "n_past_fwd", "n_output", "pos_past_msv",
+                "pos_past_bias", "pos_past_vit", "pos_past_fwd",
+                "pos_output")
+
+
+def _mq_pool_init(wthreads):
+    from .native import set_native_threads
+    set_native_threads(wthreads)
+    for k in _DEV_MIN:                 # never device-dispatch in a worker
+        _DEV_MIN[k] = float("inf")
+
+
+def _mq_pool_task(task):
+    chunk, lo, hi = task
+    c = _MQCTX
+    queries = c["queries"][lo:hi]
+    before_n = [len(q.th.unsrt) for q in queries]
+    before_c = [{f: getattr(q.pli, f) for f in _MQ_COUNTERS}
+                for q in queries]
+    flush_multi(list(chunk), queries, c["pg"], c["gcode"],
+                c["fs_mode"], minlen=c["minlen"],
+                require_init=c["require_init"],
+                ctx_pinned=c["ctx_pinned"])
+    out = []
+    for q, bn, cb in zip(queries, before_n, before_c):
+        out.append((q.qi, q.th.unsrt[bn:],
+                    {f: getattr(q.pli, f) - cb[f]
+                     for f in _MQ_COUNTERS}))
+    return out
+
+
+def _balance_slices(weights, n):
+    """Contiguous [lo, hi) query slices with ~equal total weight."""
+    total = float(sum(weights)) or 1.0
+    bounds = [0]
+    acc = 0.0
+    target = total / n
+    for i, w in enumerate(weights):
+        acc += w
+        if acc >= target * len(bounds) and len(bounds) < n:
+            bounds.append(i + 1)
+    while len(bounds) < n + 1:
+        bounds.append(len(weights))
+    bounds[-1] = len(weights)
+    return [(bounds[i], bounds[i + 1]) for i in range(n)
+            if bounds[i] < bounds[i + 1]]
+
+
 def run_multiquery(args, hmms, gcode, require_init, ofp, tblfp,
                    fstblfp) -> None:
     """The multi-query driver: shared window stream + packed device
@@ -830,7 +900,34 @@ def run_multiquery(args, hmms, gcode, require_init, ofp, tblfp,
     pending = 0
     tid = 0
 
+    ncpu = max(0, int(getattr(args, "cpu", 0) or 0))
+    pool = None
+    slices = None
+    if ncpu > 1:
+        import multiprocessing as mp
+        global _MQCTX
+        _MQCTX = dict(queries=queries, pg=pg, gcode=gcode,
+                      fs_mode=fs_mode, minlen=args.minlen,
+                      require_init=require_init,
+                      ctx_pinned=ctx_pinned)
+        wthreads = max(1, (os.cpu_count() or 1) // ncpu)
+        pool = mp.get_context("fork").Pool(
+            ncpu, initializer=_mq_pool_init, initargs=(wthreads,))
+        slices = _balance_slices([q.hmm.M for q in queries], ncpu)
+
     def _flush():
+        if pool is not None:
+            tasks = [pool.apply_async(_mq_pool_task,
+                                      ((chunk, lo, hi),))
+                     for lo, hi in slices]
+            for t in tasks:
+                for qi, hits, deltas in t.get():
+                    queries[qi].th.unsrt.extend(hits)
+                    qp = queries[qi].pli
+                    for f, v in deltas.items():
+                        setattr(qp, f, getattr(qp, f) + v)
+            chunk.clear()
+            return
         flush_multi(chunk, queries, pg, gcode, fs_mode,
                     minlen=args.minlen, require_init=require_init,
                     ctx_pinned=ctx_pinned)
@@ -885,6 +982,10 @@ def run_multiquery(args, hmms, gcode, require_init, ofp, tblfp,
             pending = 0
     if chunk:
         _flush()
+    if pool is not None:
+        pool.close()
+        pool.join()
+        _MQCTX = None
 
     # per-query E-values / merge / output, in query order
     # (ref: bathsearch.c:869-921 + output block :960-968)

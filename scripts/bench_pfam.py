@@ -173,7 +173,8 @@ def build_genome(mb, seed=13, name="genome", nseq=4, fs_frac=0.3):
     return path
 
 
-def drive(models, genome, backend, fs=False, label="", hosts=0):
+def drive(models, genome, backend, fs=False, label="", hosts=0,
+          cpu=0):
     Ms = []
     with open(models) as f:
         for line in f:
@@ -193,6 +194,10 @@ def drive(models, genome, backend, fs=False, label="", hosts=0):
             "--tblout", os.path.join(WORK, "out.tbl")]
     if fs:
         args.append("--fs")
+    if cpu:
+        args += ["--cpu", str(cpu)]
+        label = label or f"pfam-{len(Ms)}hmm-{backend}-cpu{cpu}" \
+            + ("-fs" if fs else "")
     args += [models, genome]
     t0 = time.perf_counter()
     r = subprocess.run(args, capture_output=True, text=True, cwd=ROOT,
@@ -221,6 +226,7 @@ def main():
     ap.add_argument("--mb", type=float, default=5.0)
     ap.add_argument("--backend", default="jax")
     ap.add_argument("--fs", action="store_true")
+    ap.add_argument("--cpu", type=int, default=0)
     a = ap.parse_args()
     if a.cmd == "build":
         print(build_modelset(a.models))
@@ -229,7 +235,7 @@ def main():
     elif a.cmd == "run":
         models = build_modelset(a.models)
         genome = build_genome(a.mb)
-        drive(models, genome, a.backend, fs=a.fs)
+        drive(models, genome, a.backend, fs=a.fs, cpu=a.cpu)
     elif a.cmd == "corpus":
         # config 5: multi-genome corpus (3 genomes, distinct seeds)
         models = build_modelset(min(a.models, 50))
@@ -239,8 +245,9 @@ def main():
         with open(corpus, "w") as f:
             for p in paths:
                 f.write(open(p).read())
-        drive(models, corpus, a.backend,
-              label=f"corpus-3x{a.mb}mb-{a.backend}")
+        drive(models, corpus, a.backend, cpu=a.cpu,
+              label=f"corpus-3x{a.mb}mb-{a.backend}"
+              + (f"-cpu{a.cpu}" if a.cpu else ""))
 
 
 if __name__ == "__main__":

@@ -237,3 +237,20 @@ def test_reslice_orfs_matches_reextraction():
                                 (seed, d, minlen, req, rc)
                         checked += 1
     assert checked == 6 * 3 * 2 * 2 * 2
+
+def test_multiquery_query_pool_byte_identical(tmp_path):
+    """--cpu N on a multi-HMM query file runs the query-sharded mq
+    pool (workers take balanced query slices of the shared window
+    stream); output must equal the serial loop byte-for-byte,
+    including statistics blocks and overlap reslicing, for both
+    backends, std and --fs."""
+    q, tgt = _mk_boundary_fixture(tmp_path)
+    args0 = ["--block_length", "6000", str(q), str(tgt)]
+    for extra in ([], ["--fs"]):
+        a = tmp_path / f"ser{len(extra)}.out"
+        _run(a, ["--backend", "numpy"] + extra + args0)
+        for backend in ("numpy", "jax"):
+            b = tmp_path / f"pool{backend}{len(extra)}.out"
+            _run(b, ["--backend", backend, "--cpu", "3"]
+                 + extra + args0)
+            assert _norm(a) == _norm(b), (backend, extra)
