@@ -12,9 +12,12 @@ import time
 
 def test_bench_sigterm_flushes_best_so_far():
     env = dict(os.environ)
-    # keep the device child from ever reaching a real TPU: the CPU
-    # floor lines are the guarantee under test
+    # the CPU floor lines are the guarantee under test; skip the
+    # device attempts entirely (under the suite's JAX_PLATFORMS=cpu
+    # the probe would "succeed" on cpu-jax and burn a core compiling
+    # the measurement shape until killed)
     env["BATH_BENCH_BUDGET"] = "300"
+    env["BATH_BENCH_NO_DEVICE"] = "1"
     p = subprocess.Popen([sys.executable, "bench.py"],
                          stdout=subprocess.PIPE,
                          stderr=subprocess.DEVNULL, cwd="/root/repo",
