@@ -159,7 +159,11 @@ def _device_main(argv):
     (--v2/--sub/--pallas/--v1) select the parity-oracle tiers instead
     (ops/pallas/ is retired from the default race — VERDICT r4 item
     10: the jnp kernels win every race; see README)."""
-    if not _tpu_alive(45.0):
+    # --_noprobe (attempt 0): go straight to the measurement — the
+    # tunnel's up-windows can be shorter than the probe itself, and
+    # the parent's deadline already bounds a hung child; the retry
+    # attempt probes first so a downed tunnel fails fast there
+    if "--_noprobe" not in argv and not _tpu_alive(45.0):
         _note("# device: TPU probe failed (tunnel down)")
         sys.exit(3)
     import jax
@@ -346,7 +350,9 @@ def _parent(argv):
         remaining = t_end - time.monotonic()
         if remaining < 70.0:
             break
-        dev = _spawn(["--_device"] + argv, "device")
+        dev = _spawn(["--_device"]
+                     + (["--_noprobe"] if attempt == 0 else [])
+                     + argv, "device")
         deadline = time.monotonic() + min(110.0, remaining - 12.0)
         while dev.poll() is None and time.monotonic() < deadline:
             time.sleep(0.5)
